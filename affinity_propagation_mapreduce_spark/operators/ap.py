@@ -1,0 +1,554 @@
+"""Affinity-Propagation core (SURVEY.md §2 rows A1–A10).
+
+The reference (``dam-grassman/Affinity-Propagation-MapReduce``) executes
+Frey–Dueck Affinity Propagation [AP] as alternating MapReduce passes over
+``(row, col, value)`` matrix triples: a row-keyed responsibility job, a
+re-key (shuffle) by column, a column-keyed availability job, with damping,
+iterated to convergence [MR-AP].  (Checkout at /root/reference was empty —
+SURVEY.md §0 — so semantics derive from the published algorithm, not file
+citations.)
+
+Here the whole algorithm is relational algebra over a coordinate-format
+matrix DataFrame ``(i, k, s, r, a)``:
+
+* similarity  s(i,k) = -||x_i - x_k||^2 as a self cross-join + a
+  *sequential* float64 fold over the vector dims (bitwise-reproducible in
+  DuckDB via ``list_reduce`` — verified, which is why no rounding is needed
+  on A1/A2/A3 outputs);
+* the responsibility pass is ``Window.partitionBy("i")`` (the MR row job),
+  the availability pass ``Window.partitionBy("k")`` (the MR column job);
+  the re-key shuffle between them is planned by Catalyst;
+* per-iteration ``localCheckpoint()`` truncates lineage — the in-memory
+  analogue of the reference's write-matrices-to-HDFS-per-iteration, minus
+  the I/O tax.
+
+Scale notes (100 TB): the dense N^2 similarity is the wall (SURVEY.md §7).
+The exact kernel here is the oracle-checked path; ``candidate_similarity``
+in operators/vector.py provides the LSH-pruned sparse path for large N.
+Within a pass, state is hash-partitioned on the pass key, groups are O(N)
+rows, and both window aggregates are single-pass — no driver-side matrix
+ever materializes.
+
+Float-parity engineering (for the DuckDB value-hash gate):
+* s and the first responsibility pass are bitwise identical across engines
+  (difference/max of identical values, sequential fold).
+* availability introduces engine-ordered group sums → outputs that depend
+  on it are rounded to 3 decimals on BOTH sides (drift ~1e-12 vs grid 1e-3).
+* every argmax is tie-broken by lowest id; thresholds compare to 0 after
+  ~O(1)-magnitude message values.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+
+DAMPING = 0.5
+T_DEFAULT = 5  # unrolled iteration count for hashed t2 results (BASELINE.md)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side kernel
+# ---------------------------------------------------------------------------
+
+def similarity_off_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: s(i,k) = -||x_i-x_k||^2 for i != k over `embeddings`.
+
+    The fold is sequential (``F.aggregate``) so the float64 result is
+    bitwise identical to DuckDB's ``list_reduce`` — verified on sf0.01.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("i"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("k"), F.col("emb").alias("eb"))
+    sq_diffs = F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y))
+    s = -F.aggregate(sq_diffs, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        a.crossJoin(b)
+        .where(F.col("i") != F.col("k"))
+        .select("i", "k", s.alias("s"))
+    )
+
+
+def preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: median of the off-diagonal similarities (1-row DataFrame).
+
+    Exact interpolated median on both engines → bitwise parity.
+    """
+    off = similarity_off_diagonal(spark, sf_dir)
+    return off.select(F.expr("percentile(s, 0.5)").alias("preference"))
+
+
+def similarity_matrix(
+    spark: SparkSession, sf_dir: str, pref: str = "median"
+) -> DataFrame:
+    """Full S including the diagonal s(k,k) = preference (median or min)."""
+    off = similarity_off_diagonal(spark, sf_dir)
+    agg = F.expr("percentile(s, 0.5)") if pref == "median" else F.min("s")
+    p = off.agg(agg.alias("p"))
+    ids = table(spark, sf_dir, "embeddings").select("vec_id")
+    diag = ids.crossJoin(p).select(
+        F.col("vec_id").alias("i"), F.col("vec_id").alias("k"), F.col("p").alias("s")
+    )
+    return off.unionByName(diag)
+
+
+def init_state(smat: DataFrame) -> DataFrame:
+    """Coordinate-format message state: (i, k, s, r=0, a=0)."""
+    return smat.select(
+        "i", "k", "s", F.lit(0.0).alias("r"), F.lit(0.0).alias("a")
+    )
+
+
+def responsibility_pass(state: DataFrame, lam: float = DAMPING) -> DataFrame:
+    """One damped responsibility update — the MR *row* job [MR-AP].
+
+    r(i,k) <- lam*r + (1-lam)*(s(i,k) - max_{k'!=k}(a(i,k') + s(i,k')))
+
+    "max excluding self" uses the top-2 window trick with an exact tie
+    count: when the row max is duplicated the excluded max is still m1.
+    """
+    w_i = Window.partitionBy("i")
+    stage = (
+        state.withColumn("asv", F.col("a") + F.col("s"))
+        .withColumn("m1", F.max(F.col("a") + F.col("s")).over(w_i))
+    )
+    stage = stage.withColumn(
+        "m2", F.max(F.when(F.col("asv") < F.col("m1"), F.col("asv"))).over(w_i)
+    ).withColumn(
+        "cnt1",
+        F.sum(F.when(F.col("asv") == F.col("m1"), 1).otherwise(0)).over(w_i),
+    )
+    excl_max = F.when(
+        (F.col("asv") == F.col("m1")) & (F.col("cnt1") == 1), F.col("m2")
+    ).otherwise(F.col("m1"))
+    new_r = F.lit(lam) * F.col("r") + F.lit(1 - lam) * (F.col("s") - excl_max)
+    return stage.select("i", "k", "s", new_r.alias("r"), "a")
+
+
+def availability_pass(state: DataFrame, lam: float = DAMPING) -> DataFrame:
+    """One damped availability update — the MR *column* job [MR-AP].
+
+    a(i,k) <- lam*a + (1-lam)*min(0, r(k,k) + sum_{i' not in {i,k}} max(0, r(i',k)))
+    a(k,k) <- lam*a + (1-lam)*sum_{i'!=k} max(0, r(i',k))
+    """
+    w_k = Window.partitionBy("k")
+    rp = F.greatest(F.col("r"), F.lit(0.0))
+    stage = state.withColumn(
+        "sum_rp",
+        F.sum(F.when(F.col("i") != F.col("k"), rp).otherwise(F.lit(0.0))).over(w_k),
+    ).withColumn("rkk", F.max(F.when(F.col("i") == F.col("k"), F.col("r"))).over(w_k))
+    a_hat = F.when(F.col("i") == F.col("k"), F.col("sum_rp")).otherwise(
+        F.least(
+            F.lit(0.0),
+            F.col("rkk") + F.col("sum_rp") - F.greatest(F.col("r"), F.lit(0.0)),
+        )
+    )
+    new_a = F.lit(lam) * F.col("a") + F.lit(1 - lam) * a_hat
+    return stage.select("i", "k", "s", "r", new_a.alias("a"))
+
+
+def iterate(
+    state: DataFrame,
+    iterations: int,
+    lam: float = DAMPING,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Run T damped iterations; checkpoint per iteration to truncate
+    lineage (the Spark analogue of the reference's per-iteration FS
+    round-trip — SURVEY.md §3.2)."""
+    for _ in range(iterations):
+        state = availability_pass(responsibility_pass(state, lam), lam)
+        if checkpoint:
+            state = state.localCheckpoint(eager=False)
+    return state
+
+
+def exemplars_from_state(state: DataFrame) -> DataFrame:
+    """Exemplar set {k : a(k,k) + r(k,k) > 0} [AP]."""
+    return (
+        state.where((F.col("i") == F.col("k")) & (F.col("a") + F.col("r") > 0))
+        .select(F.col("k").alias("exemplar"))
+    )
+
+
+def assign(smat_off: DataFrame, exemplar_set: DataFrame) -> DataFrame:
+    """A7: label(i) = argmax over exemplars k of s(i,k); ties broken by
+    lowest k; exemplars labeled as themselves.  Exemplar set is tiny →
+    broadcast join prunes the candidate pairs before the window."""
+    cand = smat_off.join(
+        F.broadcast(exemplar_set), smat_off["k"] == exemplar_set["exemplar"]
+    ).select("i", "k", "s")
+    w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("i").alias("vec_id"), F.col("k").alias("assigned"))
+    )
+    return (
+        best.join(
+            F.broadcast(exemplar_set),
+            best["vec_id"] == exemplar_set["exemplar"],
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce(F.col("exemplar"), F.col("assigned")).alias("exemplar"),
+        )
+    )
+
+
+def cluster(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = T_DEFAULT,
+    lam: float = DAMPING,
+    pref: str = "median",
+) -> DataFrame:
+    """End-to-end AP: similarity → T iterations → exemplars → assignment.
+    Returns (vec_id, exemplar)."""
+    smat = similarity_matrix(spark, sf_dir, pref=pref)
+    state = iterate(init_state(smat), iterations, lam)
+    ex = exemplars_from_state(state)
+    off = smat.where(F.col("i") != F.col("k"))
+    return assign(off, ex)
+
+
+# ---------------------------------------------------------------------------
+# Declared queries (SURVEY.md §2 A-rows)
+# ---------------------------------------------------------------------------
+
+def q_ap_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity_off_diagonal(spark, sf_dir)
+
+
+def q_ap_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return preference(spark, sf_dir)
+
+
+def q_ap_responsibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First damped responsibility pass from the zero state (bit-exact)."""
+    state = init_state(similarity_matrix(spark, sf_dir))
+    return responsibility_pass(state).select("i", "k", "r")
+
+
+def q_ap_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First full iteration's availabilities (group sums → round 3)."""
+    state = init_state(similarity_matrix(spark, sf_dir))
+    state = availability_pass(responsibility_pass(state))
+    return state.select("i", "k", F.round("a", 3).alias("a"))
+
+
+def q_ap_iterate_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = init_state(similarity_matrix(spark, sf_dir))
+    state = availability_pass(responsibility_pass(state))
+    return state.select(
+        "i", "k", F.round("r", 3).alias("r"), F.round("a", 3).alias("a")
+    )
+
+
+def q_ap_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = iterate(init_state(similarity_matrix(spark, sf_dir)), T_DEFAULT)
+    return exemplars_from_state(state)
+
+
+def q_ap_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster(spark, sf_dir)
+
+
+def q_ap_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-cluster size + net similarity sum s(i, label(i)) including
+    the exemplar's own preference term [AP fig.2 quality metric]."""
+    smat = similarity_matrix(spark, sf_dir)
+    labels = cluster(spark, sf_dir)
+    joined = labels.join(
+        smat,
+        (labels["vec_id"] == smat["i"]) & (labels["exemplar"] == smat["k"]),
+    )
+    return (
+        joined.groupBy("exemplar")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum("s"), 3).alias("net_similarity"),
+        )
+    )
+
+
+def q_ap_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: max |r_t - r_{t-1}| per iteration t = 1..T."""
+    state = init_state(similarity_matrix(spark, sf_dir))
+    deltas = []
+    prev = state
+    for t in range(1, T_DEFAULT + 1):
+        cur = availability_pass(responsibility_pass(prev)).localCheckpoint(
+            eager=False
+        )
+        d = (
+            cur.select("i", "k", "r")
+            .join(prev.select("i", "k", F.col("r").alias("r_prev")), ["i", "k"])
+            .agg(F.round(F.max(F.abs(F.col("r") - F.col("r_prev"))), 3).alias("max_delta_r"))
+            .select(F.lit(t).alias("iter"), "max_delta_r")
+        )
+        deltas.append(d)
+        prev = cur
+    return functools.reduce(lambda x, y: x.unionByName(y), deltas)
+
+
+def q_ap_pref_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: exemplar count under median vs min preference (T=5)."""
+    out = []
+    for kind in ("median", "min"):
+        state = iterate(
+            init_state(similarity_matrix(spark, sf_dir, pref=kind)), T_DEFAULT
+        )
+        out.append(
+            exemplars_from_state(state).agg(
+                F.count("*").alias("n_exemplars")
+            ).select(F.lit(kind).alias("pref_kind"), "n_exemplars")
+        )
+    return out[0].unionByName(out[1])
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL generation (chained CTEs mirroring the passes exactly)
+# ---------------------------------------------------------------------------
+
+_PRELUDE_OFF = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+offd AS (
+  SELECT a.vec_id AS i, b.vec_id AS k,
+         -list_reduce(
+            list_transform(list_zip(a.emb, b.emb),
+                           p -> (p[1]-p[2])*(p[1]-p[2])),
+            (x, y) -> x + y) AS s
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+"""
+
+
+def _prelude(pref: str = "median") -> str:
+    """CTEs: e, offd, pref, smat, st0 (the zero message state)."""
+    pref_expr = "median(s)" if pref == "median" else "min(s)"
+    return (
+        _PRELUDE_OFF
+        + f""",
+pref AS (SELECT {pref_expr} AS p FROM offd),
+smat AS (SELECT i, k, s FROM offd
+         UNION ALL
+         SELECT vec_id AS i, vec_id AS k, p AS s FROM e CROSS JOIN pref),
+st0 AS (SELECT i, k, s, CAST(0 AS DOUBLE) AS r, CAST(0 AS DOUBLE) AS a FROM smat)
+"""
+    )
+
+
+def _r_pass_sql(prev: str, out: str, lam: float = DAMPING) -> str:
+    """SQL mirror of responsibility_pass (same top-2 + tie-count trick)."""
+    return f"""
+{out} AS (
+  SELECT i, k, s,
+         {lam}*r + {1 - lam}*(s - CASE WHEN asv = m1 AND cnt1 = 1
+                                       THEN m2 ELSE m1 END) AS r,
+         a
+  FROM (
+    SELECT i, k, s, r, a, asv, m1,
+           max(CASE WHEN asv < m1 THEN asv END) OVER (PARTITION BY i) AS m2,
+           sum(CASE WHEN asv = m1 THEN 1 ELSE 0 END) OVER (PARTITION BY i) AS cnt1
+    FROM (
+      SELECT i, k, s, r, a, a + s AS asv,
+             max(a + s) OVER (PARTITION BY i) AS m1
+      FROM {prev}) t1) t2)
+"""
+
+
+def _a_pass_sql(prev: str, out: str, lam: float = DAMPING) -> str:
+    """SQL mirror of availability_pass."""
+    return f"""
+{out} AS (
+  SELECT i, k, s, r,
+         {lam}*a + {1 - lam}*(CASE WHEN i = k THEN sum_rp
+                              ELSE least(CAST(0 AS DOUBLE),
+                                         rkk + sum_rp - greatest(r, CAST(0 AS DOUBLE)))
+                              END) AS a
+  FROM (
+    SELECT i, k, s, r, a,
+           sum(CASE WHEN i <> k THEN greatest(r, CAST(0 AS DOUBLE))
+                    ELSE CAST(0 AS DOUBLE) END) OVER (PARTITION BY k) AS sum_rp,
+           max(CASE WHEN i = k THEN r END) OVER (PARTITION BY k) AS rkk
+    FROM {prev}) t)
+"""
+
+
+def _iteration_ctes(T: int, lam: float = DAMPING, suffix: str = "") -> tuple[str, str]:
+    """Chained CTEs for T full iterations; returns (sql, final_state_name).
+
+    Generated programmatically (SURVEY.md §7: do not hand-write nested CTEs).
+    """
+    parts = []
+    prev = f"st0{suffix}" if suffix else "st0"
+    for t in range(1, T + 1):
+        rp, st = f"rp{t}{suffix}", f"st{t}{suffix}"
+        parts.append("," + _r_pass_sql(prev, rp, lam))
+        parts.append("," + _a_pass_sql(rp, st, lam))
+        prev = st
+    return "".join(parts), prev
+
+
+def _exemplar_cte(state: str, out: str = "ex") -> str:
+    return f""",
+{out} AS (SELECT k AS exemplar FROM {state} WHERE i = k AND a + r > 0)
+"""
+
+
+_ASSIGN_SQL = """,
+cand AS (SELECT o.i, o.k, o.s FROM offd o JOIN ex ON o.k = ex.exemplar),
+best AS (
+  SELECT i AS vec_id, k AS assigned
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY i ORDER BY s DESC, k ASC) = 1),
+labels AS (
+  SELECT b.vec_id, coalesce(e.exemplar, b.assigned) AS exemplar
+  FROM best b LEFT JOIN ex e ON b.vec_id = e.exemplar)
+"""
+
+
+def oracle_ap_similarity() -> str:
+    return f"WITH {_PRELUDE_OFF} SELECT i, k, s FROM offd"
+
+
+def oracle_ap_preference() -> str:
+    return f"WITH {_PRELUDE_OFF} SELECT median(s) AS preference FROM offd"
+
+
+def oracle_ap_responsibility() -> str:
+    return (
+        "WITH "
+        + _prelude()
+        + ","
+        + _r_pass_sql("st0", "rp1")
+        + "SELECT i, k, r FROM rp1"
+    )
+
+
+def oracle_ap_availability() -> str:
+    body, final = _iteration_ctes(1)
+    return "WITH " + _prelude() + body + f"SELECT i, k, ROUND(a, 3) AS a FROM {final}"
+
+
+def oracle_ap_iterate_once() -> str:
+    body, final = _iteration_ctes(1)
+    return (
+        "WITH "
+        + _prelude()
+        + body
+        + f"SELECT i, k, ROUND(r, 3) AS r, ROUND(a, 3) AS a FROM {final}"
+    )
+
+
+def oracle_ap_exemplars(T: int = T_DEFAULT) -> str:
+    body, final = _iteration_ctes(T)
+    return (
+        "WITH "
+        + _prelude()
+        + body
+        + _exemplar_cte(final)
+        + "SELECT exemplar FROM ex"
+    )
+
+
+def oracle_ap_assign(T: int = T_DEFAULT) -> str:
+    body, final = _iteration_ctes(T)
+    return (
+        "WITH "
+        + _prelude()
+        + body
+        + _exemplar_cte(final)
+        + _ASSIGN_SQL
+        + "SELECT vec_id, exemplar FROM labels"
+    )
+
+
+def oracle_ap_cluster_stats(T: int = T_DEFAULT) -> str:
+    body, final = _iteration_ctes(T)
+    return (
+        "WITH "
+        + _prelude()
+        + body
+        + _exemplar_cte(final)
+        + _ASSIGN_SQL
+        + """
+SELECT l.exemplar,
+       count(*) AS n_members,
+       ROUND(sum(m.s), 3) AS net_similarity
+FROM labels l JOIN smat m ON l.vec_id = m.i AND l.exemplar = m.k
+GROUP BY l.exemplar"""
+    )
+
+
+def oracle_ap_convergence(T: int = T_DEFAULT) -> str:
+    body, _ = _iteration_ctes(T)
+    deltas = []
+    for t in range(1, T + 1):
+        prev = "st0" if t == 1 else f"st{t - 1}"
+        deltas.append(
+            f"""SELECT {t} AS iter,
+       ROUND(max(abs(c.r - p.r)), 3) AS max_delta_r
+FROM st{t} c JOIN {prev} p ON c.i = p.i AND c.k = p.k"""
+        )
+    return "WITH " + _prelude() + body + "\nUNION ALL\n".join(deltas)
+
+
+def oracle_ap_pref_sweep(T: int = T_DEFAULT) -> str:
+    # two independent stacks: median-preference and min-preference
+    med_body, med_final = _iteration_ctes(T)
+    min_pref = """,
+pref_min AS (SELECT min(s) AS p FROM offd),
+smat_min AS (SELECT i, k, s FROM offd
+             UNION ALL
+             SELECT vec_id AS i, vec_id AS k, p AS s FROM e CROSS JOIN pref_min),
+st0_min AS (SELECT i, k, s, CAST(0 AS DOUBLE) AS r, CAST(0 AS DOUBLE) AS a FROM smat_min)
+"""
+    min_body, min_final = _iteration_ctes(T, suffix="_min")
+    return (
+        "WITH "
+        + _prelude()
+        + med_body
+        + min_pref
+        + min_body
+        + f"""
+SELECT 'median' AS pref_kind, count(*) AS n_exemplars
+FROM {med_final} WHERE i = k AND a + r > 0
+UNION ALL
+SELECT 'min' AS pref_kind, count(*) AS n_exemplars
+FROM {min_final} WHERE i = k AND a + r > 0"""
+    )
+
+
+QUERIES = {
+    "ap_similarity": q_ap_similarity,
+    "ap_preference": q_ap_preference,
+    "ap_responsibility": q_ap_responsibility,
+    "ap_availability": q_ap_availability,
+    "ap_iterate_once": q_ap_iterate_once,
+    "ap_exemplars": q_ap_exemplars,
+    "ap_assign": q_ap_assign,
+    "ap_cluster_stats": q_ap_cluster_stats,
+    "ap_convergence": q_ap_convergence,
+    "ap_pref_sweep": q_ap_pref_sweep,
+}
+
+ORACLES = {
+    "ap_similarity": oracle_ap_similarity(),
+    "ap_preference": oracle_ap_preference(),
+    "ap_responsibility": oracle_ap_responsibility(),
+    "ap_availability": oracle_ap_availability(),
+    "ap_iterate_once": oracle_ap_iterate_once(),
+    "ap_exemplars": oracle_ap_exemplars(),
+    "ap_assign": oracle_ap_assign(),
+    "ap_cluster_stats": oracle_ap_cluster_stats(),
+    "ap_convergence": oracle_ap_convergence(),
+    "ap_pref_sweep": oracle_ap_pref_sweep(),
+}
