@@ -1,0 +1,753 @@
+"""Relational core operators (SURVEY.md §2 B-rows, B1–B28).
+
+The reference engine has no relational surface beyond its fixed MR job
+sequence (SURVEY.md §4.1) — these rows are the "same query capabilities"
+breadth the north star requires, declared over the TPC-H-ish star schema
+(FIXTURES.md).  All formulations are DataFrame-declarative so Catalyst
+keeps pushdown / pruning / join planning (SURVEY.md §4.2); small dims are
+broadcast explicitly.
+
+Float-parity: per-row arithmetic on identical parquet inputs is bitwise
+identical across engines; aggregate sums/avgs of doubles are
+summation-order dependent → rounded on BOTH sides (sum→2, avg/ratio→4,
+corr→4).  Int aggregates are exact (counts, integer-valued doubles).
+DuckDB `sum(BIGINT)`→HUGEINT and `year()`→BIGINT are cast to match Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+# --- B1 scan + projection + predicate (pushdown-friendly) -----------------
+
+def q_scan_project_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+
+
+O_SCAN = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+# --- B2 TPC-H Q1-style pricing summary ------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),  # integer-valued → exact
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(avg(l_quantity), 4) AS avg_qty,
+       ROUND(avg(l_extendedprice), 4) AS avg_price,
+       ROUND(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --- B3 inner equi-join (shuffle / sort-merge at scale) --------------------
+
+def q_join_inner_equi(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+    )
+
+
+O_JOIN_INNER = """
+SELECT o_orderkey, o_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+# --- B4 star join with broadcast dims (Q5-style) ---------------------------
+
+def q_join_broadcast_star(spark, sf_dir):
+    """Revenue by nation for ASIA, 1996–1997.  nation/region are broadcast
+    (tiny dims); lineitem⋈orders stays a shuffle join keyed on orderkey —
+    the layout that survives 100 TB facts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+O_JOIN_STAR = """
+SELECT n_name, ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+# --- B5 left outer join incl. empty groups ---------------------------------
+
+def q_join_left_outer(spark, sf_dir):
+    """Open-order counts per customer including zeros (every customer has
+    ≥1 order — FIXTURES.md fact 1 — so the open-status subset keeps the
+    outer join non-degenerate)."""
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_open_orders"))
+    )
+
+
+O_JOIN_LEFT = """
+SELECT c_custkey, count(o_orderkey) AS n_open_orders
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+# --- B6 semi join ----------------------------------------------------------
+
+def q_join_semi(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    pend = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return cust.join(
+        pend, cust.c_custkey == pend.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+O_JOIN_SEMI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+"""
+
+# --- B7 anti join (against open-order subset; FIXTURES.md fact 1) ----------
+
+def q_join_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return cust.join(
+        open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+O_JOIN_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+# --- B8 range/theta join (non-equi ⇒ broadcast nested loop) ---------------
+
+def q_join_range_theta(spark, sf_dir):
+    """Price-band theta join (no key equality ⇒ BroadcastNestedLoop):
+    Brand#1 parts × one month of lineitems whose *unit* price
+    (l_extendedprice / l_quantity) is within ±10% of p_retailprice.
+    The small side is broadcast; at scale the band predicate would ride a
+    bucketed interval pre-join (same pattern as vector.py candidates)."""
+    parts = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "2000-01-01") & (F.col("l_shipdate") < "2000-02-01")
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    cond = (unit >= 0.9 * F.col("p_retailprice")) & (unit <= 1.1 * F.col("p_retailprice"))
+    return li.join(F.broadcast(parts), cond).select(
+        "p_partkey", "l_orderkey", "l_linenumber", "p_retailprice", "l_extendedprice"
+    )
+
+
+O_JOIN_THETA = """
+SELECT p_partkey, l_orderkey, l_linenumber, p_retailprice, l_extendedprice
+FROM (SELECT * FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-02-01') l
+JOIN (SELECT * FROM part WHERE p_brand = 'Brand#1') p
+  ON l_extendedprice / l_quantity >= 0.9 * p_retailprice
+ AND l_extendedprice / l_quantity <= 1.1 * p_retailprice
+"""
+
+# --- B9 as-of join (window formulation on both sides for hash parity) ------
+
+def q_join_asof(spark, sf_dir):
+    """Each event → most recent prior order of the same user
+    (events.user_id ⊆ c_custkey, all orders predate all events —
+    FIXTURES.md fact 2).  Spark has no native ASOF; the row_number
+    formulation is the declared semantic on both engines."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    j = ev.join(orders, ev.user_id == orders.o_custkey)
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+    )
+
+
+O_JOIN_ASOF = """
+SELECT event_id, user_id, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
+FROM events e JOIN orders o ON e.user_id = o.o_custkey
+QUALIFY row_number() OVER (PARTITION BY event_id
+                           ORDER BY o_orderdate DESC, o_orderkey ASC) = 1
+"""
+
+# --- B10 cross join (small dims) -------------------------------------------
+
+def q_join_cross_small(spark, sf_dir):
+    region = _t(spark, sf_dir, "region").select("r_name")
+    nation = _t(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+O_JOIN_CROSS = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+# --- B11 distinct aggregation (exact; approx variant is rows-only) ---------
+
+def q_agg_distinct(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+O_AGG_DISTINCT = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_agg_distinct_approx(spark, sf_dir):
+    """HLL++ sketch counts — rows-only (sketch constants differ across
+    engines by design; this is the 100 TB path for distinct counts)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("c_custkey").alias("approx_custkeys")
+    )
+
+
+# --- B12 grouping sets / cube ----------------------------------------------
+
+def q_agg_grouping_sets(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+O_GROUPING = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS sum_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# --- B13 exact percentiles --------------------------------------------------
+
+def q_agg_percentiles(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+    )
+
+
+O_PERCENTILES = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+# --- B14 statistical aggregates ---------------------------------------------
+
+def q_agg_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        F.round(F.stddev_pop("l_extendedprice"), 2).alias("stddev_pop_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+O_AGG_STATS = """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(stddev_samp(l_extendedprice), 2) AS stddev_price,
+       ROUND(stddev_pop(l_extendedprice), 2) AS stddev_pop_price,
+       ROUND(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --- B15 conditional aggregation -------------------------------------------
+
+def q_agg_conditional(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    n_open = F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+    n_big = F.sum(F.when(F.col("o_totalprice") > 300000.0, 1).otherwise(0))
+    return orders.groupBy("o_orderpriority").agg(
+        n_open.alias("n_open"),
+        n_big.alias("n_big"),
+        F.round(n_open / F.count("*"), 4).alias("share_open"),
+    )
+
+
+O_AGG_COND = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       ROUND(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) / count(*), 4) AS share_open
+FROM orders GROUP BY o_orderpriority
+"""
+
+# --- B16 windowed top-k per group ------------------------------------------
+
+def q_win_rank_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk")
+    )
+
+
+O_WIN_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+QUALIFY row_number() OVER w <= 3
+"""
+
+# --- B17 lag / lead ----------------------------------------------------------
+
+def q_win_lag_lead(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    next_key = F.lead("o_orderkey").over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date)
+        .cast("long")
+        .alias("days_since_prev"),
+        next_key.alias("next_orderkey"),
+    )
+
+
+O_WIN_LAG = """
+SELECT o_orderkey, o_custkey,
+       date_diff('day',
+                 lag(CAST(o_orderdate AS DATE)) OVER w,
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# --- B18 moving frame --------------------------------------------------------
+
+def q_win_frame_moving(spark, sf_dir):
+    """7-day (7-row over the daily series) moving revenue.  Daily revenue
+    is rounded first so both engines feed identical doubles into the
+    frame; the frame sum is rounded again (sliding-aggregate accumulation
+    differs across engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("o_day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+    )
+    w = Window.orderBy("o_day").rowsBetween(-6, 0)
+    # frame-sum in integer cents: integer doubles sum exactly in any
+    # accumulation order, so both engines agree bitwise
+    cents = F.round(F.col("day_rev") * 100, 0)
+    return daily.select(
+        "o_day",
+        "day_rev",
+        F.round(F.sum(cents).over(w) / 100, 2).alias("moving_rev_7d"),
+    )
+
+
+O_WIN_FRAME = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS o_day,
+         ROUND(sum(o_totalprice), 2) AS day_rev
+  FROM orders GROUP BY 1)
+SELECT o_day, day_rev,
+       ROUND(sum(ROUND(day_rev * 100, 0)) OVER (ORDER BY o_day
+                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100, 2)
+         AS moving_rev_7d
+FROM daily
+"""
+
+# --- B19 ntile / percent_rank / cume_dist -----------------------------------
+
+def q_win_ntile_pctrank(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+O_WIN_NTILE = """
+SELECT c_custkey, c_acctbal,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+"""
+
+# --- B20 global top-k sort ----------------------------------------------------
+
+def q_sort_limit_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    return (
+        li.select("l_orderkey", "l_linenumber", revenue)
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(10)
+    )
+
+
+O_SORT_TOPK = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+ORDER BY revenue DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+# --- B21–B23 set operations ---------------------------------------------------
+
+def _seg_auto(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+
+
+def _seg_rich(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000.0)
+        .select("c_custkey")
+    )
+
+
+def q_set_union(spark, sf_dir):
+    a, b = _seg_auto(spark, sf_dir), _seg_rich(spark, sf_dir)
+    un_all = a.unionAll(b).select(F.lit("all").alias("mode"), "c_custkey")
+    un_dist = a.union(b).distinct().select(F.lit("distinct").alias("mode"), "c_custkey")
+    return un_all.unionByName(un_dist)
+
+
+O_SET_UNION = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+     b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+SELECT 'all' AS mode, c_custkey FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+UNION ALL
+SELECT 'distinct' AS mode, c_custkey FROM (SELECT * FROM a UNION SELECT * FROM b)
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    return _seg_auto(spark, sf_dir).intersect(_seg_rich(spark, sf_dir))
+
+
+O_SET_INTERSECT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+"""
+
+
+def q_set_except(spark, sf_dir):
+    return _seg_auto(spark, sf_dir).exceptAll(_seg_rich(spark, sf_dir)).distinct()
+
+
+O_SET_EXCEPT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+"""
+
+# --- B24 string scalar functions ---------------------------------------------
+
+def q_scalar_string(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.col("p_type").like("PROMO%").alias("is_promo"),
+        F.regexp_extract("p_name", "^(\\w+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+        F.length("p_type").cast("long").alias("type_len"),
+    )
+
+
+O_SCALAR_STRING = """
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 5) AS name_pfx,
+       concat_ws(':', p_brand, p_type) AS brand_type,
+       trim(p_name) AS name_trim,
+       (p_type LIKE 'PROMO%') AS is_promo,
+       coalesce(regexp_extract(p_name, '^(\\w+)', 1), '') AS first_word,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+       CAST(length(p_type) AS BIGINT) AS type_len
+FROM part
+"""
+
+# --- B25 datetime scalar functions -------------------------------------------
+
+def q_scalar_datetime(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.date_trunc("month", "o_orderdate").alias("o_month_start"),
+        F.weekday("o_orderdate").cast("long").alias("o_weekday"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_1995"),
+    )
+
+
+O_SCALAR_DATETIME = """
+SELECT o_orderkey,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS o_month,
+       date_trunc('month', o_orderdate) AS o_month_start,
+       CAST(isodow(o_orderdate) - 1 AS BIGINT) AS o_weekday,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_1995
+FROM orders
+"""
+
+# --- B26 math scalar functions ------------------------------------------------
+
+def q_scalar_math(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("abs_dev"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("long").alias("price_k"),
+        (F.col("l_linenumber") % 3).cast("long").alias("line_mod3"),
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+    )
+
+
+O_SCALAR_MATH = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       abs(l_extendedprice - 30000.0) AS abs_dev,
+       ROUND(ln(l_extendedprice), 6) AS ln_price,
+       CAST(l_quantity AS DOUBLE) ** 2 AS qty_sq,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+       CAST(l_linenumber % 3 AS BIGINT) AS line_mod3,
+       sqrt(l_extendedprice) AS sqrt_price
+FROM lineitem
+"""
+
+# --- B27 conditional / null scalar functions ---------------------------------
+
+def q_scalar_conditional_null(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("pending")
+        .alias("status_word"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+            F.lit("NONE"),
+        ).alias("priority_or_none"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_nullif_p"),
+        F.when(F.col("o_totalprice") > 250000.0, F.col("o_totalprice")).alias(
+            "big_price_or_null"
+        ),
+    )
+
+
+O_SCALAR_COND = """
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+            ELSE 'pending' END AS status_word,
+       coalesce(nullif(o_orderpriority, '4-NOT SPECIFIED'), 'NONE') AS priority_or_none,
+       nullif(o_orderstatus, 'P') AS status_nullif_p,
+       CASE WHEN o_totalprice > 250000.0 THEN o_totalprice END AS big_price_or_null
+FROM orders
+"""
+
+# --- B28 scalar + IN subqueries ----------------------------------------------
+
+def q_subquery_scalar_in(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust_building = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    avg_price = orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.crossJoin(avg_price)
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .join(
+            cust_building, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+O_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+QUERIES = {
+    "scan_project_filter": q_scan_project_filter,
+    "pricing_summary": q_pricing_summary,
+    "join_inner_equi": q_join_inner_equi,
+    "join_broadcast_star": q_join_broadcast_star,
+    "join_left_outer": q_join_left_outer,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
+    "join_range_theta": q_join_range_theta,
+    "join_asof": q_join_asof,
+    "join_cross_small": q_join_cross_small,
+    "agg_distinct": q_agg_distinct,
+    "agg_distinct_approx": q_agg_distinct_approx,  # rows-only
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_percentiles": q_agg_percentiles,
+    "agg_stats": q_agg_stats,
+    "agg_conditional": q_agg_conditional,
+    "win_rank_topk_per_group": q_win_rank_topk_per_group,
+    "win_lag_lead": q_win_lag_lead,
+    "win_frame_moving": q_win_frame_moving,
+    "win_ntile_pctrank": q_win_ntile_pctrank,
+    "sort_limit_topk": q_sort_limit_topk,
+    "set_union": q_set_union,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "scalar_string": q_scalar_string,
+    "scalar_datetime": q_scalar_datetime,
+    "scalar_math": q_scalar_math,
+    "scalar_conditional_null": q_scalar_conditional_null,
+    "subquery_scalar_in": q_subquery_scalar_in,
+}
+
+ORACLES = {
+    "scan_project_filter": O_SCAN,
+    "pricing_summary": O_PRICING,
+    "join_inner_equi": O_JOIN_INNER,
+    "join_broadcast_star": O_JOIN_STAR,
+    "join_left_outer": O_JOIN_LEFT,
+    "join_semi": O_JOIN_SEMI,
+    "join_anti": O_JOIN_ANTI,
+    "join_range_theta": O_JOIN_THETA,
+    "join_asof": O_JOIN_ASOF,
+    "join_cross_small": O_JOIN_CROSS,
+    "agg_distinct": O_AGG_DISTINCT,
+    "agg_grouping_sets": O_GROUPING,
+    "agg_percentiles": O_PERCENTILES,
+    "agg_stats": O_AGG_STATS,
+    "agg_conditional": O_AGG_COND,
+    "win_rank_topk_per_group": O_WIN_TOPK,
+    "win_lag_lead": O_WIN_LAG,
+    "win_frame_moving": O_WIN_FRAME,
+    "win_ntile_pctrank": O_WIN_NTILE,
+    "sort_limit_topk": O_SORT_TOPK,
+    "set_union": O_SET_UNION,
+    "set_intersect": O_SET_INTERSECT,
+    "set_except": O_SET_EXCEPT,
+    "scalar_string": O_SCALAR_STRING,
+    "scalar_datetime": O_SCALAR_DATETIME,
+    "scalar_math": O_SCALAR_MATH,
+    "scalar_conditional_null": O_SCALAR_COND,
+    "subquery_scalar_in": O_SUBQUERY,
+}

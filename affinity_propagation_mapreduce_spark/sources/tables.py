@@ -9,6 +9,7 @@ handles partitioned layouts and object storage without code changes.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -25,9 +26,27 @@ TABLES: tuple[str, ...] = (
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table. ``sf_dir`` is e.g. /root/testdata/sf0.01."""
+    """Load one testdata table. ``sf_dir`` is e.g. /root/testdata/sf0.01.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
+    outright; we read it as raw nanos (legacy conf) and rebuild a
+    TIMESTAMP_NTZ at microsecond precision — lossless for this data
+    (verified: no sub-microsecond components) and timezone-independent
+    (NTZ arithmetic, no session-zone dependence).  The DuckDB oracle casts
+    ts to TIMESTAMP (us) to match (FIXTURES.md fact 7).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
