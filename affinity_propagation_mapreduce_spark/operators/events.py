@@ -1,0 +1,217 @@
+"""Event / time-window analytics (SURVEY.md §2 F-rows) over `events`.
+
+Declared queries run in batch (that's what the DuckDB oracle checks);
+each has a Structured-Streaming twin in streaming/twins.py built from the
+SAME column-expression builders, so batch/stream parity is by
+construction (SURVEY.md §4.3).  `events.ts` arrives as TIMESTAMP_NTZ
+microseconds via sources.table (Spark rejects parquet nanos); the oracle
+casts ts to TIMESTAMP (us) to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+
+SESSION_GAP_SEC = 1800  # 30-minute session gap
+TOPK_DAY = "2024-01-15"  # F6 fixed day
+
+
+def _ev(spark, sf_dir) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+# --- F1 tumbling window ------------------------------------------------------
+
+def q_win_tumbling(spark, sf_dir):
+    """Events per hour × type via Spark's window() (streaming-identical
+    operator); the struct window is flattened to window_start so the
+    oracle's scalar date_trunc column hashes identically."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+O_TUMBLING = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, count(*) AS n_events,
+       ROUND(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# --- F2 sliding window (1h every 30min: each event in 2 windows) ------------
+
+def q_win_sliding(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+O_SLIDING = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+         - INTERVAL '30 minutes' AS window_start
+  FROM events)
+SELECT window_start, count(*) AS n_events FROM assigned GROUP BY window_start
+"""
+
+# --- F3 sessionization (30-min gap) -----------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # gap test via pure timestamp arithmetic: exact in both engines
+    # (second-granular diff functions disagree on fractional seconds:
+    #  DuckDB date_diff counts boundary crossings, Spark floors)
+    is_new = F.when(
+        F.col("prev_ts").isNull()
+        | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    flagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w_ord))
+        .withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(w_cum))
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.floor(
+            (F.unix_micros(F.max("ts").cast("timestamp"))
+             - F.unix_micros(F.min("ts").cast("timestamp"))) / 1_000_000
+        ).cast("long").alias("duration_sec"),
+    )
+
+
+O_SESSIONIZE = f"""
+WITH ordered AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR ts > prev_ts + INTERVAL '30 minutes'
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(floor(epoch(max(ts) - min(ts))) AS BIGINT) AS duration_sec
+FROM sessions GROUP BY user_id, session_id
+"""
+
+# --- F4 watermark semantics in batch ----------------------------------------
+
+def q_late_data_watermark(spark, sf_dir):
+    """Batch semantics of a 1-hour watermark per user: drop events older
+    than (max(ts) - 1h) for that user.  The streaming twin uses
+    withWatermark on the same expressions."""
+    ev = _ev(spark, sf_dir)
+    w_u = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("max_ts", F.max("ts").over(w_u))
+        .where(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 1 HOUR"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+O_WATERMARK = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+FROM events
+QUALIFY CAST(ts AS TIMESTAMP) >=
+        max(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) - INTERVAL '1 hour'
+"""
+
+# --- F5 stateful dedup: first event per (user, type) -------------------------
+
+def q_dedup_stateful(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+O_DEDUP_STATEFUL = """
+SELECT user_id, event_type, event_id AS first_event_id,
+       CAST(ts AS TIMESTAMP) AS first_ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+"""
+
+# --- F6 top-k users in a fixed day -------------------------------------------
+
+def q_topk_users_window(spark, sf_dir):
+    ev = _ev(spark, sf_dir)
+    day = ev.where(
+        (F.col("ts") >= TOPK_DAY) & (F.col("ts") < "2024-01-16")
+    )
+    return (
+        day.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+O_TOPK_USERS = f"""
+SELECT user_id, count(*) AS n_events
+FROM events
+WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{TOPK_DAY} 00:00:00'
+  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "win_tumbling": q_win_tumbling,
+    "win_sliding": q_win_sliding,
+    "sessionize": q_sessionize,
+    "late_data_watermark": q_late_data_watermark,
+    "dedup_stateful": q_dedup_stateful,
+    "topk_users_window": q_topk_users_window,
+}
+
+ORACLES = {
+    "win_tumbling": O_TUMBLING,
+    "win_sliding": O_SLIDING,
+    "sessionize": O_SESSIONIZE,
+    "late_data_watermark": O_WATERMARK,
+    "dedup_stateful": O_DEDUP_STATEFUL,
+    "topk_users_window": O_TOPK_USERS,
+}

@@ -1,0 +1,328 @@
+"""Text analysis & deduplication operators (SURVEY.md §2 D-rows) over the
+`documents` corpus — the LLM-training-pipeline surface the north star adds
+on top of the reference's clustering core.
+
+Data-shape traps (FIXTURES.md facts 3–4, all verified): raw texts have
+ZERO exact duplicates at every sf, so exact dedup keys on the normalized
+sorted distinct-token set; the 31-word vocabulary makes token Jaccard
+dense, so near-dedup is declared at >= 0.95.
+
+Scale notes: token explode → groupBy is the map-side-combinable word-count
+shape; the exact O(n²) Jaccard join is oracle-checkable at sf0.01 while
+``dedup_near_minhash`` (rows-only) is the banded-LSH path that survives
+100 TB — candidate pairs come from band-bucket equi-joins, never a cross
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+
+
+def _docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+def _tokens(spark, sf_dir):
+    """(doc_id, token) — one row per token occurrence."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+def _distinct_tokens(spark, sf_dir):
+    """(doc_id, token) — the token *set* per document."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+
+
+# --- D1 tokenize + word count ----------------------------------------------
+
+def q_tok_wordcount(spark, sf_dir):
+    return (
+        _tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_WORDCOUNT = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+# --- D2 TF-IDF top term per document ---------------------------------------
+
+def q_tfidf_topterms(spark, sf_dir):
+    """tf·idf with idf = ln(N/df); top term per doc, ties → term asc."""
+    toks = _tokens(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(n_docs)
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("top_term"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+O_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ln(n.n_docs / df.df) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token AS top_term, ROUND(tfidf, 6) AS tfidf
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC) = 1
+"""
+
+# --- D3 bigrams via positional self-join ------------------------------------
+
+def q_ngrams_bigram(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pos_toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " "))
+    ).select("doc_id", F.col("pos").alias("p"), F.col("col").alias("w"))
+    a = pos_toks.alias("a")
+    b = pos_toks.alias("b")
+    bigrams = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.p") == F.col("a.p") + 1),
+    ).select(F.concat_ws(" ", "a.w", "b.w").alias("bigram"))
+    return bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+
+
+O_BIGRAM = """
+WITH pos_toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS p,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents)
+SELECT a.w || ' ' || b.w AS bigram, count(*) AS n
+FROM pos_toks a JOIN pos_toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+GROUP BY 1
+"""
+
+# --- D4 exact dedup on normalized token-set key -----------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Key = md5 of the sorted distinct-token set (raw-text md5 is
+    degenerate: zero raw duplicates at every sf — FIXTURES.md fact 3).
+    Keeps the lowest doc_id per key; emits survivors + duplicate count."""
+    docs = _docs(spark, sf_dir)
+    key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    keyed = docs.select("doc_id", key.alias("dup_key"))
+    w = Window.partitionBy("dup_key").orderBy("doc_id")
+    wc = Window.partitionBy("dup_key")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "dup_key", "n_dups")
+    )
+
+
+O_DEDUP_EXACT = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                            'string_agg', ' ')) AS dup_key
+  FROM documents)
+SELECT doc_id, dup_key, count(*) OVER (PARTITION BY dup_key) AS n_dups
+FROM keyed
+QUALIFY row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) = 1
+"""
+
+# --- D5 exact near-dedup: token-set Jaccard >= 0.95 -------------------------
+
+def q_dedup_near_jaccard(spark, sf_dir):
+    """All-pairs token-set Jaccard via the distinct-token inverted index:
+    candidates only share-a-token pairs (no cross join), intersection from
+    the token equi-join, union by inclusion-exclusion.  Threshold 0.95
+    (FIXTURES.md fact 4: the 31-word vocabulary makes lower thresholds
+    degenerate).  Jaccard is a ratio of exact ints → bitwise parity."""
+    dt = _distinct_tokens(spark, sf_dir)
+    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sz_lo"))
+    sb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("sz").alias("sz_hi"))
+    jac = F.col("inter") / (F.col("sz_lo") + F.col("sz_hi") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_lo")
+        .join(sb, "doc_hi")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.95)
+        .select("doc_lo", "doc_hi", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+O_NEAR_JACCARD = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS inter
+  FROM dt a JOIN dt b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_lo, doc_hi,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_lo = sa.doc_id
+JOIN sizes sb ON inter.doc_hi = sb.doc_id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.95
+"""
+
+
+# --- D5b MinHash + banded LSH near-dedup (rows-only; the 100 TB path) -------
+
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band; P(candidate | j=0.95) ≈ 1-(1-0.95^4)^8 ≈ 0.97
+
+
+def q_dedup_near_minhash(spark, sf_dir):
+    """Banded MinHash LSH: per-doc signature of N_HASHES min-hashes over
+    the token set, split into N_BANDS bands; docs sharing any band bucket
+    become candidates (equi-join on the bucket — the shape that scales:
+    shuffle is keyed by band hash, never all-pairs).  Candidates are then
+    verified with exact Jaccard >= 0.95.  Rows-only: hash constants are
+    engine-specific so no cross-engine oracle exists (SURVEY.md §2 D5).
+    """
+    dt = _distinct_tokens(spark, sf_dir)
+    # minhash h_s(doc) = min over tokens of xxhash64(token, seed s)
+    seeded = dt.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    F.xxhash64(F.col("token"), F.lit(s)).alias("h"),
+                )
+                for s in range(N_HASHES)
+            ])
+        ).alias("sh"),
+    ).select("doc_id", F.col("sh.seed").alias("seed"), F.col("sh.h").alias("h"))
+    sig = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    banded = sig.withColumn("band", (F.col("seed") / (N_HASHES // N_BANDS)).cast("int"))
+    buckets = banded.groupBy("doc_id", "band").agg(
+        F.xxhash64(F.concat_ws(",", F.array_sort(F.collect_list("minhash")))).alias(
+            "bucket"
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
+        )
+        .distinct()
+    )
+    # exact verification of the candidate set only
+    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        dt.alias("x")
+        .join(cand, F.col("x.doc_id") == F.col("doc_lo"))
+        .join(
+            dt.alias("y"),
+            (F.col("y.doc_id") == F.col("doc_hi"))
+            & (F.col("x.token") == F.col("y.token")),
+        )
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sz_lo"))
+    sb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("sz").alias("sz_hi"))
+    jac = F.col("inter") / (F.col("sz_lo") + F.col("sz_hi") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_lo")
+        .join(sb, "doc_hi")
+        .where(jac >= 0.95)
+        .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- D6 corpus profile -------------------------------------------------------
+
+def q_text_profile(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bucket = F.floor(F.col("n_chars") / 100).cast("long")
+    return (
+        docs.groupBy("lang", bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+O_TEXT_PROFILE = """
+SELECT lang, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+       count(*) AS n_docs,
+       ROUND(avg(n_chars), 4) AS avg_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "tok_wordcount": q_tok_wordcount,
+    "tfidf_topterms": q_tfidf_topterms,
+    "ngrams_bigram": q_ngrams_bigram,
+    "dedup_exact": q_dedup_exact,
+    "dedup_near_jaccard": q_dedup_near_jaccard,
+    "dedup_near_minhash": q_dedup_near_minhash,  # rows-only (LSH path)
+    "text_profile": q_text_profile,
+}
+
+ORACLES = {
+    "tok_wordcount": O_WORDCOUNT,
+    "tfidf_topterms": O_TFIDF,
+    "ngrams_bigram": O_BIGRAM,
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_near_jaccard": O_NEAR_JACCARD,
+    "text_profile": O_TEXT_PROFILE,
+}

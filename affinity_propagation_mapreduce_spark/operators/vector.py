@@ -1,0 +1,169 @@
+"""Vector similarity-search operators (SURVEY.md §2 E-rows) over
+`embeddings` — the ANN/similarity surface the north star adds.
+
+All dot products / norms / squared distances are *sequential* float64
+folds (``F.aggregate`` over ``zip_with``), bitwise-identical to DuckDB's
+``list_reduce`` — so cosine scores and L2 distances hash exactly with no
+rounding, and top-k selections agree without tolerance games.
+
+Scale path: ``knn_cosine_topk`` prunes candidates to the (broadcast)
+query set before any pairwise math — the all-pairs shape only ever
+touches |Q|·N rows, not N².  For N beyond memory, the same kernel runs
+per-bucket after an LSH/IVF partitioner (see textops.q_dedup_near_minhash
+for the banded-LSH candidate pattern)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+
+N_QUERIES = 10  # fixed query ids 0..9 (deterministic contract)
+TOP_K = 5
+HIST_ID_RANGE = 100  # E2: pairwise distances over vec_id < 100
+
+
+def _emb(spark, sf_dir) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+def _fold_sum(arr_col):
+    """Sequential left fold sum — bitwise reproducible cross-engine."""
+    return F.aggregate(arr_col, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _dot(a, b):
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def _sq_l2(a, b):
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+# --- E1 brute-force cosine top-k for a fixed query set ----------------------
+
+def q_knn_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+    )
+    q = norms.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = norms.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+O_KNN = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+      FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.q_emb, c.emb), p -> p[1]*p[2]),
+                     (a, b) -> a + b) / (q.q_nrm * c.nrm) AS cosine
+  FROM q JOIN e c ON q.query_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= {TOP_K}
+"""
+
+# --- E2 pairwise L2 distance histogram --------------------------------------
+
+def q_dist_histogram(spark, sf_dir):
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < HIST_ID_RANGE)
+    a = emb.select(F.col("vec_id").alias("i"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("k"), F.col("emb").alias("eb"))
+    dist = F.sqrt(_sq_l2(F.col("ea"), F.col("eb")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("i") < F.col("k"))
+        .select(F.floor(dist * 4).cast("long").alias("dist_bucket"))
+        .groupBy("dist_bucket")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+O_DIST_HIST = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < {HIST_ID_RANGE}),
+pairs AS (
+  SELECT CAST(floor(4 * sqrt(list_reduce(
+           list_transform(list_zip(a.emb, b.emb), p -> (p[1]-p[2])*(p[1]-p[2])),
+           (x, y) -> x + y))) AS BIGINT) AS dist_bucket
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT dist_bucket, count(*) AS n_pairs FROM pairs GROUP BY dist_bucket
+"""
+
+# --- E3 per-label centroids + distance to own centroid ----------------------
+
+def q_label_centroids(spark, sf_dir):
+    """AP quality cross-check against ground-truth labels: centroid by
+    per-dimension mean, then each point's L2 distance to its centroid.
+    Centroid means and the 64-term distance sum are group aggregations
+    (engine-ordered) → round 6 on both sides."""
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("emb")
+    ).select("vec_id", "label", F.col("pos").alias("dim"), F.col("col").alias("val"))
+    centroids = exploded.groupBy("label", "dim").agg(F.avg("val").alias("cval"))
+    joined = exploded.join(centroids, ["label", "dim"])
+    sq = (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+    return (
+        joined.groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum(sq)), 6).alias("dist_to_centroid"))
+    )
+
+
+O_CENTROIDS = """
+WITH x AS (
+  SELECT vec_id, label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+c AS (SELECT label, dim, avg(val) AS cval FROM x GROUP BY label, dim)
+SELECT x.vec_id, x.label,
+       ROUND(sqrt(sum((x.val - c.cval) * (x.val - c.cval))), 6) AS dist_to_centroid
+FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+GROUP BY x.vec_id, x.label
+"""
+
+
+QUERIES = {
+    "knn_cosine_topk": q_knn_cosine_topk,
+    "dist_histogram": q_dist_histogram,
+    "label_centroids": q_label_centroids,
+}
+
+ORACLES = {
+    "knn_cosine_topk": O_KNN,
+    "dist_histogram": O_DIST_HIST,
+    "label_centroids": O_CENTROIDS,
+}

@@ -49,10 +49,10 @@ def _canon(v: Any) -> Any:
         return ts.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if hasattr(v, "item"):  # numpy scalar
-        return _canon(v.item())
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_canon(x) for x in v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon(v.item())
     return v
 
 
