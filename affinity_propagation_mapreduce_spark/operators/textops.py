@@ -214,7 +214,12 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.95
 # --- D5b MinHash + banded LSH near-dedup (rows-only; the 100 TB path) -------
 
 N_HASHES = 32
-N_BANDS = 8  # 4 rows per band; P(candidate | j=0.95) ≈ 1-(1-0.95^4)^8 ≈ 0.97
+# 4 bands × 8 rows: recall at j=0.95 is 1-(1-0.95^8)^4 ≈ 0.987, while the
+# high-background-similarity corpus (random pairs sit at j≈0.6 thanks to
+# the 31-word vocabulary — FIXTURES.md fact 4) only passes 0.6^8×4 ≈ 2%
+# of non-dup pairs.  8 bands × 4 rows let ~67% of ALL pairs through
+# (measured: 7.7M candidates of 12.5M possible at sf0.1).
+N_BANDS = 4
 
 
 def q_dedup_near_minhash(spark, sf_dir):
@@ -260,25 +265,20 @@ def q_dedup_near_minhash(spark, sf_dir):
         )
         .distinct()
     )
-    # exact verification of the candidate set only
-    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (
-        dt.alias("x")
-        .join(cand, F.col("x.doc_id") == F.col("doc_lo"))
-        .join(
-            dt.alias("y"),
-            (F.col("y.doc_id") == F.col("doc_hi"))
-            & (F.col("x.token") == F.col("y.token")),
-        )
-        .groupBy("doc_lo", "doc_hi")
-        .agg(F.count("*").alias("inter"))
+    # exact verification on candidates only — array_intersect on the
+    # token-set arrays (JVM, per-pair) instead of re-exploding tokens:
+    # the verify cost is O(|candidates|·vocab), not another token shuffle
+    toksets = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sz_lo"))
-    sb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("sz").alias("sz_hi"))
-    jac = F.col("inter") / (F.col("sz_lo") + F.col("sz_hi") - F.col("inter"))
+    ta = toksets.select(F.col("doc_id").alias("doc_lo"), F.col("toks").alias("toks_lo"))
+    tb = toksets.select(F.col("doc_id").alias("doc_hi"), F.col("toks").alias("toks_hi"))
+    inter = F.size(F.array_intersect("toks_lo", "toks_hi"))
+    union = F.size("toks_lo") + F.size("toks_hi") - inter
+    jac = inter / union
     return (
-        inter.join(sa, "doc_lo")
-        .join(sb, "doc_hi")
+        cand.join(ta, "doc_lo")
+        .join(tb, "doc_hi")
         .where(jac >= 0.95)
         .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard"))
     )

@@ -1,0 +1,67 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a count() (no driver-side row materialization
+beyond the aggregate — the cost measured is the distributed plan)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from affinity_propagation_mapreduce_spark import registry
+from affinity_propagation_mapreduce_spark.session import get_spark
+
+# Headline mix: the flagship AP kernel + one representative per family
+# (scan/agg, star join, window, asof, sessions, dedup, knn, UDF path).
+HEADLINE = [
+    "ap_assign",
+    "pricing_summary",
+    "join_broadcast_star",
+    "win_rank_topk_per_group",
+    "join_asof",
+    "sessionize",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "knn_cosine_topk",
+    "udtf_grouped_map",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    # warm the JVM / codegen / Arrow paths so the first timed query isn't
+    # billed for session startup
+    qs["pricing_summary"](spark, sf_dir).count()
+    qs["udf_scalar_pandas"](spark, sf_dir).count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
