@@ -1,0 +1,110 @@
+"""Structured-Streaming twins of the F-row batch queries (SURVEY.md §2 F).
+
+Each twin consumes the same events parquet through ``readStream`` and
+applies the SAME aggregation expressions as the batch operator, so
+batch/stream equivalence on bounded input is by construction (tested in
+tests/test_streaming.py with an available-now trigger and memory sink).
+
+Watermarks are declared on every stateful twin — on an unbounded source
+they bound state; on the bounded test input they drop nothing, keeping
+results equal to batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events schema with ts as raw nanos (Spark rejects parquet NANOS;
+# sources.table does the same dance for batch)
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet — the streaming twin of
+    sources.table('events').  The file-stream source requires a
+    *directory* of files (that's its real-world shape: files landing in
+    a drop folder), so the single testdata file is staged into a temp
+    dir once per scale factor."""
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "apms_stream_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copyfile(src, dst)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW).format("parquet").load(stage)
+    # LTZ (timestamp_micros), not NTZ: EventTimeWatermark requires
+    # TIMESTAMP type; session timeZone=UTC keeps wall values equal to
+    # the batch NTZ column
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of q_win_tumbling (1h tumbling window × type)."""
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of q_dedup_stateful via dropDuplicatesWithinWatermark
+    on (user_id, event_type) — first-arrival wins, state bounded by the
+    watermark."""
+    return (
+        ev.withWatermark("ts", "31 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def session_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of q_sessionize using the native session_window
+    (30-min gap).  Session identity differs from the batch cumsum id
+    (windows vs ordinals) but span/count per (user, session) match."""
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )

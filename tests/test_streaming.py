@@ -1,0 +1,72 @@
+"""Streaming twins ≡ batch on bounded input (SURVEY.md §5.2.5).
+
+Each twin runs through readStream with an available-now trigger into a
+memory sink and is compared to its batch operator's result."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from affinity_propagation_mapreduce_spark.operators import events as ev_ops
+from affinity_propagation_mapreduce_spark.streaming import twins
+
+from .conftest import SF_SMALL
+
+
+def _run_stream(spark, df, name: str, output_mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_tumbling_twin_equals_batch(spark):
+    stream = twins.tumbling_stream(twins.stream_events(spark, SF_SMALL))
+    got = _run_stream(spark, stream, "t_tumbling", "complete")
+    want = ev_ops.q_win_tumbling(spark, SF_SMALL)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_twin_equals_batch(spark):
+    stream = twins.dedup_stream(twins.stream_events(spark, SF_SMALL))
+    got = _run_stream(spark, stream, "t_dedup", "append")
+    want = ev_ops.q_dedup_stateful(spark, SF_SMALL).select(
+        "user_id",
+        "event_type",
+        F.col("first_event_id").alias("event_id"),
+        F.col("first_ts").alias("ts"),
+    )
+    cols = ["user_id", "event_type", "event_id", "ts"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_twin_spans_match_batch(spark):
+    """session_window twin: per-user session count and event totals match
+    the batch cumsum sessionization."""
+    stream = twins.session_stream(twins.stream_events(spark, SF_SMALL))
+    got = _run_stream(spark, stream, "t_sessions", "complete")
+    want = ev_ops.q_sessionize(spark, SF_SMALL)
+    got_per_user = _rows(
+        got.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+        ),
+        ["user_id", "n_sessions", "n_events"],
+    )
+    want_per_user = _rows(
+        want.groupBy("user_id").agg(
+            F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events")
+        ),
+        ["user_id", "n_sessions", "n_events"],
+    )
+    assert got_per_user == want_per_user
