@@ -1,0 +1,197 @@
+"""Multimodal-column operators: image/audio/video as opaque ``binary``
+columns with typed metadata (north-star training-pipeline surface).
+
+The container has no decode libraries (no PIL/ffmpeg/torchaudio), so the
+DECODE step is stubbed: ``_decode_stub`` derives a deterministic
+fixed-shape pseudo-feature from the payload bytes (md5-seeded), and the
+real decoders raise ``NotImplementedError`` behind an import-try.  What
+IS real — and tested — is every piece of Spark plumbing a production
+multimodal pipeline needs:
+
+* asset table schema: (asset_id, media_type, payload binary, meta struct)
+* metadata profiling as plain relational ops (oracle-checked)
+* content fingerprinting over the binary column (oracle-checked)
+* Arrow-batched decode/feature-extract via mapInPandas (batch shape,
+  schema, partitioning all real; rows-only check)
+* frame sampling as a 1→N UDTF-shaped expansion (rows-only check)
+
+Payloads are synthesized from `documents.text` bytes so every engine and
+the DuckDB oracle see identical binary content.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table
+
+FEATURE_DIM = 8
+
+try:  # pragma: no cover - not installed in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_IMAGE_DECODE = True
+except ImportError:
+    HAVE_IMAGE_DECODE = False
+
+
+def decode_image(payload: bytes):  # pragma: no cover - decode lib absent
+    """Real image decode — requires PIL, absent here by design."""
+    if not HAVE_IMAGE_DECODE:
+        raise NotImplementedError(
+            "image decode requires PIL; this container stubs the decode "
+            "step (see _decode_stub) while keeping the Spark plumbing real"
+        )
+    raise NotImplementedError
+
+
+def media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the asset table: payload = UTF-8 bytes of the document
+    text (opaque to everything downstream), media_type cycled over four
+    modalities, metadata struct typed per modality."""
+    docs = table(spark, sf_dir, "documents")
+    media_type = F.element_at(
+        F.array(F.lit("image/jpeg"), F.lit("image/png"), F.lit("audio/wav"),
+                F.lit("video/mp4")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        media_type.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+            (F.col("doc_id") % 8 + 1).cast("int").alias("duration_s"),
+            F.col("n_chars").cast("long").alias("byte_len"),
+        ).alias("meta"),
+    )
+
+
+# --- M1 metadata profile (oracle-checked: pure relational over meta) --------
+
+def q_media_profile(spark, sf_dir):
+    assets = media_assets(spark, sf_dir)
+    return assets.groupBy("media_type").agg(
+        F.count("*").alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max("meta.width").cast("long").alias("max_width"),
+        F.sum("meta.duration_s").cast("long").alias("total_duration_s"),
+    )
+
+
+O_MEDIA_PROFILE = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         ['image/jpeg','image/png','audio/wav','video/mp4'][(doc_id % 4 + 1)::INT]
+           AS media_type,
+         encode(text) AS payload,
+         (doc_id % 640 + 16) AS width,
+         (doc_id % 8 + 1) AS duration_s
+  FROM documents)
+SELECT media_type, count(*) AS n_assets,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(max(width) AS BIGINT) AS max_width,
+       CAST(sum(duration_s) AS BIGINT) AS total_duration_s
+FROM assets GROUP BY media_type
+"""
+
+# --- M2 binary fingerprint (oracle-checked: md5 over the payload) -----------
+
+def q_media_fingerprint(spark, sf_dir):
+    assets = media_assets(spark, sf_dir)
+    return assets.select(
+        "asset_id",
+        F.md5("payload").alias("content_md5"),
+        F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("fp64"),
+    )
+
+
+O_MEDIA_FP = """
+SELECT doc_id AS asset_id,
+       md5(text) AS content_md5,
+       CAST(('0x' || substring(md5(text), 1, 8))::BIGINT AS BIGINT) AS fp64
+FROM documents
+"""
+
+# --- M3 decode + feature extraction via mapInPandas (rows-only) -------------
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """Deterministic pseudo-decode: md5 digest bytes → FEATURE_DIM floats
+    in [0,1).  Stands in for decode→embed; same signature and batch shape
+    a real decoder-UDF would have."""
+    digest = hashlib.md5(payload).digest()
+    raw = np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8)
+    return raw.astype("f8") / 256.0
+
+
+def q_media_decode_features(spark, sf_dir):
+    """Arrow-batched decode/feature-extract: mapInPandas so one Python
+    worker handles a whole Arrow batch of binary payloads (the only
+    viable shape at 100 TB — per-row UDF round-trips would drown in
+    serialization)."""
+    assets = media_assets(spark, sf_dir)
+
+    def extract(batches):
+        for pdf in batches:
+            feats = [
+                _decode_stub(p).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(
+        extract, schema="asset_id long, media_type string, feature array<double>"
+    )
+
+
+# --- M4 frame sampling: 1 video → N frame rows (UDTF shape, rows-only) ------
+
+def q_media_frame_sample(spark, sf_dir):
+    """Each video asset expands to one row per sampled frame (1 fps over
+    meta.duration_s) with a per-frame fingerprint — the frame-sampling
+    UDTF shape (posexplode over a generated frame index)."""
+    assets = media_assets(spark, sf_dir).where(
+        F.col("media_type") == "video/mp4"
+    )
+    frames = assets.select(
+        "asset_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("meta.duration_s") - 1)).alias(
+            "frame_idx", "_"
+        ),
+    ).drop("_")
+    with_payload = frames.join(
+        media_assets(spark, sf_dir).select("asset_id", "payload"), "asset_id"
+    )
+    return with_payload.select(
+        "asset_id",
+        "frame_idx",
+        F.md5(F.concat(F.col("payload"), F.lit(":").cast("binary"),
+                       F.col("frame_idx").cast("string").cast("binary")))
+        .alias("frame_md5"),
+    )
+
+
+QUERIES = {
+    "media_profile": q_media_profile,
+    "media_fingerprint": q_media_fingerprint,
+    "media_decode_features": q_media_decode_features,  # rows-only
+    "media_frame_sample": q_media_frame_sample,  # rows-only
+}
+
+ORACLES = {
+    "media_profile": O_MEDIA_PROFILE,
+    "media_fingerprint": O_MEDIA_FP,
+}

@@ -21,6 +21,7 @@ _OPERATOR_MODULES = [
     "affinity_propagation_mapreduce_spark.operators.vector",
     "affinity_propagation_mapreduce_spark.operators.events",
     "affinity_propagation_mapreduce_spark.operators.udfops",
+    "affinity_propagation_mapreduce_spark.operators.multimodal",
 ]
 
 

@@ -1,0 +1,64 @@
+"""Source/sink breadth: CSV / JSON / parquet readers and partitioned
+writers.
+
+The reference engine's entire I/O surface was point vectors from
+text/CSV files and labels back out (SURVEY.md §1.1).  This module covers
+that surface (csv in, labels out) plus the formats a Spark-native
+pipeline actually ships: schema'd JSON lines, partitioned+sorted parquet
+layouts for downstream partition pruning, and a single-header CSV export.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_points_csv(spark: SparkSession, path: str, dims: int) -> DataFrame:
+    """The reference's input shape: id + dims floats per line (CSV).
+    Returns (vec_id long, embedding array<double>)."""
+    cols = ", ".join(f"d{j} DOUBLE" for j in range(dims))
+    df = spark.read.csv(path, schema=f"vec_id LONG, {cols}", header=True)
+    return df.select(
+        "vec_id", F.array(*[F.col(f"d{j}") for j in range(dims)]).alias("embedding")
+    )
+
+
+def write_points_csv(df: DataFrame, path: str) -> None:
+    """Inverse of read_points_csv for round-trip tests / interchange."""
+    n = df.select(F.size("embedding").alias("n")).first().n
+    flat = df.select(
+        "vec_id", *[F.col("embedding")[j].alias(f"d{j}") for j in range(n)]
+    )
+    flat.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema'd JSON-lines reader (schema mandatory: at 100 TB schema
+    inference is a full extra pass over the data)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_within: list[str] | None = None,
+) -> None:
+    """Partitioned (and optionally sorted-within-partition) parquet
+    layout — the write side of partition pruning: a downstream filter on
+    ``partition_by`` columns skips whole directories, and sorting within
+    files tightens min/max row-group statistics for scan pruning."""
+    out = df
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def write_labels(df: DataFrame, path: str) -> None:
+    """The reference's output shape: (point_id, exemplar_id) labels."""
+    df.write.mode("overwrite").option("header", True).csv(path)
