@@ -308,6 +308,204 @@ FROM documents GROUP BY 1, 2
 """
 
 
+# --- D7 language ID via character-trigram profiles --------------------------
+
+LANG_PROFILE_K = 20  # top-k trigrams per language profile
+
+
+def _char_trigrams(spark, sf_dir):
+    """(doc_id, lang, trigram) — one row per trigram occurrence."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("p"),
+        "text",
+    ).select("doc_id", "lang", F.expr("substring(text, p, 3)").alias("tg"))
+
+
+def q_lang_id_ngram(spark, sf_dir):
+    """n-gram language ID: learn top-K character trigrams per language
+    from the labeled corpus, score each doc by profile-hit counts,
+    predict argmax (ties → lang asc).  On THIS corpus all languages share
+    one vocabulary so accuracy is chance — the declared semantics are the
+    mechanism (profile building + scoring), which is what transfers to
+    real corpora."""
+    tgs = _char_trigrams(spark, sf_dir)
+    prof_counts = tgs.groupBy("lang", "tg").agg(F.count("*").alias("c"))
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tg"))
+    profile = (
+        prof_counts.withColumn("rn", F.row_number().over(w_prof))
+        .where(F.col("rn") <= LANG_PROFILE_K)
+        .select(F.col("lang").alias("cand_lang"), "tg")
+    )
+    doc_tg = tgs.groupBy("doc_id", "tg").agg(F.count("*").alias("n"))
+    scored = (
+        doc_tg.join(profile, "tg")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("n").alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand_lang")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+
+
+O_LANG_ID = f"""
+WITH pos AS (SELECT unnest(range(1, 2000)) AS p),
+tgs AS (
+  SELECT doc_id, lang, substring(text, p::INT, 3) AS tg
+  FROM documents CROSS JOIN pos
+  WHERE p <= length(text) - 2),
+prof_counts AS (SELECT lang, tg, count(*) AS c FROM tgs GROUP BY lang, tg),
+profile AS (
+  SELECT lang AS cand_lang, tg FROM prof_counts
+  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg ASC)
+          <= {LANG_PROFILE_K}),
+doc_tg AS (SELECT doc_id, tg, count(*) AS n FROM tgs GROUP BY doc_id, tg),
+scored AS (
+  SELECT doc_id, cand_lang, CAST(sum(n) AS BIGINT) AS score
+  FROM doc_tg JOIN profile USING (tg)
+  GROUP BY doc_id, cand_lang)
+SELECT doc_id, cand_lang AS pred_lang, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, cand_lang ASC) = 1
+"""
+
+# --- D8 quality scoring ------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+
+def q_text_quality_score(spark, sf_dir):
+    """Length / stopword-ratio / token-length quality components with a
+    weighted score — integer-ratio arithmetic, so parity is exact."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({sw})))")
+    avg_tok_len = (F.length("text") - n_toks + 1) / n_toks  # chars sans spaces
+    stop_ratio = n_stop / n_toks
+    score = (
+        0.5 * stop_ratio
+        + 0.3 * F.least(F.lit(1.0), n_toks / F.lit(50.0))
+        + 0.2 * F.least(F.lit(1.0), avg_tok_len / F.lit(8.0))
+    )
+    # the composite score lands on EXACT 1e-4 half-boundaries for many
+    # docs (small-denominator rationals); ROUND(x, 4) then diverges
+    # across engines (BigDecimal-exact vs multiply-in-FP ties).  A scaled
+    # *integer* — round(x·1e4) — agrees everywhere: both engines round
+    # the identical double half-away-from-zero.
+    return docs.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(stop_ratio * 10000, 0).cast("long").alias("stopword_ratio_x1e4"),
+        F.round(avg_tok_len * 10000, 0).cast("long").alias("avg_token_len_x1e4"),
+        F.round(score * 10000, 0).cast("long").alias("quality_score_x1e4"),
+    )
+
+
+O_QUALITY = f"""
+WITH x AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_toks,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ({", ".join("'" + w + "'" for w in _STOPWORDS)}))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents)
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       CAST(ROUND((n_stop / n_toks) * 10000, 0) AS BIGINT) AS stopword_ratio_x1e4,
+       CAST(ROUND(((n_chars - n_toks + 1) / n_toks) * 10000, 0) AS BIGINT) AS avg_token_len_x1e4,
+       CAST(ROUND((0.5 * (n_stop / n_toks)
+             + 0.3 * least(1.0, n_toks / 50.0)
+             + 0.2 * least(1.0, ((n_chars - n_toks + 1) / n_toks) / 8.0))
+             * 10000, 0) AS BIGINT)
+         AS quality_score_x1e4
+FROM x
+"""
+
+# --- D9 token counting: whitespace + BPE-ish regex ---------------------------
+
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_token_count(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        F.round(F.length("text") / bpe, 4).alias("chars_per_bpe_token"),
+    )
+
+
+O_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS bpe_tokens,
+       ROUND(length(text) / len(regexp_extract_all(text, '{_BPE_PATTERN}')), 4)
+         AS chars_per_bpe_token
+FROM documents
+"""
+
+# --- D10 rolling-hash document fingerprint -----------------------------------
+
+HASH_BASE = 31
+HASH_MOD = 2147483647  # 2^31-1; BIGINT intermediate never overflows
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rabin–Karp-style rolling hash over the character stream
+    (h = h*31 + code mod 2^31-1) as a sequential fold — integer
+    arithmetic, bitwise-portable.  Also emits the hash of the distinct
+    sorted token set to pair with D4's md5 normalization."""
+    docs = _docs(spark, sf_dir)
+    fold = (
+        f"aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
+    )
+    norm_fold = (
+        f"aggregate(transform(split(concat_ws(' ',"
+        f" array_sort(array_distinct(split(text, ' ')))), ''),"
+        f" c -> CAST(ascii(c) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(fold).alias("content_hash"),
+        F.expr(norm_fold).alias("tokenset_hash"),
+    )
+
+
+O_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) AS content_hash,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(
+             list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                            'string_agg', ' '), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) AS tokenset_hash
+FROM documents
+"""
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
     "tfidf_topterms": q_tfidf_topterms,
@@ -316,6 +514,10 @@ QUERIES = {
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,  # rows-only (LSH path)
     "text_profile": q_text_profile,
+    "lang_id_ngram": q_lang_id_ngram,
+    "text_quality_score": q_text_quality_score,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
 }
 
 ORACLES = {
@@ -325,4 +527,8 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_near_jaccard": O_NEAR_JACCARD,
     "text_profile": O_TEXT_PROFILE,
+    "lang_id_ngram": O_LANG_ID,
+    "text_quality_score": O_QUALITY,
+    "token_count": O_TOKEN_COUNT,
+    "doc_fingerprint": O_FINGERPRINT,
 }

@@ -156,8 +156,74 @@ GROUP BY x.vec_id, x.label
 """
 
 
+# --- E4 IVF-bucketed ANN (rows-only; the beyond-memory scale path) ----------
+
+N_COARSE = 16  # coarse quantizer size (IVF nlist)
+N_PROBE = 4  # buckets probed per query
+
+
+def q_knn_cosine_ivf(spark, sf_dir):
+    """IVF-style approximate top-k: a coarse quantizer (the N_COARSE
+    lowest-id vectors stand in for k-means centroids — deterministic, no
+    training pass) assigns every vector to its nearest coarse cell;
+    each query probes only its N_PROBE nearest cells, so the pairwise
+    work drops from |Q|·N to |Q|·(N·nprobe/nlist).  At 100 TB the cell
+    id is the shuffle/partition key — queries and candidates co-locate
+    per cell and no task sees the full corpus.  Rows-only: recall vs the
+    exact `knn_cosine_topk` is asserted in tests (not hash-stable by
+    design — it is an approximation)."""
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+    )
+    coarse = norms.where(F.col("vec_id") < N_COARSE).select(
+        F.col("vec_id").alias("cell"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos_to_cell = _dot(F.col("emb"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    scored_cells = norms.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "emb", "nrm", "cell", cos_to_cell.alias("cell_cos")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.asc("cell")
+    )
+    ranked = scored_cells.withColumn("crn", F.row_number().over(w_cell))
+    assignment = ranked.where(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        "cell",
+    )
+    probes = ranked.where(
+        (F.col("crn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
+    )
+    cos = _dot(F.col("q_emb"), F.col("n_emb")) / (F.col("q_nrm") * F.col("n_nrm"))
+    cand = probes.join(assignment, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
+    "knn_cosine_ivf": q_knn_cosine_ivf,  # rows-only (approximate by design)
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,
 }

@@ -1,0 +1,36 @@
+"""Recall of the approximate scale paths vs their exact counterparts."""
+
+from __future__ import annotations
+
+from affinity_propagation_mapreduce_spark.operators import textops, vector
+
+from .conftest import SF_T2
+
+
+def test_ivf_recall_vs_exact(spark):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in vector.q_knn_cosine_topk(spark, SF_T2).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in vector.q_knn_cosine_ivf(spark, SF_T2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe=4 of 16 cells on unclustered data: expect most true
+    # neighbors probed; assert a floor that catches structural breakage
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_minhash_recall_vs_exact(spark):
+    exact = {
+        (r.doc_lo, r.doc_hi)
+        for r in textops.q_dedup_near_jaccard(spark, SF_T2).collect()
+    }
+    approx = {
+        (r.doc_lo, r.doc_hi)
+        for r in textops.q_dedup_near_minhash(spark, SF_T2).collect()
+    }
+    assert approx <= exact  # every emitted pair is exact-verified
+    recall = len(approx) / len(exact)
+    assert recall >= 0.95, f"MinHash recall {recall:.3f}"
