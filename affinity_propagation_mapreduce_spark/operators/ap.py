@@ -288,6 +288,72 @@ def cluster(
 
 
 # ---------------------------------------------------------------------------
+# Sparse AP — the 100 TB path (SURVEY.md §7 hard-part a)
+# ---------------------------------------------------------------------------
+
+def knn_candidate_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 32
+) -> DataFrame:
+    """Symmetric k-NN candidate graph (i, k, s): top-k most-similar
+    neighbors per point from the blocked kernel, symmetrized.  O(N·k)
+    rows instead of N² — the candidate generator for sparse AP.  At
+    scale the blocked kernel runs per LSH/IVF bucket (see
+    vector.q_knn_cosine_ivf) so candidate generation is also sub-N²."""
+    off = similarity_off_diagonal(spark, sf_dir)
+    w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
+    topk = off.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    ).select("i", "k", "s")
+    sym = topk.unionByName(
+        topk.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
+    )
+    return sym.dropDuplicates(["i", "k"])
+
+
+def cluster_sparse(
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int = T_DEFAULT,
+    lam: float = DAMPING,
+    k: int = 32,
+) -> DataFrame:
+    """Sparse Affinity Propagation over the k-NN candidate graph.
+
+    The coordinate-format passes are sparse-correct AS IS: a pair absent
+    from the relation has s = -inf for the responsibility max (it simply
+    never appears among the row's candidates) and contributes 0 to the
+    availability sum — exactly Frey–Dueck's sparse formulation.  Message
+    state is O(N·k) rows; per-iteration cost scales linearly in N.
+
+    Points none of whose candidates became exemplars are emitted with
+    exemplar = -1 (honest sparse semantics: a point can only elect an
+    exemplar it has a declared similarity to).
+    """
+    cand = knn_candidate_pairs(spark, sf_dir, k).localCheckpoint(eager=False)
+    p = cand.agg(F.expr("percentile(s, 0.5)").alias("p"))
+    ids = table(spark, sf_dir, "embeddings").select("vec_id")
+    diag = ids.crossJoin(p).select(
+        F.col("vec_id").alias("i"), F.col("vec_id").alias("k"), F.col("p").alias("s")
+    )
+    smat = cand.unionByName(diag).localCheckpoint(eager=False)
+    state = iterate(init_state(smat), iterations, lam)
+    ex = exemplars_from_state(state)
+    best = assign(cand, ex)
+    return (
+        ids.join(best, ids["vec_id"] == best["vec_id"], "left")
+        .select(
+            ids["vec_id"],
+            F.coalesce(best["exemplar"], F.lit(-1)).alias("exemplar"),
+        )
+    )
+
+
+def q_ap_assign_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate by construction (candidate pruning)."""
+    return cluster_sparse(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Declared queries (SURVEY.md §2 A-rows)
 # ---------------------------------------------------------------------------
 
@@ -606,6 +672,7 @@ QUERIES = {
     "ap_cluster_stats": q_ap_cluster_stats,
     "ap_convergence": q_ap_convergence,
     "ap_pref_sweep": q_ap_pref_sweep,
+    "ap_assign_sparse": q_ap_assign_sparse,  # rows-only (pruned candidates)
 }
 
 ORACLES = {

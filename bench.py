@@ -22,6 +22,7 @@ from affinity_propagation_mapreduce_spark.session import get_spark
 # (scan/agg, star join, window, asof, sessions, dedup, knn, UDF path).
 HEADLINE = [
     "ap_assign",
+    "ap_assign_sparse",
     "pricing_summary",
     "join_broadcast_star",
     "win_rank_topk_per_group",

@@ -34,3 +34,20 @@ def test_minhash_recall_vs_exact(spark):
     assert approx <= exact  # every emitted pair is exact-verified
     recall = len(approx) / len(exact)
     assert recall >= 0.95, f"MinHash recall {recall:.3f}"
+
+
+def test_sparse_ap_assigns_everyone(spark):
+    """Sparse AP over the k-NN candidate graph: every point gets a label
+    (k=32 keeps the graph connected enough here) and exemplars
+    self-label."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    from .conftest import SF_SMALL as _sf  # noqa: F401
+
+    rows = ap.cluster_sparse(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    labels = {r.vec_id: r.exemplar for r in rows}
+    exemplars = {e for e in labels.values() if e != -1}
+    assert exemplars, "no exemplars elected"
+    assert all(labels[e] == e for e in exemplars)
+    assert sum(1 for v in labels.values() if v == -1) == 0
