@@ -11,9 +11,13 @@ Implementation lives in ``affinity_propagation_mapreduce_spark``
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from affinity_propagation_mapreduce_spark import registry
 from affinity_propagation_mapreduce_spark.operators import ap

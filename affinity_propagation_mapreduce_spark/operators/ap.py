@@ -353,6 +353,45 @@ def q_ap_assign_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_sparse(spark, sf_dir)
 
 
+def cluster_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    max_iter: int = 200,
+    convergence_iter: int = 15,
+    lam: float = DAMPING,
+) -> tuple[DataFrame, int]:
+    """Convergence-driven AP (sklearn-style semantics: stop when the
+    exemplar set is stable for `convergence_iter` consecutive iterations,
+    else at `max_iter`).  Reported but not hashed (BASELINE.md): the
+    t2-declared queries unroll a fixed T for determinism.
+
+    The per-iteration convergence probe collects only the exemplar ID
+    set (O(#exemplars) driver traffic, never the message state).
+    Returns (labels DataFrame, iterations_run)."""
+    off = similarity_off_diagonal(spark, sf_dir).localCheckpoint(eager=False)
+    smat = similarity_matrix(spark, sf_dir, off=off).localCheckpoint(eager=False)
+    state = init_state(smat)
+    prev: frozenset[int] | None = None
+    stable = 0
+    it = 0
+    for it in range(1, max_iter + 1):
+        state = availability_pass(
+            responsibility_pass(state, lam), lam
+        ).localCheckpoint(eager=False)
+        ex_now = frozenset(
+            r.exemplar for r in exemplars_from_state(state).collect()
+        )
+        if prev is not None and ex_now == prev and ex_now:
+            stable += 1
+            if stable >= convergence_iter:
+                break
+        else:
+            stable = 0
+        prev = ex_now
+    ex = exemplars_from_state(state)
+    return assign(off, ex), it
+
+
 # ---------------------------------------------------------------------------
 # Declared queries (SURVEY.md §2 A-rows)
 # ---------------------------------------------------------------------------

@@ -689,8 +689,61 @@ WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
 """
 
 
+# --- B29 pivot / unpivot ------------------------------------------------------
+
+_STATUSES = ("O", "F", "P")
+
+
+def q_pivot_status(spark, sf_dir):
+    """Order counts + revenue pivoted to one column per status (explicit
+    value list so the plan needs no distinct-scan), then summable."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _STATUSES],
+        )
+    )
+
+
+O_PIVOT = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_O,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_F,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_unpivot_metrics(spark, sf_dir):
+    """Unpivot (melt) wide per-customer metrics into (metric, value)
+    rows — the stack/unpivot operator."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot(
+        "c_custkey", ["acctbal", "nationkey"], "metric", "value"
+    )
+
+
+O_UNPIVOT = """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+FROM customer
+"""
+
+
 QUERIES = {
     "scan_project_filter": q_scan_project_filter,
+    "pivot_status": q_pivot_status,
+    "unpivot_metrics": q_unpivot_metrics,
     "pricing_summary": q_pricing_summary,
     "join_inner_equi": q_join_inner_equi,
     "join_broadcast_star": q_join_broadcast_star,
@@ -723,6 +776,8 @@ QUERIES = {
 
 ORACLES = {
     "scan_project_filter": O_SCAN,
+    "pivot_status": O_PIVOT,
+    "unpivot_metrics": O_UNPIVOT,
     "pricing_summary": O_PRICING,
     "join_inner_equi": O_JOIN_INNER,
     "join_broadcast_star": O_JOIN_STAR,

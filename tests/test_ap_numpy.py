@@ -60,3 +60,17 @@ def test_ap_beats_random_exemplars_on_net_similarity(spark):
         rand_labels = rand_ex[s[:, rand_ex].argmax(1)]
         rand_labels[rand_ex] = rand_ex
         assert net_ap > s[idx, rand_labels].sum()
+
+
+def test_convergence_mode_terminates_and_stabilizes(spark):
+    """Convergence-driven variant (reported, not hashed — BASELINE.md):
+    must stop before max_iter on this data and land on the converged
+    structure (~66 clusters, matching the converged numpy run)."""
+    from affinity_propagation_mapreduce_spark.operators.ap import cluster_converged
+
+    labels, iters = cluster_converged(
+        spark, SF_SMALL, max_iter=60, convergence_iter=5
+    )
+    assert iters < 60, "did not converge within 60 iterations"
+    n_clusters = labels.select("exemplar").distinct().count()
+    assert 50 <= n_clusters <= 80, n_clusters
