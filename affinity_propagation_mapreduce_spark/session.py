@@ -38,6 +38,13 @@ def get_spark(app_name: str = "affinity-propagation-mapreduce-spark") -> SparkSe
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # long sessions generate many codegen classes (iterative AP most
+        # of all); the default 240m JIT code cache fills and the compiler
+        # silently shuts off, making every later query 3-5x slower
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for key, val in ENGINE_CONFS.items():

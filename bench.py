@@ -50,6 +50,13 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        # drop checkpointed iteration state between queries: the AP
+        # queries leave multi-GB localCheckpoint RDDs pinned otherwise,
+        # and the resulting memory pressure taxes every later query
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
