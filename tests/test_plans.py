@@ -1,0 +1,50 @@
+"""Physical-plan regression tests: the scale properties documented in
+PLANS.md are asserted here so a refactor can't silently lose pushdown,
+pruning, broadcast strategy, or rank-limit pushdown."""
+
+from __future__ import annotations
+
+from affinity_propagation_mapreduce_spark import registry
+
+from .conftest import SF_T2
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF_T2)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "scan_project_filter")
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual" in plan
+    # projection reaches the reader: untouched wide columns absent
+    assert "l_returnflag" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_broadcast_star")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation+region at minimum
+    assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed into its scan
+
+
+def test_pricing_summary_partial_aggregates(spark):
+    plan = _plan(spark, "pricing_summary")
+    # partial (map-side) + final hash aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_join_rank_limit_pushdown(spark):
+    plan = _plan(spark, "join_asof")
+    assert "WindowGroupLimit" in plan  # top-1 per key before the shuffle
+
+
+def test_ap_pass_state_never_sorted(spark):
+    """The agg+broadcast AP formulation must not sort the O(N^2) state:
+    no Sort node may sit above the similarity relation in one iteration."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    state = ap.init_state(ap.similarity_matrix(spark, SF_T2))
+    one_iter = ap.availability_pass(ap.responsibility_pass(state))
+    plan = one_iter._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Sort " not in plan, "iteration plan sorts the message state"
