@@ -70,3 +70,61 @@ def test_session_twin_spans_match_batch(spark):
         ["user_id", "n_sessions", "n_events"],
     )
     assert got_per_user == want_per_user
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry state BETWEEN micro-batches:
+    events split into two files fed one-per-trigger; the final emitted
+    running totals per user must equal the batch aggregate."""
+    import math
+
+    from affinity_propagation_mapreduce_spark.sources import table
+    from affinity_propagation_mapreduce_spark.streaming.stateful import (
+        running_user_totals,
+    )
+    from affinity_propagation_mapreduce_spark.streaming.twins import _EVENTS_RAW
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(_EVENTS_RAW).parquet(
+        f"{SF_SMALL}/events.parquet"
+    )
+    half = raw.count() // 2
+    src = str(tmp_path / "stream_in")
+    raw.where(F.col("event_id") < half).coalesce(1).write.parquet(f"{src}/f0")
+    raw.where(F.col("event_id") >= half).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_df = spark.table("t_stateful")
+    # the LAST emission per user (largest n_events) is the final total
+    last = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in got_df.orderBy("n_events").collect()
+    }
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert set(last) == set(want)
+    for u in want:
+        assert last[u][0] == want[u][0]
+        assert math.isclose(last[u][1], want[u][1], rel_tol=1e-9)
+    # state really crossed batches: some user must have emitted twice
+    emit_counts = got_df.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert emit_counts >= 2, "no user spanned multiple micro-batches"
