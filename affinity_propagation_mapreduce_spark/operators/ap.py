@@ -154,6 +154,38 @@ def similarity_matrix(
     return off.unionByName(diag)
 
 
+_FAST_MEDIAN_MAX_N = 20_000  # driver-side N² median cap (~3 GB f8 at cap)
+
+
+def _median_preference_fast(spark: SparkSession, sf_dir: str) -> float | None:
+    """Driver-side exact median of the off-diagonal similarities.
+
+    Recomputes s with the SAME dimension-ordered float64 accumulation as
+    the blocked kernel (bitwise-identical values) and interpolates the
+    median with Spark's own formula `lower + (upper-lower)*0.5`, so the
+    result is bitwise-equal to the distributed `percentile(s, 0.5)` —
+    just ~20× cheaper at dimension-table N.  Returns None above the size
+    gate (callers fall back to the distributed percentile)."""
+    import numpy as np
+
+    rows = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    n = len(rows)
+    if n > _FAST_MEDIAN_MAX_N:
+        return None
+    mat = np.array([r.embedding for r in rows], dtype="f8")
+    acc = np.zeros((n, n), dtype="f8")
+    for d in range(mat.shape[1]):  # sequential over dims == the fold
+        diff = mat[:, d, None] - mat[None, :, d]
+        acc += diff * diff
+    off = -acc[~np.eye(n, dtype=bool)]
+    m = off.size
+    pos = 0.5 * (m - 1)
+    lo = int(pos)
+    part = np.partition(off, [lo, lo + 1] if lo + 1 < m else [lo])
+    lower, upper = part[lo], part[min(lo + 1, m - 1)]
+    return float(lower + (upper - lower) * (pos - lo))
+
+
 def init_state(smat: DataFrame) -> DataFrame:
     """Coordinate-format message state: (i, k, s, r=0, a=0)."""
     return smat.select(
@@ -277,11 +309,21 @@ def cluster(
     """End-to-end AP: similarity → T iterations → exemplars → assignment.
     Returns (vec_id, exemplar)."""
     off = similarity_off_diagonal(spark, sf_dir).localCheckpoint(eager=False)
-    # checkpoint S too: the diagonal embeds the exact-median preference,
-    # which would otherwise recompute in every broadcast-agg job below
-    smat = similarity_matrix(spark, sf_dir, pref=pref, off=off).localCheckpoint(
-        eager=False
-    )
+    p_fast = _median_preference_fast(spark, sf_dir) if pref == "median" else None
+    if p_fast is not None:
+        ids = table(spark, sf_dir, "embeddings").select("vec_id")
+        diag = ids.select(
+            F.col("vec_id").alias("i"),
+            F.col("vec_id").alias("k"),
+            F.lit(p_fast).alias("s"),
+        )
+        smat = off.unionByName(diag).localCheckpoint(eager=False)
+    else:
+        # checkpoint S so the distributed exact-median preference isn't
+        # recomputed in every broadcast-agg job below
+        smat = similarity_matrix(spark, sf_dir, pref=pref, off=off).localCheckpoint(
+            eager=False
+        )
     state = iterate(init_state(smat), iterations, lam)
     ex = exemplars_from_state(state)
     return assign(off, ex)
