@@ -506,8 +506,87 @@ FROM documents
 """
 
 
+# --- D11 SimHash near-dup ----------------------------------------------------
+
+SIMHASH_BITS = 31  # driven by the 31-bit portable rolling token hash
+SIMHASH_HAMMING_MAX = 1  # dense corpus: 2.8k exact-fp pairs, 11k at <=1, 48k at <=3
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: per-doc fingerprint = sign-aggregated bit votes
+    of the (portable rolling-hash) distinct-token hashes; candidate pairs
+    at Hamming distance <= 3.  Fully deterministic integer arithmetic →
+    hashed against the DuckDB oracle (unlike MinHash, whose xxhash64
+    seeds are engine-specific).  At scale, fingerprints are grouped by
+    permuted prefix blocks (the standard simhash dedup sharding) instead
+    of the all-pairs join declared here for the oracle sf."""
+    docs = _docs(spark, sf_dir)
+    tok_hash = (
+        f"aggregate(transform(split(token, ''), c -> CAST(ascii(c) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})"
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).select("doc_id", F.expr(tok_hash).alias("h"))
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    )
+    vote = F.when(
+        F.expr("(h div CAST(pow(2, j) AS BIGINT)) % 2") == 1, 1
+    ).otherwise(-1)
+    votes = bits.groupBy("doc_id", "j").agg(F.sum(vote).alias("v"))
+    fp = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("CAST(pow(2, j) AS BIGINT)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("fp")
+    )
+    a = fp.select(F.col("doc_id").alias("doc_lo"), F.col("fp").alias("fp_lo"))
+    b = fp.select(F.col("doc_id").alias("doc_hi"), F.col("fp").alias("fp_hi"))
+    ham = F.bit_count(F.col("fp_lo").bitwiseXOR(F.col("fp_hi"))).cast("long")
+    return (
+        a.join(b, F.col("doc_lo") < F.col("doc_hi"))
+        .select("doc_lo", "doc_hi", ham.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )
+
+
+O_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(token, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents)),
+bits AS (
+  SELECT doc_id, h, unnest(range(0, {SIMHASH_BITS})) AS j FROM toks),
+votes AS (
+  SELECT doc_id, j,
+         CAST(sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1
+                       THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM bits GROUP BY doc_id, j),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS fp
+  FROM votes GROUP BY doc_id)
+SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
+    "dedup_simhash": q_dedup_simhash,
     "tfidf_topterms": q_tfidf_topterms,
     "ngrams_bigram": q_ngrams_bigram,
     "dedup_exact": q_dedup_exact,
@@ -522,6 +601,7 @@ QUERIES = {
 
 ORACLES = {
     "tok_wordcount": O_WORDCOUNT,
+    "dedup_simhash": O_SIMHASH,
     "tfidf_topterms": O_TFIDF,
     "ngrams_bigram": O_BIGRAM,
     "dedup_exact": O_DEDUP_EXACT,

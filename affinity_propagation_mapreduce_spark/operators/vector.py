@@ -221,8 +221,57 @@ def q_knn_cosine_ivf(spark, sf_dir):
     )
 
 
+# --- E5 embedding-cosine near-dup -------------------------------------------
+
+COSINE_DUP_TAU = 0.4  # data-calibrated: max pairwise cosine here is 0.51
+                      # (synthetic embeddings have no true near-dups;
+                      # real pipelines run 0.95+ — threshold is a knob)
+
+
+def q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (i < k, cosine >= tau).
+    Cosine is the bitwise-portable sequential fold → hashed oracle.
+    Scale path: identical kernel after LSH/IVF bucketing (E4) — the
+    all-pairs form is the oracle-sf declaration."""
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+    )
+    a = norms.select(
+        F.col("vec_id").alias("i"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = norms.select(
+        F.col("vec_id").alias("k"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("i") < F.col("k"))
+        .select("i", "k", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_DUP_TAU)
+    )
+
+
+O_EMBED_DUP = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS i, b.vec_id AS k,
+       list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]),
+                   (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]),
+                  (x, y) -> x + y) / (a.nrm * b.nrm) >= {COSINE_DUP_TAU}
+"""
+
+
 QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
+    "dedup_embed_cosine": q_dedup_embed_cosine,
     "knn_cosine_ivf": q_knn_cosine_ivf,  # rows-only (approximate by design)
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,
@@ -230,6 +279,7 @@ QUERIES = {
 
 ORACLES = {
     "knn_cosine_topk": O_KNN,
+    "dedup_embed_cosine": O_EMBED_DUP,
     "dist_histogram": O_DIST_HIST,
     "label_centroids": O_CENTROIDS,
 }
