@@ -211,6 +211,82 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.95
 """
 
 
+# --- D5a word-bigram-shingle Jaccard near-dedup -----------------------------
+
+NGRAM_JACCARD_THRESHOLD = 0.8
+# Unlike the token-SET Jaccard (background ≈ 0.6 on the 31-word
+# vocabulary — FIXTURES.md fact 4), word-bigram shingles preserve local
+# ordering, so the background collapses: measured at sf0.01, the 99th
+# percentile of candidate-pair shingle-Jaccard is 0.08 while the 25 true
+# near-dup pairs sit at >= 0.8.  This is why shingling (not token sets)
+# is the standard dedup representation for LLM training corpora.
+
+
+def _shingles(spark, sf_dir):
+    """(doc_id, shingle) — the distinct word-bigram shingle set per doc."""
+    shingle_expr = (
+        "explode(array_distinct(transform("
+        "  sequence(1, size(split(text, ' ')) - 1),"
+        "  i -> concat(element_at(split(text, ' '), i), ' ',"
+        "              element_at(split(text, ' '), i + 1)))))"
+    )
+    return _docs(spark, sf_dir).select("doc_id", F.expr(shingle_expr).alias("shingle"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram (word-bigram shingle) Jaccard near-dedup: candidate pairs
+    from the shingle inverted index (share-a-shingle equi-join — never a
+    cross join), intersection counted on the join, union by
+    inclusion-exclusion, threshold 0.8.  Integer-ratio Jaccard → bitwise
+    parity.  Scale shape is identical to q_dedup_near_jaccard: the
+    inverted index shuffles by shingle, and rare shingles keep candidate
+    fan-out near-linear; pair with MinHash banding over the SAME shingle
+    sets (not token sets) when the corpus outgrows the index join."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sz_lo"))
+    sb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("sz").alias("sz_hi"))
+    jac = F.col("inter") / (F.col("sz_lo") + F.col("sz_hi") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_lo")
+        .join(sb, "doc_hi")
+        .where(jac >= NGRAM_JACCARD_THRESHOLD)
+        .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+O_NGRAM_JACCARD = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+  FROM t),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_lo, doc_hi,
+       ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_lo = sa.doc_id
+JOIN sizes sb ON inter.doc_hi = sb.doc_id
+WHERE inter / (sa.sz + sb.sz - inter) >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
 # --- D5b MinHash + banded LSH near-dedup (rows-only; the 100 TB path) -------
 
 N_HASHES = 32
@@ -591,6 +667,7 @@ QUERIES = {
     "ngrams_bigram": q_ngrams_bigram,
     "dedup_exact": q_dedup_exact,
     "dedup_near_jaccard": q_dedup_near_jaccard,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_minhash": q_dedup_near_minhash,  # rows-only (LSH path)
     "text_profile": q_text_profile,
     "lang_id_ngram": q_lang_id_ngram,
@@ -606,6 +683,7 @@ ORACLES = {
     "ngrams_bigram": O_BIGRAM,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_near_jaccard": O_NEAR_JACCARD,
+    "dedup_ngram_jaccard": O_NGRAM_JACCARD,
     "text_profile": O_TEXT_PROFILE,
     "lang_id_ngram": O_LANG_ID,
     "text_quality_score": O_QUALITY,
