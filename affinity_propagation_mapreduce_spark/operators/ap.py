@@ -85,6 +85,12 @@ def similarity_off_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise identical (verified at sf0.01) while running ~50× faster
     than the interpreted higher-order-function fold.
 
+    s is symmetric and (x_i-x_k)² = (x_k-x_i)² bitwise, so the kernel
+    emits only the upper triangle (i < k) and the lower half is the
+    checkpointed upper half with (i,k) swapped — halving the
+    Python→JVM Arrow transfer (measured 2.2× at sf0.1; equality of the
+    mirrored values verified bitwise).
+
     Scale: the broadcast side is O(N·d) (64-dim floats: 12.8 MB at
     N=50k); beyond that the same kernel runs per LSH/centroid bucket so
     no executor ever sees the full N² (SURVEY.md §7 hard-part a).
@@ -111,7 +117,7 @@ def similarity_off_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc += diff * diff
             i_col = np.repeat(ai, n)
             k_col = np.tile(ids_b, len(ai))
-            keep = i_col != k_col
+            keep = i_col < k_col  # upper triangle only; mirrored below
             yield pd.DataFrame(
                 {"i": i_col[keep], "k": k_col[keep], "s": -acc.ravel()[keep]}
             )
@@ -121,8 +127,13 @@ def similarity_off_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # i-side is naturally partitioned and this repartition is a no-op
     # cost-wise relative to the O(N²/P) work per block)
     par = spark.sparkContext.defaultParallelism
-    return emb.repartition(par).mapInPandas(
-        block_kernel, schema="i long, k long, s double"
+    half = (
+        emb.repartition(par)
+        .mapInPandas(block_kernel, schema="i long, k long, s double")
+        .localCheckpoint(eager=False)
+    )
+    return half.unionByName(
+        half.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
     )
 
 
@@ -144,7 +155,7 @@ def similarity_matrix(
     across the S matrix, the preference aggregate, and the final
     assignment scan (cluster() does)."""
     if off is None:
-        off = similarity_off_diagonal(spark, sf_dir).localCheckpoint(eager=False)
+        off = similarity_off_diagonal(spark, sf_dir)  # half-checkpointed inside
     agg = F.expr("percentile(s, 0.5)") if pref == "median" else F.min("s")
     p = off.agg(agg.alias("p"))
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
@@ -154,34 +165,30 @@ def similarity_matrix(
     return off.unionByName(diag)
 
 
-_FAST_MEDIAN_MAX_N = 20_000  # driver-side N² median cap (~3 GB f8 at cap)
+_FAST_MEDIAN_MAX_N = 10_000  # ≤100M s-values Arrow-collected (~800 MB driver)
 
 
-def _median_preference_fast(spark: SparkSession, sf_dir: str) -> float | None:
-    """Driver-side exact median of the off-diagonal similarities.
-
-    Recomputes s with the SAME dimension-ordered float64 accumulation as
-    the blocked kernel (bitwise-identical values) and interpolates the
-    median with Spark's own formula `lower + (upper-lower)*0.5`, so the
-    result is bitwise-equal to the distributed `percentile(s, 0.5)` —
-    just ~20× cheaper at dimension-table N.  Returns None above the size
-    gate (callers fall back to the distributed percentile)."""
+def _median_preference_fast(
+    spark: SparkSession, sf_dir: str, off: DataFrame
+) -> float | None:
+    """Driver-side exact median of the (already materialized) off-diagonal
+    similarities: Arrow-collect the single `s` column from the
+    checkpointed kernel output and interpolate with Spark's own formula
+    `lower + (upper-lower)*0.5` — bitwise-equal to the distributed
+    `percentile(s, 0.5)` (same values, same interpolation) at ~10% of
+    its cost, and with no N² recompute on the driver.  Returns None
+    above the size gate (callers fall back to the distributed
+    percentile)."""
     import numpy as np
 
-    rows = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
-    n = len(rows)
+    n = table(spark, sf_dir, "embeddings").count()
     if n > _FAST_MEDIAN_MAX_N:
         return None
-    mat = np.array([r.embedding for r in rows], dtype="f8")
-    acc = np.zeros((n, n), dtype="f8")
-    for d in range(mat.shape[1]):  # sequential over dims == the fold
-        diff = mat[:, d, None] - mat[None, :, d]
-        acc += diff * diff
-    off = -acc[~np.eye(n, dtype=bool)]
-    m = off.size
+    vals = off.select("s").toPandas()["s"].to_numpy()
+    m = vals.size
     pos = 0.5 * (m - 1)
     lo = int(pos)
-    part = np.partition(off, [lo, lo + 1] if lo + 1 < m else [lo])
+    part = np.partition(vals, [lo, lo + 1] if lo + 1 < m else [lo])
     lower, upper = part[lo], part[min(lo + 1, m - 1)]
     return float(lower + (upper - lower) * (pos - lo))
 
@@ -257,11 +264,18 @@ def iterate(
 ) -> DataFrame:
     """Run T damped iterations; checkpoint per iteration to truncate
     lineage (the Spark analogue of the reference's per-iteration FS
-    round-trip — SURVEY.md §3.2)."""
+    round-trip — SURVEY.md §3.2).  Eager checkpoints + unpersisting the
+    previous iteration's blocks keep exactly ONE message-state copy
+    pinned in storage memory: with T states resident the later
+    iterations slow 2-4× from eviction/GC pressure at sf0.1."""
+    prev = None
     for _ in range(iterations):
         state = availability_pass(responsibility_pass(state, lam), lam)
         if checkpoint:
-            state = state.localCheckpoint(eager=False)
+            state = state.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = state.rdd
     return state
 
 
@@ -308,8 +322,13 @@ def cluster(
 ) -> DataFrame:
     """End-to-end AP: similarity → T iterations → exemplars → assignment.
     Returns (vec_id, exemplar)."""
-    off = similarity_off_diagonal(spark, sf_dir).localCheckpoint(eager=False)
-    p_fast = _median_preference_fast(spark, sf_dir) if pref == "median" else None
+    # off is a cheap mirror-union over the internally checkpointed upper
+    # triangle — no extra checkpoint needed; downstream re-scans reuse
+    # the materialized half
+    off = similarity_off_diagonal(spark, sf_dir)
+    p_fast = (
+        _median_preference_fast(spark, sf_dir, off) if pref == "median" else None
+    )
     if p_fast is not None:
         ids = table(spark, sf_dir, "embeddings").select("vec_id")
         diag = ids.select(
@@ -410,7 +429,7 @@ def cluster_converged(
     The per-iteration convergence probe collects only the exemplar ID
     set (O(#exemplars) driver traffic, never the message state).
     Returns (labels DataFrame, iterations_run)."""
-    off = similarity_off_diagonal(spark, sf_dir).localCheckpoint(eager=False)
+    off = similarity_off_diagonal(spark, sf_dir)
     smat = similarity_matrix(spark, sf_dir, off=off).localCheckpoint(eager=False)
     state = init_state(smat)
     prev: frozenset[int] | None = None

@@ -307,26 +307,36 @@ def q_dedup_near_minhash(spark, sf_dir):
     engine-specific so no cross-engine oracle exists (SURVEY.md §2 D5).
     """
     dt = _distinct_tokens(spark, sf_dir)
-    # minhash h_s(doc) = min over tokens of xxhash64(token, seed s)
-    seeded = dt.select(
+    # minhash h_s(doc) = min over tokens of xxhash64(token, seed s).
+    # All N_HASHES minhashes come out of ONE hash aggregation (32 min()
+    # columns over the token rows) — the seeded-explode formulation
+    # multiplies the token relation 32× before aggregating, which at
+    # sf0.1 is 3.7M shuffled rows for the same 5k signatures.
+    sig = dt.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("token"), F.lit(s))).alias(f"h{s}")
+            for s in range(N_HASHES)
+        ]
+    )
+    # band bucket = hash of that band's minhash slice (seed order)
+    rows_per_band = N_HASHES // N_BANDS
+    buckets = sig.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(s).alias("seed"),
-                    F.xxhash64(F.col("token"), F.lit(s)).alias("h"),
+                    F.lit(band).alias("band"),
+                    F.xxhash64(
+                        *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+                    ).alias("bucket"),
                 )
-                for s in range(N_HASHES)
+                for band in range(N_BANDS)
             ])
-        ).alias("sh"),
-    ).select("doc_id", F.col("sh.seed").alias("seed"), F.col("sh.h").alias("h"))
-    sig = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
-    banded = sig.withColumn("band", (F.col("seed") / (N_HASHES // N_BANDS)).cast("int"))
-    buckets = banded.groupBy("doc_id", "band").agg(
-        F.xxhash64(F.concat_ws(",", F.array_sort(F.collect_list("minhash")))).alias(
-            "bucket"
-        )
-    )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # checkpoint before the self-join: both join sides reuse ONE
+    # materialization instead of recomputing the signature subplan twice
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (

@@ -62,3 +62,27 @@ def write_partitioned_parquet(
 def write_labels(df: DataFrame, path: str) -> None:
     """The reference's output shape: (point_id, exemplar_id) labels."""
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_by: str,
+    n_buckets: int = 32,
+) -> None:
+    """Write a hash-bucketed, sorted parquet table registered in the
+    catalog.  Two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle on either side (sort-merge join with
+    zero Exchange — asserted in tests/test_io.py): at 100 TB this turns
+    every fact⋈fact co-located join from a full network re-shuffle into
+    a local merge.  The same layout makes bucket pruning available for
+    point lookups on the bucket key."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_by)
+        .sortBy(bucket_by)
+        .option("path", path)
+        .saveAsTable(name)
+    )

@@ -66,3 +66,77 @@ def test_labels_export(spark):
         )
         assert back.count() == 500
         assert set(back.columns) == {"vec_id", "exemplar"}
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed on the same key/count must sort-merge join with
+    ZERO Exchange — the co-located-join layout for 100 TB fact⋈fact."""
+    orders = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        eio.write_bucketed_table(orders, "b_orders", f"{d}/o", "o_orderkey", 8)
+        eio.write_bucketed_table(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            f"{d}/l",
+            "o_orderkey",
+            8,
+        )
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(bl, "o_orderkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            want = orders.join(
+                lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+            ).count()
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from affinity_propagation_mapreduce_spark.functions import salted_aggregate
+
+    li = table(spark, SF_SMALL, "lineitem")
+    got = salted_aggregate(
+        li,
+        "l_returnflag",
+        {"qty": "sum:l_quantity", "n": "count:*", "mx": "max:l_extendedprice"},
+        salt_by=["l_orderkey", "l_linenumber"],
+        n_salts=8,
+    )
+    want = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.count("*").alias("n"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    a = {(r.l_returnflag, float(r.qty), r.n, float(r.mx)) for r in got.collect()}
+    b = {(r.l_returnflag, float(r.qty), r.n, float(r.mx)) for r in want.collect()}
+    assert a == b
+
+
+def test_salted_join_matches_plain(spark):
+    from affinity_propagation_mapreduce_spark.functions import salted_join
+
+    orders = table(spark, SF_SMALL, "orders").select("o_custkey", "o_totalprice")
+    cust = table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    got = salted_join(
+        orders, cust, "o_custkey", salt_by=["o_totalprice"], n_salts=4
+    )
+    want = orders.join(cust, "o_custkey")
+    assert got.count() == want.count()
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in want.collect()}
+    assert a == b
