@@ -362,9 +362,20 @@ def q_dedup_near_minhash(spark, sf_dir):
     inter = F.size(F.array_intersect("toks_lo", "toks_hi"))
     union = F.size("toks_lo") + F.size("toks_hi") - inter
     jac = inter / union
+    # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    # whose set sizes differ by >5% can never verify — pruned BEFORE the
+    # O(|A|·|B|) array_intersect runs.  toks sides are per-doc dimension
+    # tables (O(N) rows) — broadcast so the 3M-candidate relation never
+    # shuffles during verification.
+    size_ok = (
+        F.least(F.size("toks_lo"), F.size("toks_hi"))
+        / F.greatest(F.size("toks_lo"), F.size("toks_hi"))
+        >= 0.95
+    )
     return (
-        cand.join(ta, "doc_lo")
-        .join(tb, "doc_hi")
+        cand.join(F.broadcast(ta), "doc_lo")
+        .join(F.broadcast(tb), "doc_hi")
+        .where(size_ok)
         .where(jac >= 0.95)
         .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard"))
     )
