@@ -454,52 +454,188 @@ def cluster_converged(
 
 
 # ---------------------------------------------------------------------------
+# Per-(application, sf_dir) kernel/state cache
+# ---------------------------------------------------------------------------
+# Every declared A-row derives from ONE similarity kernel and ONE damped
+# iteration chain.  Without sharing, each of the ~10 queries rebuilds the
+# N² kernel and re-runs T iterations — at the driver's sf0.01 gate that
+# multiplied to minutes and starved the later operator families of their
+# correctness budget (round 1: 27 queries never got a CORRECTNESS row).
+# The cache holds lazily-checkpointed DataFrames keyed by
+# (applicationId, sf_dir): the kernel materializes once, and every A-row
+# reuses the same RDD blocks.
+#
+# Retaining the full T-state chain pins T × O(N²)-row states, which at
+# bench scale (sf0.1, 25M pairs/state) measurably slows later iterations
+# (round-1 finding) — so the chain is only retained at small N; above the
+# gate, queries fall back to the unpersisting ``iterate()`` which keeps
+# exactly one state resident.
+
+_cache: dict[tuple, object] = {}
+_CHAIN_RETAIN_MAX_N = 2000  # chain = T states × N² rows; 2000 → ≤20M total
+
+
+def _ckey(spark: SparkSession, sf_dir: str, *parts) -> tuple:
+    return (spark.sparkContext.applicationId, sf_dir) + parts
+
+
+def _n_points(spark: SparkSession, sf_dir: str) -> int:
+    key = _ckey(spark, sf_dir, "n")
+    if key not in _cache:
+        _cache[key] = table(spark, sf_dir, "embeddings").count()
+    return _cache[key]
+
+
+def cached_off(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The off-diagonal similarity relation, kernel run at most once per
+    (application, sf_dir)."""
+    key = _ckey(spark, sf_dir, "off")
+    if key not in _cache:
+        _cache[key] = similarity_off_diagonal(spark, sf_dir)
+    return _cache[key]
+
+
+def _pref_scalar(spark: SparkSession, sf_dir: str, pref: str) -> float | None:
+    """Driver-side exact preference value: interpolated median (bitwise
+    equal to the distributed percentile — same values, same formula) or
+    exact min.  None above the median size gate."""
+    key = _ckey(spark, sf_dir, "prefval", pref)
+    if key not in _cache:
+        off = cached_off(spark, sf_dir)
+        if pref == "min":
+            _cache[key] = off.agg(F.min("s")).first()[0]
+        else:
+            _cache[key] = _median_preference_fast(spark, sf_dir, off)
+    return _cache[key]
+
+
+def cached_smat(spark: SparkSession, sf_dir: str, pref: str = "median") -> DataFrame:
+    """Full S (off-diagonal + preference diagonal), checkpointed, cached."""
+    key = _ckey(spark, sf_dir, "smat", pref)
+    if key not in _cache:
+        off = cached_off(spark, sf_dir)
+        ids = table(spark, sf_dir, "embeddings").select("vec_id")
+        p = _pref_scalar(spark, sf_dir, pref)
+        if p is not None:
+            diag = ids.select(
+                F.col("vec_id").alias("i"),
+                F.col("vec_id").alias("k"),
+                F.lit(p).alias("s"),
+            )
+        else:
+            agg = F.expr("percentile(s, 0.5)") if pref == "median" else F.min("s")
+            pd_ = off.agg(agg.alias("p"))
+            diag = ids.crossJoin(pd_).select(
+                F.col("vec_id").alias("i"),
+                F.col("vec_id").alias("k"),
+                F.col("p").alias("s"),
+            )
+        _cache[key] = off.unionByName(diag).localCheckpoint(eager=False)
+    return _cache[key]
+
+
+def cached_chain(
+    spark: SparkSession, sf_dir: str, pref: str = "median", T: int = T_DEFAULT
+) -> list[DataFrame]:
+    """States after iterations 1..T, each checkpointed, ALL retained
+    (A9 convergence reads every step).  Only call at small N — see the
+    retention gate above."""
+    key = _ckey(spark, sf_dir, "chain", pref, T)
+    if key not in _cache:
+        st = init_state(cached_smat(spark, sf_dir, pref))
+        states = []
+        for _ in range(T):
+            st = availability_pass(responsibility_pass(st)).localCheckpoint(
+                eager=False
+            )
+            states.append(st)
+        _cache[key] = states
+    return _cache[key]
+
+
+def _final_state(
+    spark: SparkSession, sf_dir: str, pref: str = "median"
+) -> DataFrame:
+    """Message state after T_DEFAULT iterations, shared across queries."""
+    if _n_points(spark, sf_dir) <= _CHAIN_RETAIN_MAX_N:
+        return cached_chain(spark, sf_dir, pref)[-1]
+    key = _ckey(spark, sf_dir, "final", pref)
+    if key not in _cache:
+        _cache[key] = iterate(
+            init_state(cached_smat(spark, sf_dir, pref)), T_DEFAULT
+        )
+    return _cache[key]
+
+
+def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (vec_id, exemplar) assignment, shared by A7/A8."""
+    key = _ckey(spark, sf_dir, "labels")
+    if key not in _cache:
+        ex = exemplars_from_state(_final_state(spark, sf_dir))
+        _cache[key] = assign(cached_off(spark, sf_dir), ex).localCheckpoint(
+            eager=False
+        )
+    return _cache[key]
+
+
+# ---------------------------------------------------------------------------
 # Declared queries (SURVEY.md §2 A-rows)
 # ---------------------------------------------------------------------------
 
 def q_ap_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity_off_diagonal(spark, sf_dir)
+    return cached_off(spark, sf_dir)
 
 
 def q_ap_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return preference(spark, sf_dir)
+    return cached_off(spark, sf_dir).select(
+        F.expr("percentile(s, 0.5)").alias("preference")
+    )
 
 
 def q_ap_responsibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First damped responsibility pass from the zero state (bit-exact)."""
-    state = init_state(similarity_matrix(spark, sf_dir))
+    state = init_state(cached_smat(spark, sf_dir))
     return responsibility_pass(state).select("i", "k", "r")
 
 
 def q_ap_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First full iteration's availabilities (group sums → round 3)."""
-    state = init_state(similarity_matrix(spark, sf_dir))
-    state = availability_pass(responsibility_pass(state))
+    state = _one_iteration_state(spark, sf_dir)
     return state.select("i", "k", F.round("a", 3).alias("a"))
 
 
-def q_ap_iterate_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    state = init_state(similarity_matrix(spark, sf_dir))
-    state = availability_pass(responsibility_pass(state))
-    return state.select(
-        "i", "k", F.round("r", 3).alias("r"), F.round("a", 3).alias("a")
+def _one_iteration_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if _n_points(spark, sf_dir) <= _CHAIN_RETAIN_MAX_N:
+        return cached_chain(spark, sf_dir)[0]
+    return availability_pass(
+        responsibility_pass(init_state(cached_smat(spark, sf_dir)))
     )
 
 
+def q_ap_iterate_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full damped iteration.  r is emitted UNROUNDED: the first-pass
+    responsibility is selection arithmetic over bitwise-identical inputs
+    (same reason ap_responsibility hash-passes raw), and rounding it can
+    only introduce half-boundary divergence (Spark BigDecimal HALF_UP vs
+    DuckDB — the round-1 driver hash FAIL).  a depends on engine-ordered
+    group sums → rounded at 3 on both sides, as in ap_availability."""
+    state = _one_iteration_state(spark, sf_dir)
+    return state.select("i", "k", "r", F.round("a", 3).alias("a"))
+
+
 def q_ap_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    state = iterate(init_state(similarity_matrix(spark, sf_dir)), T_DEFAULT)
-    return exemplars_from_state(state)
+    return exemplars_from_state(_final_state(spark, sf_dir))
 
 
 def q_ap_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cluster(spark, sf_dir)
+    return _labels(spark, sf_dir)
 
 
 def q_ap_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-cluster size + net similarity sum s(i, label(i)) including
     the exemplar's own preference term [AP fig.2 quality metric]."""
-    smat = similarity_matrix(spark, sf_dir)
-    labels = cluster(spark, sf_dir)
+    smat = cached_smat(spark, sf_dir)
+    labels = _labels(spark, sf_dir)
     joined = labels.join(
         smat,
         (labels["vec_id"] == smat["i"]) & (labels["exemplar"] == smat["k"]),
@@ -515,21 +651,30 @@ def q_ap_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ap_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9: max |r_t - r_{t-1}| per iteration t = 1..T."""
-    state = init_state(similarity_matrix(spark, sf_dir))
+    smat = cached_smat(spark, sf_dir)
+    if _n_points(spark, sf_dir) <= _CHAIN_RETAIN_MAX_N:
+        states = [init_state(smat)] + cached_chain(spark, sf_dir)
+    else:
+        states = [init_state(smat)]
+        for _ in range(T_DEFAULT):
+            states.append(
+                availability_pass(
+                    responsibility_pass(states[-1])
+                ).localCheckpoint(eager=False)
+            )
     deltas = []
-    prev = state
-    for t in range(1, T_DEFAULT + 1):
-        cur = availability_pass(responsibility_pass(prev)).localCheckpoint(
-            eager=False
-        )
-        d = (
+    for t in range(1, len(states)):
+        cur, prev = states[t], states[t - 1]
+        deltas.append(
             cur.select("i", "k", "r")
             .join(prev.select("i", "k", F.col("r").alias("r_prev")), ["i", "k"])
-            .agg(F.round(F.max(F.abs(F.col("r") - F.col("r_prev"))), 3).alias("max_delta_r"))
+            .agg(
+                F.round(
+                    F.max(F.abs(F.col("r") - F.col("r_prev"))), 3
+                ).alias("max_delta_r")
+            )
             .select(F.lit(t).alias("iter"), "max_delta_r")
         )
-        deltas.append(d)
-        prev = cur
     return functools.reduce(lambda x, y: x.unionByName(y), deltas)
 
 
@@ -537,9 +682,7 @@ def q_ap_pref_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: exemplar count under median vs min preference (T=5)."""
     out = []
     for kind in ("median", "min"):
-        state = iterate(
-            init_state(similarity_matrix(spark, sf_dir, pref=kind)), T_DEFAULT
-        )
+        state = _final_state(spark, sf_dir, pref=kind)
         out.append(
             exemplars_from_state(state).agg(
                 F.count("*").alias("n_exemplars")
@@ -678,7 +821,7 @@ def oracle_ap_iterate_once() -> str:
         "WITH "
         + _prelude()
         + body
-        + f"SELECT i, k, ROUND(r, 3) AS r, ROUND(a, 3) AS a FROM {final}"
+        + f"SELECT i, k, r, ROUND(a, 3) AS a FROM {final}"
     )
 
 

@@ -213,15 +213,19 @@ JOIN (SELECT * FROM part WHERE p_brand = 'Brand#1') p
 # --- B9 as-of join (window formulation on both sides for hash parity) ------
 
 def q_join_asof(spark, sf_dir):
-    """Each event → most recent prior order of the same user
-    (events.user_id ⊆ c_custkey, all orders predate all events —
-    FIXTURES.md fact 2).  Spark has no native ASOF; the row_number
-    formulation is the declared semantic on both engines."""
+    """Each event → most recent PRIOR order of the same user: equi-key on
+    user_id = o_custkey plus the temporal conjunct ts >= o_orderdate
+    (declared in SURVEY.md B9; without it the query only "works" because
+    every order happens to predate every event in this dataset).  Spark
+    has no native ASOF; the row_number formulation is the declared
+    semantic on both engines."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
-    j = ev.join(orders, ev.user_id == orders.o_custkey)
+    j = ev.join(
+        orders, (ev.user_id == orders.o_custkey) & (ev.ts >= orders.o_orderdate)
+    )
     w = Window.partitionBy("event_id").orderBy(
         F.desc("o_orderdate"), F.asc("o_orderkey")
     )
@@ -239,7 +243,7 @@ def q_join_asof(spark, sf_dir):
 
 O_JOIN_ASOF = """
 SELECT event_id, user_id, o_orderkey AS last_orderkey, o_orderdate AS last_orderdate
-FROM events e JOIN orders o ON e.user_id = o.o_custkey
+FROM events e JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 QUALIFY row_number() OVER (PARTITION BY event_id
                            ORDER BY o_orderdate DESC, o_orderkey ASC) = 1
 """

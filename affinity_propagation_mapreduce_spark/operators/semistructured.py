@@ -42,9 +42,18 @@ FROM events GROUP BY 1
 def q_array_ops(spark, sf_dir):
     """Per ground-truth label: sorted id list + slices/element access.
     collect_list is made deterministic by array_sort (contract: sorted
-    for determinism, SURVEY.md C2)."""
+    for determinism, SURVEY.md C2).  The array-valued columns are
+    serialized to comma-joined strings at the output boundary: the
+    driver's pandas canonicalizer cannot hash Python lists (round-1
+    ERROR), and '1,2,3' hashes identically everywhere while the array
+    machinery (collect_list/array_sort/slice/element_at) is still the
+    thing under test."""
     emb = table(spark, sf_dir, "embeddings")
     ids = F.array_sort(F.collect_list("vec_id"))
+
+    def _csv(col):
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return (
         emb.groupBy("label")
         .agg(
@@ -54,9 +63,9 @@ def q_array_ops(spark, sf_dir):
         .select(
             "label",
             "n_vecs",
-            "ids_sorted",
+            _csv("ids_sorted").alias("ids_csv"),
             F.element_at("ids_sorted", 1).alias("first_id"),
-            F.slice("ids_sorted", 1, 3).alias("first3"),
+            _csv(F.slice("ids_sorted", 1, 3)).alias("first3_csv"),
             F.size("ids_sorted").cast("long").alias("n_ids"),
         )
     )
@@ -67,9 +76,12 @@ WITH g AS (
   SELECT label, count(*) AS n_vecs,
          list_sort(list(vec_id)) AS ids_sorted
   FROM embeddings GROUP BY label)
-SELECT label, n_vecs, ids_sorted,
+SELECT label, n_vecs,
+       list_aggregate(list_transform(ids_sorted, x -> CAST(x AS VARCHAR)),
+                      'string_agg', ',') AS ids_csv,
        ids_sorted[1] AS first_id,
-       ids_sorted[1:3] AS first3,
+       list_aggregate(list_transform(ids_sorted[1:3], x -> CAST(x AS VARCHAR)),
+                      'string_agg', ',') AS first3_csv,
        CAST(len(ids_sorted) AS BIGINT) AS n_ids
 FROM g
 """

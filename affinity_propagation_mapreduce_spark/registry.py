@@ -13,15 +13,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Ordered CHEAPEST FIRST: the driver's correctness gate walks queries()
+# in insertion order under a global budget, so if it runs out of time the
+# truncation hits the most expensive family, not dozens of sub-second
+# queries (round 1 ran the uncached AP family first and 27 later queries
+# never got a CORRECTNESS row).  The AP family sits last: even with the
+# shared kernel/state cache it is the most expensive block, and its
+# oracle side runs T-deep windowed CTE stacks in DuckDB.
 _OPERATOR_MODULES = [
-    "affinity_propagation_mapreduce_spark.operators.ap",
     "affinity_propagation_mapreduce_spark.operators.relational",
     "affinity_propagation_mapreduce_spark.operators.semistructured",
-    "affinity_propagation_mapreduce_spark.operators.textops",
-    "affinity_propagation_mapreduce_spark.operators.vector",
     "affinity_propagation_mapreduce_spark.operators.events",
     "affinity_propagation_mapreduce_spark.operators.udfops",
     "affinity_propagation_mapreduce_spark.operators.multimodal",
+    "affinity_propagation_mapreduce_spark.operators.vector",
+    "affinity_propagation_mapreduce_spark.operators.textops",
+    "affinity_propagation_mapreduce_spark.operators.ap",
 ]
 
 
