@@ -23,11 +23,12 @@ matrix DataFrame ``(i, k, s, r, a)``:
   the I/O tax.
 
 Scale notes (100 TB): the dense N^2 similarity is the wall (SURVEY.md §7).
-The exact kernel here is the oracle-checked path; ``candidate_similarity``
-in operators/vector.py provides the LSH-pruned sparse path for large N.
-Within a pass, state is hash-partitioned on the pass key, groups are O(N)
-rows, and both window aggregates are single-pass — no driver-side matrix
-ever materializes.
+The exact kernel here is the oracle-checked path; ``knn_candidate_pairs``
+below provides the IVF-bucketed sub-N^2 sparse path for large N (same
+coarse-cell scheme as vector.q_knn_cosine_ivf; the cell id is the shuffle
+key, so no task ever sees the full corpus).  Within a pass, state is
+hash-partitioned on the pass key, groups are O(N) rows, and both window
+aggregates are single-pass — no driver-side matrix ever materializes.
 
 Float-parity engineering (for the DuckDB value-hash gate):
 * s and the first responsibility pass are bitwise identical across engines
@@ -352,23 +353,129 @@ def cluster(
 # Sparse AP — the 100 TB path (SURVEY.md §7 hard-part a)
 # ---------------------------------------------------------------------------
 
+SPARSE_NPROBE = 4  # coarse cells probed per query point
+
+
+def _sparse_nlist(n: int) -> int:
+    """Coarse-quantizer size: nlist ∝ N keeps cells at ~64 members, so a
+    point's candidate set is ~nprobe·64 = O(1) regardless of N and the
+    total pair count is O(N·256) — linear, not quadratic."""
+    return max(16, n // 64)
+
+
+def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated candidate pairs (i < k, s) from an IVF coarse
+    quantizer, WITHOUT materializing the dense N² kernel.
+
+    The nlist lowest-id vectors stand in for trained centroids
+    (deterministic, no training pass — same scheme as
+    vector.q_knn_cosine_ivf).  Standard IVF asymmetry: every point is
+    INDEXED in exactly its home (nearest) cell, and PROBES its
+    SPARSE_NPROBE nearest cells — so pair (x, y) is considered when
+    either point's home cell is probed by the other.  Pairwise work is
+    O(N · nprobe · cell_size); the cell id is the shuffle key, so no
+    task ever sees the full corpus.
+
+    Values use the same dimension-sequential float64 accumulation as the
+    dense kernel, so any pair present in both is bitwise identical; the
+    graph is approximate only in which pairs are *considered*
+    (rows-only contract — ap_assign_sparse)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = _n_points(spark, sf_dir)
+    nlist = _sparse_nlist(n)
+    cent_rows = emb.where(F.col("vec_id") < nlist).collect()
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype="i8")
+    cent_mat = np.array([r.embedding for r in cent_rows], dtype="f8")
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+    nprobe = min(SPARSE_NPROBE, len(cent_ids))
+
+    def assign_cells(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype="i8")
+            pts = np.stack(pdf["embedding"].to_numpy()).astype("f8")
+            d2 = (
+                (pts * pts).sum(axis=1, keepdims=True)
+                - 2.0 * pts @ c_mat.T
+                + (c_mat * c_mat).sum(axis=1)[None, :]
+            )
+            order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+            # home = true argmin among the nprobe probes
+            probe_d2 = np.take_along_axis(d2, order, axis=1)
+            home_pos = np.argmin(probe_d2, axis=1)
+            rows = np.repeat(np.arange(len(ids)), nprobe)
+            cells = c_ids[order].ravel()
+            is_home = (
+                order == order[np.arange(len(ids)), home_pos][:, None]
+            ).ravel()
+            yield pd.DataFrame(
+                {
+                    "cell": cells,
+                    "vec_id": np.repeat(ids, nprobe),
+                    "is_home": is_home,
+                    "embedding": np.repeat(pdf["embedding"].to_numpy(), nprobe),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    roles = emb.repartition(par).mapInPandas(
+        assign_cells,
+        schema="cell long, vec_id long, is_home boolean, embedding array<float>",
+    )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf["is_home"]]
+        if not len(mem) or not len(pdf):
+            return pd.DataFrame({"i": [], "k": [], "s": []})
+        p_ids = pdf["vec_id"].to_numpy(dtype="i8")
+        m_ids = mem["vec_id"].to_numpy(dtype="i8")
+        p_mat = np.stack(pdf["embedding"].to_numpy()).astype("f8")
+        m_mat = np.stack(mem["embedding"].to_numpy()).astype("f8")
+        d = p_mat.shape[1]
+        acc = np.zeros((len(p_ids), len(m_ids)), dtype="f8")
+        for j in range(d):  # sequential over dims == the dense kernel
+            diff = p_mat[:, j, None] - m_mat[None, :, j]
+            acc += diff * diff
+        lo = np.repeat(p_ids, len(m_ids))
+        hi = np.tile(m_ids, len(p_ids))
+        keep = lo != hi
+        lo, hi, s = lo[keep], hi[keep], -acc.ravel()[keep]
+        swap = lo > hi
+        lo[swap], hi[swap] = hi[swap], lo[swap]
+        out = pd.DataFrame({"i": lo, "k": hi, "s": s})
+        # within-cell dedup (probe×member emits both orientations)
+        return out.drop_duplicates(["i", "k"])
+
+    return (
+        roles.groupBy("cell")
+        .applyInPandas(cell_kernel, schema="i long, k long, s double")
+        .dropDuplicates(["i", "k"])  # a pair may meet in several cells
+    )
+
+
 def knn_candidate_pairs(
     spark: SparkSession, sf_dir: str, k: int = 32
 ) -> DataFrame:
-    """Symmetric k-NN candidate graph (i, k, s): top-k most-similar
-    neighbors per point from the blocked kernel, symmetrized.  O(N·k)
-    rows instead of N² — the candidate generator for sparse AP.  At
-    scale the blocked kernel runs per LSH/IVF bucket (see
-    vector.q_knn_cosine_ivf) so candidate generation is also sub-N²."""
-    off = similarity_off_diagonal(spark, sf_dir)
+    """Symmetric k-NN candidate graph (i, k, s): per-point top-k over the
+    IVF candidate pairs, symmetrized.  All window/top-k work runs over
+    the O(N·nprobe·cell_size) candidate rows — never N² rows."""
+    pairs = ivf_candidate_pairs(spark, sf_dir)
+    sym = pairs.unionByName(
+        pairs.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
+    )
     w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
-    topk = off.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= k
-    ).select("i", "k", "s")
-    sym = topk.unionByName(
+    topk = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("i", "k", "s")
+    )
+    back = topk.unionByName(
         topk.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
     )
-    return sym.dropDuplicates(["i", "k"])
+    return back.dropDuplicates(["i", "k"])
 
 
 def cluster_sparse(
@@ -472,7 +579,18 @@ def cluster_converged(
 # exactly one state resident.
 
 _cache: dict[tuple, object] = {}
-_CHAIN_RETAIN_MAX_N = 2000  # chain = T states × N² rows; 2000 → ≤20M total
+_CHAIN_RETAIN_MAX_N = 1000  # chain = T states × N² rows; 1000 → ≤5M total
+# (sf0.01/sf0.001 have N=500 → chain cached for the correctness gate;
+# sf0.1 has N=2000 → bench-scale queries use the unpersisting iterate())
+
+
+def clear_cache() -> None:
+    """Drop all cached kernel/state references.  MUST be called by any
+    harness that unpersists RDD blocks wholesale (bench.py does, between
+    queries): a localCheckpoint whose blocks are dropped cannot be
+    recomputed — its lineage is truncated — so stale cache entries would
+    fail, not rebuild."""
+    _cache.clear()
 
 
 def _ckey(spark: SparkSession, sf_dir: str, *parts) -> tuple:

@@ -16,6 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from affinity_propagation_mapreduce_spark import registry
+from affinity_propagation_mapreduce_spark.operators import ap
 from affinity_propagation_mapreduce_spark.session import get_spark
 
 # Headline mix: the flagship AP kernel + one representative per family
@@ -57,6 +58,9 @@ def main() -> None:
         jsc = spark.sparkContext._jsc
         for rdd in jsc.getPersistentRDDs().values():
             rdd.unpersist()
+        # checkpointed blocks are gone → cached references to them must
+        # go too (a truncated-lineage RDD cannot rebuild)
+        ap.clear_cache()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

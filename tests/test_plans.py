@@ -38,6 +38,22 @@ def test_asof_join_rank_limit_pushdown(spark):
     assert "WindowGroupLimit" in plan  # top-1 per key before the shuffle
 
 
+def test_sparse_ap_candidates_sub_n2(spark):
+    """The sparse-AP candidate generator must be genuinely sub-N²: no
+    all-pairs join shape in the plan, and the materialized candidate set
+    must be a small fraction of the N(N-1) dense pair count."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    cand = ap.ivf_candidate_pairs(spark, SF_T2)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n = table(spark, SF_T2, "embeddings").count()
+    half_dense = n * (n - 1) / 2
+    assert cand.count() <= 0.5 * half_dense, "candidate set is ~dense"
+
+
 def test_ap_pass_state_never_sorted(spark):
     """The agg+broadcast AP formulation must not sort the O(N^2) state:
     no Sort node may sit above the similarity relation in one iteration."""
