@@ -290,35 +290,47 @@ WHERE inter / (sa.sz + sb.sz - inter) >= {NGRAM_JACCARD_THRESHOLD}
 # --- D5b MinHash + banded LSH near-dedup (rows-only; the 100 TB path) -------
 
 N_HASHES = 32
-# 4 bands × 8 rows: recall at j=0.95 is 1-(1-0.95^8)^4 ≈ 0.987, while the
-# high-background-similarity corpus (random pairs sit at j≈0.6 thanks to
-# the 31-word vocabulary — FIXTURES.md fact 4) only passes 0.6^8×4 ≈ 2%
-# of non-dup pairs.  8 bands × 4 rows let ~67% of ALL pairs through
-# (measured: 7.7M candidates of 12.5M possible at sf0.1).
-N_BANDS = 4
+# 8 bands × 4 rows over SHINGLE sets, tuned for the 0.8 shingle-Jaccard
+# threshold: recall at j=0.8 is 1-(1-0.8^4)^8 ≈ 0.985 (and 1.0 for exact
+# dups), while the background (candidate-pair shingle-Jaccard p99 ≈ 0.08
+# — see NGRAM_JACCARD_THRESHOLD note) passes 1-(1-0.08^4)^8 ≈ 3e-4 of
+# pairs.  Round 1 banded the token SETS instead, whose background
+# similarity is ≈0.6 on this 31-word vocabulary — the bands passed 24%
+# of ALL pairs (3.05M of 12.5M at sf0.1) and the verify join dominated
+# the whole bench suite (34.6 s).  Shingles are also the semantically
+# right unit for LLM-corpus dedup: they preserve word order.
+N_BANDS = 8
+_MINHASH_BROADCAST_MAX_DOCS = 1_000_000  # ≈ dimension-table broadcast cap
 
 
-def q_dedup_near_minhash(spark, sf_dir):
-    """Banded MinHash LSH: per-doc signature of N_HASHES min-hashes over
-    the token set, split into N_BANDS bands; docs sharing any band bucket
-    become candidates (equi-join on the bucket — the shape that scales:
-    shuffle is keyed by band hash, never all-pairs).  Candidates are then
-    verified with exact Jaccard >= 0.95.  Rows-only: hash constants are
+def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
+    """Banded MinHash LSH over word-bigram shingle sets — the sub-N²
+    twin of ``dedup_ngram_jaccard``: per-doc signature of N_HASHES
+    min-hashes, split into N_BANDS bands; docs sharing any band bucket
+    become candidates (equi-join keyed by the band hash — never
+    all-pairs), then candidates are verified with EXACT shingle Jaccard
+    >= NGRAM_JACCARD_THRESHOLD.  Emitted pairs are therefore a subset of
+    the exact operator's output (recall asserted >= 0.95 in
+    tests/test_ann_recall.py).  Rows-only: xxhash64 seeds are
     engine-specific so no cross-engine oracle exists (SURVEY.md §2 D5).
+
+    ``broadcast_verify``: the per-doc shingle-set dimension used by the
+    verify stage is broadcast only while the corpus is broadcast-sized
+    (auto by doc count when None); beyond the gate the verify join
+    falls back to a keyed shuffle — at 100 TB the dimension does NOT fit
+    an executor, and an unconditional broadcast would OOM (round-1
+    review finding).  Both branches are plan-asserted in tests.
     """
-    dt = _distinct_tokens(spark, sf_dir)
-    # minhash h_s(doc) = min over tokens of xxhash64(token, seed s).
-    # All N_HASHES minhashes come out of ONE hash aggregation (32 min()
-    # columns over the token rows) — the seeded-explode formulation
-    # multiplies the token relation 32× before aggregating, which at
-    # sf0.1 is 3.7M shuffled rows for the same 5k signatures.
-    sig = dt.groupBy("doc_id").agg(
+    sh = _shingles(spark, sf_dir)
+    # all N_HASHES minhashes from ONE hash aggregation (32 min() columns
+    # over the shingle rows) — the seeded-explode formulation shuffles
+    # 32× the rows for the same signatures
+    sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("token"), F.lit(s))).alias(f"h{s}")
+            F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
             for s in range(N_HASHES)
         ]
     )
-    # band bucket = hash of that band's minhash slice (seed order)
     rows_per_band = N_HASHES // N_BANDS
     buckets = sig.select(
         "doc_id",
@@ -352,31 +364,33 @@ def q_dedup_near_minhash(spark, sf_dir):
         .distinct()
     )
     # exact verification on candidates only — array_intersect on the
-    # token-set arrays (JVM, per-pair) instead of re-exploding tokens:
-    # the verify cost is O(|candidates|·vocab), not another token shuffle
-    toksets = _docs(spark, sf_dir).select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    ta = toksets.select(F.col("doc_id").alias("doc_lo"), F.col("toks").alias("toks_lo"))
-    tb = toksets.select(F.col("doc_id").alias("doc_hi"), F.col("toks").alias("toks_hi"))
-    inter = F.size(F.array_intersect("toks_lo", "toks_hi"))
-    union = F.size("toks_lo") + F.size("toks_hi") - inter
+    # shingle-set arrays (JVM, per-pair) instead of re-exploding: verify
+    # cost is O(|candidates| · |shingles/doc|), not another shuffle of
+    # the exploded relation
+    shsets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
+    if broadcast_verify is None:
+        broadcast_verify = (
+            _docs(spark, sf_dir).count() <= _MINHASH_BROADCAST_MAX_DOCS
+        )
+    hint = F.broadcast if broadcast_verify else (lambda df: df)
+    sa = shsets.select(F.col("doc_id").alias("doc_lo"), F.col("shs").alias("shs_lo"))
+    sb = shsets.select(F.col("doc_id").alias("doc_hi"), F.col("shs").alias("shs_hi"))
+    inter = F.size(F.array_intersect("shs_lo", "shs_hi"))
+    union = F.size("shs_lo") + F.size("shs_hi") - inter
     jac = inter / union
-    # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
-    # whose set sizes differ by >5% can never verify — pruned BEFORE the
-    # O(|A|·|B|) array_intersect runs.  toks sides are per-doc dimension
-    # tables (O(N) rows) — broadcast so the 3M-candidate relation never
-    # shuffles during verification.
+    # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — pairs
+    # whose set sizes differ beyond the threshold can never verify, so
+    # they are pruned BEFORE the O(|A|·|B|) array_intersect runs
     size_ok = (
-        F.least(F.size("toks_lo"), F.size("toks_hi"))
-        / F.greatest(F.size("toks_lo"), F.size("toks_hi"))
-        >= 0.95
+        F.least(F.size("shs_lo"), F.size("shs_hi"))
+        / F.greatest(F.size("shs_lo"), F.size("shs_hi"))
+        >= NGRAM_JACCARD_THRESHOLD
     )
     return (
-        cand.join(F.broadcast(ta), "doc_lo")
-        .join(F.broadcast(tb), "doc_hi")
+        cand.join(hint(sa), "doc_lo")
+        .join(hint(sb), "doc_hi")
         .where(size_ok)
-        .where(jac >= 0.95)
+        .where(jac >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -611,12 +625,20 @@ SIMHASH_HAMMING_MAX = 1  # dense corpus: 2.8k exact-fp pairs, 11k at <=1, 48k at
 
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: per-doc fingerprint = sign-aggregated bit votes
-    of the (portable rolling-hash) distinct-token hashes; candidate pairs
-    at Hamming distance <= 3.  Fully deterministic integer arithmetic →
-    hashed against the DuckDB oracle (unlike MinHash, whose xxhash64
-    seeds are engine-specific).  At scale, fingerprints are grouped by
-    permuted prefix blocks (the standard simhash dedup sharding) instead
-    of the all-pairs join declared here for the oracle sf."""
+    of the (portable rolling-hash) distinct-token hashes; pairs at
+    Hamming distance <= SIMHASH_HAMMING_MAX (= 1).  Fully deterministic
+    integer arithmetic → hashed against the DuckDB oracle (unlike
+    MinHash, whose xxhash64 seeds are engine-specific).
+
+    Candidate generation is the standard simhash block sharding, not
+    all-pairs: split the 31-bit fingerprint into two halves; at Hamming
+    distance <= 1 at most one half differs, so (pigeonhole) every
+    qualifying pair agrees EXACTLY on at least one half.  Candidates are
+    an equi-join keyed on (half_index, half_value) — a keyed shuffle
+    that survives 100 TB — then verified with the full Hamming distance.
+    (For a threshold of h, split into h+1 blocks; the same join works.)
+    The DuckDB oracle keeps the declarative all-pairs formulation: same
+    result set, which is the point of the hash check."""
     docs = _docs(spark, sf_dir)
     tok_hash = (
         f"aggregate(transform(split(token, ''), c -> CAST(ascii(c) AS BIGINT)),"
@@ -642,12 +664,31 @@ def q_dedup_simhash(spark, sf_dir):
             )
         ).alias("fp")
     )
-    a = fp.select(F.col("doc_id").alias("doc_lo"), F.col("fp").alias("fp_lo"))
-    b = fp.select(F.col("doc_id").alias("doc_hi"), F.col("fp").alias("fp_hi"))
+    # one materialization feeds both join sides (and both half-blocks)
+    fp = fp.localCheckpoint(eager=False)
+    lo_half = F.col("fp").bitwiseAND(F.lit(0xFFFF))
+    hi_half = F.shiftright(F.col("fp"), 16)
+    blocks = fp.select(
+        "doc_id", "fp", F.lit(0).alias("blk"), lo_half.alias("hv")
+    ).unionByName(
+        fp.select("doc_id", "fp", F.lit(1).alias("blk"), hi_half.alias("hv"))
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_lo"), F.col("fp").alias("fp_lo"), "blk", "hv"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_hi"), F.col("fp").alias("fp_hi"), "blk", "hv"
+    )
+    cand = (
+        a.join(b, ["blk", "hv"])
+        .where(F.col("doc_lo") < F.col("doc_hi"))
+        # a pair agreeing on BOTH halves surfaces in both blocks → dedup
+        .select("doc_lo", "doc_hi", "fp_lo", "fp_hi")
+        .distinct()
+    )
     ham = F.bit_count(F.col("fp_lo").bitwiseXOR(F.col("fp_hi"))).cast("long")
     return (
-        a.join(b, F.col("doc_lo") < F.col("doc_hi"))
-        .select("doc_lo", "doc_hi", ham.alias("hamming"))
+        cand.select("doc_lo", "doc_hi", ham.alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
 

@@ -23,9 +23,13 @@ def test_ivf_recall_vs_exact(spark):
 
 
 def test_minhash_recall_vs_exact(spark):
+    """dedup_near_minhash is the banded-LSH twin of dedup_ngram_jaccard
+    (MinHash over the same word-bigram shingle sets, exact shingle-
+    Jaccard verify): every emitted pair must be in the exact operator's
+    output, and band recall at j>=0.8 must hold (theory ≈ 0.985)."""
     exact = {
         (r.doc_lo, r.doc_hi)
-        for r in textops.q_dedup_near_jaccard(spark, SF_T2).collect()
+        for r in textops.q_dedup_ngram_jaccard(spark, SF_T2).collect()
     }
     approx = {
         (r.doc_lo, r.doc_hi)

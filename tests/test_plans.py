@@ -54,6 +54,40 @@ def test_sparse_ap_candidates_sub_n2(spark):
     assert cand.count() <= 0.5 * half_dense, "candidate set is ~dense"
 
 
+def test_simhash_candidates_keyed_join(spark):
+    """SimHash candidate generation must be the half-fingerprint
+    equi-join, never an all-pairs nested loop."""
+    plan = _plan(spark, "dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_verify_broadcast_gate(spark):
+    """The minhash verify stage broadcasts the shingle-set dimension only
+    under the size gate; above it the join must degrade to a keyed
+    shuffle (an unconditional broadcast OOMs at corpus scale)."""
+    from affinity_propagation_mapreduce_spark.operators import textops
+
+    def plan_of(broadcast_verify):
+        df = textops.q_dedup_near_minhash(
+            spark, SF_T2, broadcast_verify=broadcast_verify
+        )
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # disable auto-broadcast so the plans show the GATE's decision, not
+    # Catalyst's size estimate (at test sf everything is broadcast-sized)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        on = plan_of(True)
+        assert "BroadcastNestedLoopJoin" not in on
+        off = plan_of(False)
+        # the shingle-set dimension joins must not broadcast when gated
+        assert off.count("BroadcastHashJoin") < on.count("BroadcastHashJoin")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_ap_pass_state_never_sorted(spark):
     """The agg+broadcast AP formulation must not sort the O(N^2) state:
     no Sort node may sit above the similarity relation in one iteration."""
