@@ -231,8 +231,10 @@ COSINE_DUP_TAU = 0.4  # data-calibrated: max pairwise cosine here is 0.51
 def q_dedup_embed_cosine(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (i < k, cosine >= tau).
     Cosine is the bitwise-portable sequential fold → hashed oracle.
-    Scale path: identical kernel after LSH/IVF bucketing (E4) — the
-    all-pairs form is the oracle-sf declaration."""
+    This all-pairs form is the oracle-sf declaration ONLY; the scale
+    path is ``q_dedup_embed_cosine_ivf`` below (same semantics, IVF
+    cell-bucketed candidates, no crossJoin — subset + recall asserted in
+    tests/test_ann_recall.py)."""
     emb = _emb(spark, sf_dir)
     norms = emb.select(
         "vec_id",
@@ -269,9 +271,106 @@ WHERE list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]),
 """
 
 
+# --- E5b IVF-bucketed embed-cosine near-dup (the 100 TB path) ---------------
+
+DUP_NLIST_DIVISOR = 64  # cells of ~64 members; nlist ∝ N
+DUP_NPROBE = 8  # near-threshold pairs are loosely clustered → probe wide
+
+
+def q_dedup_embed_cosine_ivf(spark, sf_dir):
+    """Rows-only scale twin of ``dedup_embed_cosine``: same
+    cosine >= tau semantics, but candidate pairs are restricted to
+    IVF-co-resident ones — every point is indexed in its home (nearest)
+    cell and probes its DUP_NPROBE nearest cells, the exact cosine runs
+    per cell, and the cell id is the shuffle key.  Pairwise work is
+    O(N · nprobe · cell_size) instead of the crossJoin's N²; no task
+    ever sees the full corpus.
+
+    Cosine is accumulated dimension-sequentially (same IEEE add order as
+    the declared query's fold), so any pair present in both is bitwise
+    identical — the subset property in tests is exact, not tolerant."""
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    nlist = max(16, n // DUP_NLIST_DIVISOR)
+    cent_rows = emb.where(F.col("vec_id") < nlist).collect()
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype="i8")
+    cent_mat = np.array([r.embedding for r in cent_rows], dtype="f8")
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+    nprobe = min(DUP_NPROBE, len(cent_ids))
+
+    def assign_cells(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype="i8")
+            pts = np.stack(pdf["embedding"].to_numpy()).astype("f8")
+            d2 = (
+                (pts * pts).sum(axis=1, keepdims=True)
+                - 2.0 * pts @ c_mat.T
+                + (c_mat * c_mat).sum(axis=1)[None, :]
+            )
+            order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+            probe_d2 = np.take_along_axis(d2, order, axis=1)
+            home_pos = np.argmin(probe_d2, axis=1)
+            is_home = (
+                order == order[np.arange(len(ids)), home_pos][:, None]
+            ).ravel()
+            yield pd.DataFrame(
+                {
+                    "cell": c_ids[order].ravel(),
+                    "vec_id": np.repeat(ids, nprobe),
+                    "is_home": is_home,
+                    "embedding": np.repeat(pdf["embedding"].to_numpy(), nprobe),
+                }
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    roles = emb.repartition(par).mapInPandas(
+        assign_cells,
+        schema="cell long, vec_id long, is_home boolean, embedding array<float>",
+    )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf["is_home"]]
+        if not len(mem):
+            return pd.DataFrame({"i": [], "k": [], "cosine": []})
+        p_ids = pdf["vec_id"].to_numpy(dtype="i8")
+        m_ids = mem["vec_id"].to_numpy(dtype="i8")
+        p_mat = np.stack(pdf["embedding"].to_numpy()).astype("f8")
+        m_mat = np.stack(mem["embedding"].to_numpy()).astype("f8")
+        d = p_mat.shape[1]
+        # dimension-sequential accumulation == the engine's fold order
+        dot = np.zeros((len(p_ids), len(m_ids)), dtype="f8")
+        p_nrm2 = np.zeros(len(p_ids), dtype="f8")
+        m_nrm2 = np.zeros(len(m_ids), dtype="f8")
+        for j in range(d):
+            dot += p_mat[:, j, None] * m_mat[None, :, j]
+            p_nrm2 += p_mat[:, j] * p_mat[:, j]
+            m_nrm2 += m_mat[:, j] * m_mat[:, j]
+        cos = dot / (np.sqrt(p_nrm2)[:, None] * np.sqrt(m_nrm2)[None, :])
+        lo = np.repeat(p_ids, len(m_ids))
+        hi = np.tile(m_ids, len(p_ids))
+        c = cos.ravel()
+        keep = (lo != hi) & (c >= COSINE_DUP_TAU)
+        lo, hi, c = lo[keep], hi[keep], c[keep]
+        swap = lo > hi
+        lo[swap], hi[swap] = hi[swap], lo[swap]
+        out = pd.DataFrame({"i": lo, "k": hi, "cosine": c})
+        return out.drop_duplicates(["i", "k"])
+
+    return (
+        roles.groupBy("cell")
+        .applyInPandas(cell_kernel, schema="i long, k long, cosine double")
+        .dropDuplicates(["i", "k"])
+    )
+
+
 QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "dedup_embed_cosine": q_dedup_embed_cosine,
+    "dedup_embed_cosine_ivf": q_dedup_embed_cosine_ivf,  # rows-only scale twin
     "knn_cosine_ivf": q_knn_cosine_ivf,  # rows-only (approximate by design)
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,

@@ -40,6 +40,25 @@ def test_minhash_recall_vs_exact(spark):
     assert recall >= 0.95, f"MinHash recall {recall:.3f}"
 
 
+def test_embed_cosine_ivf_subset_and_recall(spark):
+    """The IVF scale twin emits a strict subset of the exact operator's
+    pairs (bitwise-identical cosine for shared pairs — same fold order)
+    with structural recall."""
+    exact = {
+        (r.i, r.k): r.cosine
+        for r in vector.q_dedup_embed_cosine(spark, SF_T2).collect()
+    }
+    approx = {
+        (r.i, r.k): r.cosine
+        for r in vector.q_dedup_embed_cosine_ivf(spark, SF_T2).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, cos in approx.items():
+        assert cos == exact[pair]  # bitwise, not approximate
+    recall = len(approx) / len(exact) if exact else 1.0
+    assert recall >= 0.5, f"IVF embed-dup recall {recall:.2f}"
+
+
 def test_sparse_ap_assigns_everyone(spark):
     """Sparse AP over the k-NN candidate graph: every point gets a label
     (k=32 keeps the graph connected enough here) and exemplars
