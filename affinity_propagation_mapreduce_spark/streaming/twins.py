@@ -94,6 +94,116 @@ def dedup_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+def sliding_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of q_win_sliding: 1-hour windows sliding every 30
+    minutes (each event lands in 2 windows), same flattened
+    window_start output as the batch operator."""
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def topk_users_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of q_topk_users_window: fixed-day filter + per-user
+    counts.  The final ORDER BY/LIMIT ranking is legal in streaming only
+    under complete output mode — which is how the twin runs (the sink
+    re-ranks on every trigger, exactly the semantics of a live top-k
+    dashboard)."""
+    from ..operators.events import TOPK_DAY
+
+    day = ev.where((F.col("ts") >= TOPK_DAY) & (F.col("ts") < "2024-01-16"))
+    return (
+        day.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+_WM_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", LongType()),  # micros; rebuilt to timestamp below
+        StructField("event_type", StringType()),
+    ]
+)
+
+_WM_STATE = StructType([StructField("max_ts", LongType())])
+
+
+def watermark_stream_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_late_data_watermark: per-user 1-hour lateness
+    cutoff carried as explicit keyed state (applyInPandasWithState).
+    Each micro-batch advances the user's max event time and emits only
+    events within 1 hour of it — the per-key watermark the batch
+    operator renders with a window max.  Built directly over the raw
+    staged source (state math runs on integer micros; the output ts is
+    rebuilt to the same TIMESTAMP the batch operator emits).  Append
+    caveat (inherent to streaming): rows emitted in an earlier
+    micro-batch cannot be retracted when a later batch advances the max;
+    on bounded single-trigger input the result equals batch exactly
+    (tested)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "apms_stream_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copyfile(src, dst)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_EVENTS_RAW).format("parquet").load(stage)
+
+    hour_us = 3_600_000_000
+
+    def _update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        (max_ts,) = state.get if state.exists else (None,)
+        frames = []
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000  # raw nanos → micros
+            cur_max = int(us.max())
+            max_ts = cur_max if max_ts is None else max(max_ts, cur_max)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"],
+                        "user_id": user_id,
+                        "ts": us,
+                        "event_type": pdf["event_type"],
+                    }
+                )
+            )
+        state.update((int(max_ts),))
+        out = pd.concat(frames)
+        yield out[out["ts"] >= max_ts - hour_us]
+
+    kept = raw.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_WM_OUTPUT,
+        stateStructType=_WM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return kept.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("ts")).alias("ts"),
+        "event_type",
+    )
+
+
 def session_stream(ev: DataFrame) -> DataFrame:
     """Streaming twin of q_sessionize using the native session_window
     (30-min gap).  Session identity differs from the batch cumsum id

@@ -51,6 +51,30 @@ def test_dedup_twin_equals_batch(spark):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_sliding_twin_equals_batch(spark):
+    stream = twins.sliding_stream(twins.stream_events(spark, SF_SMALL))
+    got = _run_stream(spark, stream, "t_sliding", "complete")
+    want = ev_ops.q_win_sliding(spark, SF_SMALL)
+    cols = ["window_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_topk_twin_equals_batch(spark):
+    stream = twins.topk_users_stream(twins.stream_events(spark, SF_SMALL))
+    got = _run_stream(spark, stream, "t_topk", "complete")
+    want = ev_ops.q_topk_users_window(spark, SF_SMALL)
+    cols = ["user_id", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_watermark_twin_equals_batch(spark):
+    stream = twins.watermark_stream_raw(spark, SF_SMALL)
+    got = _run_stream(spark, stream, "t_watermark", "append")
+    want = ev_ops.q_late_data_watermark(spark, SF_SMALL)
+    cols = ["event_id", "user_id", "ts", "event_type"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_session_twin_spans_match_batch(spark):
     """session_window twin: per-user session count and event totals match
     the batch cumsum sessionization."""
