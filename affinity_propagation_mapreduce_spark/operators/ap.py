@@ -268,15 +268,27 @@ def iterate(
     round-trip — SURVEY.md §3.2).  Eager checkpoints + unpersisting the
     previous iteration's blocks keep exactly ONE message-state copy
     pinned in storage memory: with T states resident the later
-    iterations slow 2-4× from eviction/GC pressure at sf0.1."""
-    prev = None
+    iterations slow 2-4× from eviction/GC pressure at sf0.1.
+
+    The previous state is released through the JVM persistent-RDD
+    registry: ``df.rdd`` is a freshly DERIVED RDD, not the internally
+    persisted localCheckpoint RDD, so ``df.rdd.unpersist()`` is a no-op
+    that silently pins all T states (round-1 review finding).  The real
+    checkpoint RDD is the one inside the post-checkpoint LogicalRDD
+    plan node — released by exact id, so co-materialized neighbors
+    (e.g. a lazily-checkpointed S matrix) are never touched."""
+    jsc = state.sparkSession.sparkContext._jsc
+    prev_id: int | None = None
     for _ in range(iterations):
         state = availability_pass(responsibility_pass(state, lam), lam)
         if checkpoint:
             state = state.localCheckpoint(eager=True)
-            if prev is not None:
-                prev.unpersist()
-            prev = state.rdd
+            if prev_id is not None:
+                prev = jsc.getPersistentRDDs().get(prev_id)
+                if prev is not None:
+                    prev.unpersist()
+            # the LogicalRDD the checkpoint produced IS the persisted RDD
+            prev_id = state._jdf.queryExecution().analyzed().rdd().id()
     return state
 
 

@@ -425,8 +425,11 @@ LANG_PROFILE_K = 20  # top-k trigrams per language profile
 
 
 def _char_trigrams(spark, sf_dir):
-    """(doc_id, lang, trigram) — one row per trigram occurrence."""
-    docs = _docs(spark, sf_dir)
+    """(doc_id, lang, trigram) — one row per trigram occurrence.  Texts
+    shorter than 3 chars are filtered FIRST: sequence(1, length-2) with
+    length < 3 generates a *descending* sequence (bogus positions), not
+    an empty one."""
+    docs = _docs(spark, sf_dir).where(F.length("text") >= 3)
     return docs.select(
         "doc_id",
         "lang",
@@ -467,11 +470,12 @@ def q_lang_id_ngram(spark, sf_dir):
 
 
 O_LANG_ID = f"""
-WITH pos AS (SELECT unnest(range(1, 2000)) AS p),
+WITH maxlen AS (SELECT max(length(text)) AS m FROM documents),
+pos AS (SELECT unnest(range(1, (SELECT m FROM maxlen))) AS p),
 tgs AS (
   SELECT doc_id, lang, substring(text, p::INT, 3) AS tg
   FROM documents CROSS JOIN pos
-  WHERE p <= length(text) - 2),
+  WHERE length(text) >= 3 AND p <= length(text) - 2),
 prof_counts AS (SELECT lang, tg, count(*) AS c FROM tgs GROUP BY lang, tg),
 profile AS (
   SELECT lang AS cand_lang, tg FROM prof_counts

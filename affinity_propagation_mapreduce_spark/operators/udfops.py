@@ -27,9 +27,11 @@ def _emb(spark, sf_dir):
 
 @F.pandas_udf(DoubleType())
 def l2_norm_udf(embs: pd.Series) -> pd.Series:
-    """Arrow-batched L2 norm: one numpy reduction per row, float64."""
-    return embs.apply(lambda a: float(np.sqrt(np.dot(np.asarray(a, dtype="f8"),
-                                                     np.asarray(a, dtype="f8")))))
+    """Arrow-batched L2 norm, fully vectorized: one (batch × dims) numpy
+    matrix op per Arrow batch — no per-row Python (`Series.apply` is a
+    Python loop inside the batch, 10-50× slower for wide batches)."""
+    mat = np.stack(embs.to_numpy()).astype("f8")
+    return pd.Series(np.sqrt(np.einsum("ij,ij->i", mat, mat)))
 
 
 @F.pandas_udf(DoubleType())
