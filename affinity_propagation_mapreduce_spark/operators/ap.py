@@ -516,7 +516,14 @@ def cluster_sparse(
         F.col("vec_id").alias("i"), F.col("vec_id").alias("k"), F.col("p").alias("s")
     )
     smat = cand.unionByName(diag).localCheckpoint(eager=False)
-    state = iterate(init_state(smat), iterations, lam)
+    # sparse state is O(N·k) rows — small enough to retain every
+    # iteration's LAZY checkpoint (materializes inside the next pass's
+    # first job instead of a dedicated eager job: one job per iteration
+    # saved; eager+unpersist is only needed for the O(N²) dense state)
+    state = init_state(smat)
+    for _ in range(iterations):
+        state = availability_pass(responsibility_pass(state, lam), lam)
+        state = state.localCheckpoint(eager=False)
     ex = exemplars_from_state(state)
     best = assign(cand, ex)
     return (
