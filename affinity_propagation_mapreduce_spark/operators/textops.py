@@ -395,6 +395,96 @@ def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
     )
 
 
+# --- D5c near-dup cluster canonicalization (connected components) -----------
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup cluster canonicalization — the step that turns pairwise
+    dedup output into an actual corpus filter: connected components over
+    the exact Jaccard >= 0.95 pair graph (D5), component id = min doc_id
+    in the component, survivor = the doc equal to its component id.
+
+    Iterative min-label propagation: each round joins labels along the
+    (symmetrized, checkpointed) edge list and takes the per-vertex min —
+    the standard distributed CC shape (keyed join + partial-aggregated
+    groupBy per round, O(graph diameter) rounds; near-dup components are
+    near-cliques, so 1-2 rounds here).  At 100 TB the same loop runs
+    with the large-star/small-star optimization; nothing driver-side
+    ever holds the graph — the loop only checks a changed-count
+    aggregate per round.  Deterministic (min) → hashed against a DuckDB
+    recursive-CTE oracle."""
+    pairs = q_dedup_near_jaccard(spark, sf_dir).select("doc_lo", "doc_hi")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_lo").alias("src"), F.col("doc_hi").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_hi").alias("src"), F.col("doc_lo").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("comp"))
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "old_comp"), "doc_id"
+            )
+            .where(F.col("comp") != F.col("old_comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "comp",
+        (F.col("doc_id") == F.col("comp")).cast("long").alias("is_canonical"),
+    )
+
+
+O_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS inter
+  FROM dt a JOIN dt b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_lo, doc_hi
+  FROM inter
+  JOIN sizes sa ON inter.doc_lo = sa.doc_id
+  JOIN sizes sb ON inter.doc_hi = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.95),
+edges AS (SELECT doc_lo AS src, doc_hi AS dst FROM pairs
+          UNION ALL
+          SELECT doc_hi AS src, doc_lo AS dst FROM pairs),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.doc_id = e.src)
+SELECT doc_id, min(comp) AS comp,
+       CAST(doc_id = min(comp) AS BIGINT) AS is_canonical
+FROM reach GROUP BY doc_id
+"""
+
+
 # --- D6 corpus profile -------------------------------------------------------
 
 def q_text_profile(spark, sf_dir):
@@ -734,6 +824,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_near_minhash": q_dedup_near_minhash,  # rows-only (LSH path)
     "text_profile": q_text_profile,
     "lang_id_ngram": q_lang_id_ngram,
@@ -750,6 +841,7 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_near_jaccard": O_NEAR_JACCARD,
     "dedup_ngram_jaccard": O_NGRAM_JACCARD,
+    "dedup_components": O_DEDUP_COMPONENTS,
     "text_profile": O_TEXT_PROFILE,
     "lang_id_ngram": O_LANG_ID,
     "text_quality_score": O_QUALITY,
