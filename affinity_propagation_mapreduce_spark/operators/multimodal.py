@@ -162,7 +162,10 @@ def q_media_decode_features(spark, sf_dir):
 def q_media_frame_sample(spark, sf_dir):
     """Each video asset expands to one row per sampled frame (1 fps over
     meta.duration_s) with a per-frame fingerprint — the frame-sampling
-    UDTF shape (posexplode over a generated frame index)."""
+    UDTF shape (posexplode over a generated frame index).  The frame
+    fingerprint is md5 over (payload ‖ ':' ‖ frame index), which on the
+    UTF-8 payload is byte-identical to DuckDB's string md5 — so this row
+    is fully hash-checked, not rows-only."""
     assets = media_assets(spark, sf_dir).where(
         F.col("media_type") == "video/mp4"
     )
@@ -177,21 +180,36 @@ def q_media_frame_sample(spark, sf_dir):
     )
     return with_payload.select(
         "asset_id",
-        "frame_idx",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
         F.md5(F.concat(F.col("payload"), F.lit(":").cast("binary"),
                        F.col("frame_idx").cast("string").cast("binary")))
         .alias("frame_md5"),
     )
 
 
+O_FRAME_SAMPLE = """
+WITH assets AS (
+  SELECT doc_id AS asset_id, text, (doc_id % 8 + 1) AS duration_s
+  FROM documents
+  WHERE (doc_id % 4) = 3),
+frames AS (
+  SELECT asset_id, text, unnest(range(0, duration_s)) AS frame_idx
+  FROM assets)
+SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       md5(text || ':' || frame_idx::VARCHAR) AS frame_md5
+FROM frames
+"""
+
+
 QUERIES = {
     "media_profile": q_media_profile,
     "media_fingerprint": q_media_fingerprint,
-    "media_decode_features": q_media_decode_features,  # rows-only
-    "media_frame_sample": q_media_frame_sample,  # rows-only
+    "media_decode_features": q_media_decode_features,  # rows-only (decode stub)
+    "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLES = {
     "media_profile": O_MEDIA_PROFILE,
     "media_fingerprint": O_MEDIA_FP,
+    "media_frame_sample": O_FRAME_SAMPLE,
 }
