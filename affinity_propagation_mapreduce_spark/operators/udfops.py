@@ -115,14 +115,89 @@ FROM n
 """
 
 
+# --- G4 mapInArrow: the lowest-overhead Python batch path --------------------
+
+def q_udf_map_in_arrow(spark, sf_dir):
+    """Per-vector element sum via ``mapInArrow`` — the Python interop
+    path with the least conversion overhead (RecordBatch in, RecordBatch
+    out; no pandas materialization).  The sum accumulates
+    dimension-sequentially in float64, the same IEEE add order as the
+    engine's ``F.aggregate`` fold and DuckDB's ``list_reduce`` — bitwise
+    parity, no rounding."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+
+    def batch_sum(batches):
+        for rb in batches:
+            col = rb.column(1)
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            n_rows = len(col)
+            mat = flat.astype("f8").reshape(n_rows, -1)
+            acc = np.zeros(n_rows, dtype="f8")
+            for j in range(mat.shape[1]):  # sequential over dims == fold
+                acc += mat[:, j]
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(acc, type=pa.float64())],
+                names=["vec_id", "esum"],
+            )
+
+    return emb.mapInArrow(batch_sum, schema="vec_id long, esum double")
+
+
+O_MAP_IN_ARROW = """
+SELECT vec_id,
+       list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b) AS esum
+FROM embeddings
+"""
+
+# --- G5 Python UDTF (lateral table function, Arrow-optimized) ----------------
+
+def q_udtf_lateral_tokenize(spark, sf_dir):
+    """Positional tokenizer as a true Python UDTF (Spark 4 ``@udtf``)
+    applied laterally: one input doc row → one output row per token with
+    its position.  Registered and invoked through SQL LATERAL, the
+    declared UDTF surface beyond the grouped-map shape (G3)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string", useArrow=True)
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_udtf_in d, LATERAL tokenize_udtf(d.text) t
+        """
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+O_UDTF_LATERAL = """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+"""
+
+
 QUERIES = {
     "udf_scalar_pandas": q_udf_scalar_pandas,
     "udaf_grouped_agg": q_udaf_grouped_agg,
     "udtf_grouped_map": q_udtf_grouped_map,
+    "udf_map_in_arrow": q_udf_map_in_arrow,
+    "udtf_lateral_tokenize": q_udtf_lateral_tokenize,
 }
 
 ORACLES = {
     "udf_scalar_pandas": O_UDF_SCALAR,
     "udaf_grouped_agg": O_UDAF,
     "udtf_grouped_map": O_UDTF,
+    "udf_map_in_arrow": O_MAP_IN_ARROW,
+    "udtf_lateral_tokenize": O_UDTF_LATERAL,
 }
