@@ -116,3 +116,18 @@ def test_ap_pass_state_never_sorted(spark):
     plan = one_iter._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "Sort " not in plan, "iteration plan sorts the message state"
+
+
+def test_sampling_ops_are_map_side(spark):
+    """sample_hash / split assignment must stay narrow: the md5-bucket
+    predicate is a pure projection+filter over the scan — no Exchange
+    before the (tiny) final aggregate, and the text column is pruned."""
+    plan = _plan(spark, "sample_hash")
+    assert "Exchange" not in plan, "deterministic sample introduced a shuffle"
+    read = plan.split("ReadSchema")[1][:400]
+    assert "text" not in read, "sample reads the wide text column"
+
+    plan = _plan(spark, "split_train_val_test")
+    # split label is map-side; only the 3-row aggregate shuffles
+    assert plan.count("Exchange") <= 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
