@@ -1,0 +1,190 @@
+"""Corpus-curation operators (⊕ rows): eval-set decontamination,
+document-frequency vocabulary pruning, Zipf corpus statistics.
+
+The missing piece between dedup (textops) and sampling (sampling):
+before a corpus trains anything, the pipeline must (a) prove the
+training split does not leak the held-out split — *decontamination* —
+and (b) know its token distribution (stopword mass, Zipf shape) to
+calibrate filters.
+
+Scale notes (100 TB):
+- decontamination candidates come from the shingle inverted index
+  (share-a-shingle equi-join, the same shape as dedup_ngram_jaccard) —
+  never train × eval.  The eval side is tiny by construction (a held-out
+  split), so the joined eval postings broadcast; the train side streams.
+  Boilerplate shingles are the skew risk: at scale, cap posting length
+  (drop shingles with eval-side document frequency above a bound) —
+  contamination is decided by *rare* shingle mass, so a df-cap changes
+  recall only marginally while bounding the join fan-out.
+- vocabulary df and Zipf are one explode + two-level aggregate: partial
+  map-side combine does almost all the work; the reducer sees one row
+  per distinct token, not per occurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .sampling import TRAIN_END, VAL_END, _bucket, _BUCKET_SQL
+from .textops import _docs, _shingles, _tokens
+
+CONTAMINATION_THRESHOLD = 0.5   # shared-shingle fraction of the eval doc
+STOPWORD_DF = 0.6               # token is a stopword if df >= 60% of docs
+ZIPF_TOPK = 30
+
+
+# --- X1 eval-set decontamination ------------------------------------------
+
+def q_decontaminate_eval(spark, sf_dir):
+    """Flag train-split documents whose word-bigram shingle overlap with
+    any test-split document is >= 50% of the eval doc's shingles — the
+    train/eval leakage check run before every pretraining job.  Splits
+    are the deterministic md5 buckets of split_train_val_test, so the
+    contamination report itself is reproducible.  Candidates come from
+    the shingle inverted index; overlap is an integer ratio (bitwise
+    cross-engine)."""
+    sh = _shingles(spark, sf_dir)
+    b = _bucket(F.col("doc_id"))
+    bucketed = sh.withColumn("bucket", b)
+    train = bucketed.filter(F.col("bucket") < TRAIN_END)
+    ev = bucketed.filter(F.col("bucket") >= VAL_END)
+    ev_sz = ev.groupBy("doc_id").agg(F.count("*").alias("eval_sz"))
+    inter = (
+        train.alias("t")
+        .join(ev.alias("e"), F.col("t.shingle") == F.col("e.shingle"))
+        .groupBy(
+            F.col("t.doc_id").alias("train_doc"),
+            F.col("e.doc_id").alias("eval_doc"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ratio = F.col("inter") / F.col("eval_sz")
+    return (
+        inter.join(ev_sz.withColumnRenamed("doc_id", "eval_doc"), "eval_doc")
+        .where(ratio >= CONTAMINATION_THRESHOLD)
+        .select(
+            "train_doc", "eval_doc", "inter", "eval_sz",
+            F.round(ratio, 6).alias("overlap"),
+        )
+    )
+
+
+O_DECONTAMINATE_EVAL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  {_BUCKET_SQL} AS bucket
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, bucket,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+  FROM t),
+ev_sz AS (SELECT doc_id, count(*) AS eval_sz FROM sh
+          WHERE bucket >= {VAL_END} GROUP BY 1),
+inter AS (
+  SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, count(*) AS inter
+  FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+  WHERE tr.bucket < {TRAIN_END} AND ev.bucket >= {VAL_END}
+  GROUP BY 1, 2)
+SELECT train_doc, eval_doc, inter, eval_sz,
+       ROUND(inter / eval_sz, 6) AS overlap
+FROM inter JOIN ev_sz ON inter.eval_doc = ev_sz.doc_id
+WHERE inter / eval_sz >= {CONTAMINATION_THRESHOLD}
+"""
+
+
+# --- X2 document-frequency vocabulary pruning ------------------------------
+
+def q_vocab_prune(spark, sf_dir):
+    """Corpus-level stopword detection (df >= 60% of docs) and the
+    per-document effect of pruning them: token counts before/after and
+    the surviving distinct vocabulary.  Two aggregates over one explode;
+    the df side is a tiny distinct-token relation that broadcasts into
+    the per-doc join."""
+    docs_n = _docs(spark, sf_dir).count()  # scalar, one tiny job
+    df_tbl = (
+        _tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("is_stop", (F.col("df") >= STOPWORD_DF * docs_n))
+    )
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.join(F.broadcast(df_tbl), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("is_stop").cast("long")).alias("n_stop_tokens"),
+            F.countDistinct(
+                F.when(~F.col("is_stop"), F.col("token"))
+            ).alias("kept_vocab"),
+        )
+    )
+
+
+O_VOCAB_PRUNE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df,
+         count(DISTINCT doc_id) >=
+           {STOPWORD_DF} * (SELECT count(*) FROM documents) AS is_stop
+  FROM tok GROUP BY token)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN d.is_stop THEN 1 ELSE 0 END) AS n_stop_tokens,
+       count(DISTINCT CASE WHEN NOT d.is_stop THEN t.token END) AS kept_vocab
+FROM tok t JOIN dfreq d USING (token)
+GROUP BY 1
+"""
+
+
+# --- X3 Zipf corpus statistics --------------------------------------------
+
+def q_zipf_topk(spark, sf_dir):
+    """Token frequency head: top-30 tokens by occurrence count with
+    dense frequency rank and document frequency — the Zipf curve head
+    every corpus report plots.  Partial-aggregated token counts; the
+    rank window runs over the distinct-token relation (vocabulary-sized,
+    not corpus-sized)."""
+    counts = (
+        _tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("token"))
+    return (
+        counts.withColumn("freq_rank", F.row_number().over(w))
+        .where(F.col("freq_rank") <= ZIPF_TOPK)
+        .select("freq_rank", "token", "occurrences", "doc_freq")
+    )
+
+
+O_ZIPF_TOPK = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+counts AS (
+  SELECT token, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+  FROM tok GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, token)
+            AS INTEGER) AS freq_rank,
+       token, occurrences, doc_freq
+FROM counts
+QUALIFY freq_rank <= {ZIPF_TOPK}
+"""
+
+
+QUERIES = {
+    "decontaminate_eval": q_decontaminate_eval,
+    "vocab_prune": q_vocab_prune,
+    "zipf_topk": q_zipf_topk,
+}
+
+ORACLES = {
+    "decontaminate_eval": O_DECONTAMINATE_EVAL,
+    "vocab_prune": O_VOCAB_PRUNE,
+    "zipf_topk": O_ZIPF_TOPK,
+}

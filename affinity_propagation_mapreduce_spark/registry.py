@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 _OPERATOR_MODULES = [
     "affinity_propagation_mapreduce_spark.operators.relational",
     "affinity_propagation_mapreduce_spark.operators.sampling",
+    "affinity_propagation_mapreduce_spark.operators.curation",
     "affinity_propagation_mapreduce_spark.operators.semistructured",
     "affinity_propagation_mapreduce_spark.operators.events",
     "affinity_propagation_mapreduce_spark.operators.udfops",
