@@ -250,6 +250,66 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pack_sequences_sharded(spark, sf_dir):
+    """Scale twin of pack_sequences: shard the corpus by the first hex
+    digit of the md5 order key (16 deterministic ranges) and pack each
+    shard independently — sequences never straddle shards, so the window
+    is PARTITIONED (16 parallel cumsums) instead of a single global
+    orderBy.  This is the formulation that runs at 100 TB: every shard
+    is an independent packing job, seq_id = shard * 2^32 + local_seq
+    keeps ids globally unique, and the only coordination is the hash
+    that defined the shards.  Asserted in test_plans.py: the window
+    carries a partition spec (no single-partition global sort)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id", toks.alias("toks"), order_key.alias("ok"),
+        F.conv(F.substring(order_key, 1, 1), 16, 10)
+        .cast("long").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    with_seq = base.withColumn(
+        "seq_id",
+        F.col("shard") * F.lit(1 << 32)
+        + F.floor(
+            F.coalesce(F.sum("toks").over(w), F.lit(0)) / CONTEXT_TOKENS
+        ).cast("long"),
+    )
+    return with_seq.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("seq_tokens"),
+        F.min("ok").alias("first_key"),
+    )
+
+
+O_PACK_SEQUENCES_SHARDED = f"""
+WITH ordered AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         md5(doc_id::VARCHAR) AS ok,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 1))::BIGINT
+              AS BIGINT) AS shard
+  FROM documents
+), cum AS (
+  SELECT doc_id, toks, ok, shard,
+         COALESCE(sum(toks) OVER (PARTITION BY shard ORDER BY ok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM ordered
+)
+SELECT shard * {1 << 32} + CAST(tok_start // {CONTEXT_TOKENS} AS BIGINT)
+         AS seq_id,
+       count(*) AS n_docs,
+       sum(toks) AS seq_tokens,
+       min(ok) AS first_key
+FROM cum
+GROUP BY 1
+"""
+
+
 O_PACK_SEQUENCES = f"""
 WITH ordered AS (
   SELECT doc_id,
@@ -277,6 +337,7 @@ QUERIES = {
     "split_train_val_test": q_split_train_val_test,
     "corpus_mixture": q_corpus_mixture,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_sharded": q_pack_sequences_sharded,
 }
 
 ORACLES = {
@@ -285,4 +346,5 @@ ORACLES = {
     "split_train_val_test": O_SPLIT_TRAIN_VAL_TEST,
     "corpus_mixture": O_CORPUS_MIXTURE,
     "pack_sequences": O_PACK_SEQUENCES,
+    "pack_sequences_sharded": O_PACK_SEQUENCES_SHARDED,
 }

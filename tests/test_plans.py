@@ -131,3 +131,15 @@ def test_sampling_ops_are_map_side(spark):
     # split label is map-side; only the 3-row aggregate shuffles
     assert plan.count("Exchange") <= 1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_pack_sharded_window_is_partitioned(spark):
+    """The sharded packing twin must not run a global single-partition
+    sort: its window carries a partition spec, so the Exchange ahead of
+    the Sort is a hashpartitioning, not SinglePartition."""
+    plan = _plan(spark, "pack_sequences_sharded")
+    assert "SinglePartition" not in plan, "sharded packing sorts globally"
+    assert "hashpartitioning(shard" in plan
+    # the global (oracle-scale) formulation IS single-partition — the twin
+    # exists precisely to shed that
+    assert "SinglePartition" in _plan(spark, "pack_sequences")
