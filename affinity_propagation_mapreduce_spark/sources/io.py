@@ -59,6 +59,23 @@ def write_partitioned_parquet(
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — the second columnar interchange format Spark ships
+    natively.  Filter pushdown and column pruning reach the ORC reader
+    exactly as for parquet (asserted in tests/test_io.py), so a corpus
+    landed as ORC by an upstream Hive/Trino writer scans with the same
+    row-group skipping."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, sort_within: list[str] | None = None) -> None:
+    """ORC writer (zstd).  Sorting within partitions tightens ORC
+    stripe-level min/max indexes the same way it does parquet row-group
+    stats."""
+    out = df.sortWithinPartitions(*sort_within) if sort_within else df
+    out.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+
 def write_labels(df: DataFrame, path: str) -> None:
     """The reference's output shape: (point_id, exemplar_id) labels."""
     df.write.mode("overwrite").option("header", True).csv(path)

@@ -140,3 +140,25 @@ def test_salted_join_matches_plain(spark):
     a = {tuple(r) for r in got.collect()}
     b = {tuple(r) for r in want.collect()}
     assert a == b
+
+
+def test_orc_roundtrip_and_pushdown(spark):
+    """ORC sink/source must round-trip exactly AND keep predicate
+    pushdown + column pruning at the reader (the scan properties that
+    make a 100 TB ORC corpus scannable)."""
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/li_orc"
+        eio.write_orc(li, path, sort_within=["l_shipdate"])
+        back = eio.read_orc(spark, path)
+        assert back.count() == li.count()
+        q = back.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "GreaterThan(l_quantity" in plan  # pushed to the ORC reader
+        read = plan.split("ReadSchema")[1][:200]
+        assert "l_returnflag" not in read  # pruned
+        got = q.count()
+        want = li.filter(F.col("l_quantity") > 40).count()
+        assert got == want
