@@ -198,7 +198,81 @@ LIMIT 10
 """
 
 
+# --- F7 (⊕) gap-fill resample + forward fill --------------------------------
+
+def q_resample_ffill(spark, sf_dir):
+    """Hourly resample with forward fill — the gap-fill primitive Spark
+    lacks natively, composed from built-ins: (1) last observation per
+    (user, hour) by (ts, event_id) row_number — deterministic tie-break;
+    (2) each user's dense hourly grid via sequence()+explode — a narrow
+    generator, no shuffle; (3) F.last(ignorenulls) over an unbounded
+    preceding frame carries the value across gaps.  The fill value is a
+    raw observed double (no arithmetic) → bitwise cross-engine.
+
+    Scale: everything is keyed by user_id — one shuffle to co-locate a
+    user's events, then grid+fill are partition-local; a user's grid is
+    bounded by their active time span, not the corpus's."""
+    ev = _ev(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    wlast = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select("user_id", hour.alias("hour"), "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour", "value")
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("value", ignorenulls=True).over(wfill).alias("value_ffill"),
+            F.col("value").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+O_RESAMPLE_FFILL = """
+WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events),
+obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, value
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id, date_trunc('hour', ts)
+          ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev)
+  WHERE rn = 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(min(hour), max(hour),
+                                         INTERVAL 1 HOUR)) AS hour
+  FROM obs GROUP BY user_id)
+SELECT g.user_id, g.hour,
+       last_value(o.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       o.value IS NOT NULL AS is_observed
+FROM grid g LEFT JOIN obs o USING (user_id, hour)
+"""
+
+
 QUERIES = {
+    "resample_ffill": q_resample_ffill,
     "win_tumbling": q_win_tumbling,
     "win_sliding": q_win_sliding,
     "sessionize": q_sessionize,
@@ -208,6 +282,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "resample_ffill": O_RESAMPLE_FFILL,
     "win_tumbling": O_TUMBLING,
     "win_sliding": O_SLIDING,
     "sessionize": O_SESSIONIZE,

@@ -68,3 +68,43 @@ def test_spark_matches_numpy_on_random_matrix(spark, seed):
     idx = np.arange(n)
     ex_np = sorted(idx[(r_np[idx, idx] + a_np[idx, idx]) > 0].tolist())
     assert ex_spark == ex_np
+
+
+def test_sample_hash_invariant_under_repartition(spark):
+    """The deterministic sample's keep-set must not depend on physical
+    layout: repartitioning the input cannot change which rows survive
+    (the property that makes the sample retry- and cluster-stable)."""
+    from affinity_propagation_mapreduce_spark.operators import sampling
+    from .conftest import SF_SMALL
+
+    base = sampling.q_sample_hash(spark, SF_SMALL)
+    ids = {r.doc_id for r in base.collect()}
+    assert ids, "sample is empty at test sf"
+    shuffled = (
+        sampling.q_sample_hash(spark, SF_SMALL).repartition(7).collect()
+    )
+    assert {r.doc_id for r in shuffled} == ids
+
+
+def test_split_is_partition_and_stable_prefix(spark):
+    """Every doc lands in exactly one split, and restricting to a subset
+    of docs never reassigns anyone (split is a pure function of doc_id,
+    independent of what else is in the corpus)."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators.sampling import _bucket
+    from affinity_propagation_mapreduce_spark.sources import table
+    from .conftest import SF_SMALL
+
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", _bucket(F.col("doc_id")).alias("b")
+    )
+    n = docs.count()
+    assert docs.select("doc_id").distinct().count() == n
+    full = {r.doc_id: r.b for r in docs.collect()}
+    half = {
+        r.doc_id: r.b
+        for r in docs.filter(F.col("doc_id") % 2 == 0).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    assert all(0 <= b < 1000 for b in full.values())
