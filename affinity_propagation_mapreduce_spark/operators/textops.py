@@ -9,7 +9,7 @@ dense, so near-dedup is declared at >= 0.95.
 
 Scale notes: token explode → groupBy is the map-side-combinable word-count
 shape; the exact O(n²) Jaccard join is oracle-checkable at sf0.01 while
-``dedup_near_minhash`` (rows-only) is the banded-LSH path that survives
+``dedup_near_minhash`` (hash-checked via portable double hashing) is the banded-LSH path that survives
 100 TB — candidate pairs come from band-bucket equi-joins, never a cross
 join.
 """
@@ -300,6 +300,7 @@ N_HASHES = 32
 # the whole bench suite (34.6 s).  Shingles are also the semantically
 # right unit for LLM-corpus dedup: they preserve word order.
 N_BANDS = 8
+MINHASH_PRIME = 2147483647  # 2^31-1; (ha + 31*hb) < 2^53 stays exact int64
 _MINHASH_BROADCAST_MAX_DOCS = 1_000_000  # ≈ dimension-table broadcast cap
 
 
@@ -307,12 +308,21 @@ def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
     """Banded MinHash LSH over word-bigram shingle sets — the sub-N²
     twin of ``dedup_ngram_jaccard``: per-doc signature of N_HASHES
     min-hashes, split into N_BANDS bands; docs sharing any band bucket
-    become candidates (equi-join keyed by the band hash — never
+    become candidates (equi-join keyed by the band signature — never
     all-pairs), then candidates are verified with EXACT shingle Jaccard
     >= NGRAM_JACCARD_THRESHOLD.  Emitted pairs are therefore a subset of
     the exact operator's output (recall asserted >= 0.95 in
-    tests/test_ann_recall.py).  Rows-only: xxhash64 seeds are
-    engine-specific so no cross-engine oracle exists (SURVEY.md §2 D5).
+    tests/test_ann_recall.py).
+
+    Fully hash-checked (upgraded from round-1 rows-only): the hash
+    family is Carter-Wegman double hashing — ONE md5 per shingle split
+    into two 48-bit halves (ha, hb), seed s's hash = (ha + s*hb) mod
+    2^31-1.  All arithmetic is exact int64 (max intermediate < 2^53), so
+    the DuckDB oracle replays the SAME banding and the gate verifies the
+    LSH path end-to-end, not just the verify stage.  One md5 + 32 cheap
+    fused ops per shingle costs about the same as the round-1 32×
+    xxhash64 formulation (engine-specific, hence unverifiable) — 32
+    seeded md5 calls instead would double the sf0.1 stage time.
 
     ``broadcast_verify``: the per-doc shingle-set dimension used by the
     verify stage is broadcast only while the corpus is broadcast-sized
@@ -322,12 +332,18 @@ def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
     review finding).  Both branches are plan-asserted in tests.
     """
     sh = _shingles(spark, sf_dir)
+    digest = F.md5("shingle")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long").alias("ha"),
+        F.conv(F.substring(digest, 13, 12), 16, 10).cast("long").alias("hb"),
+    )
     # all N_HASHES minhashes from ONE hash aggregation (32 min() columns
     # over the shingle rows) — the seeded-explode formulation shuffles
     # 32× the rows for the same signatures
-    sig = sh.groupBy("doc_id").agg(
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+            F.min((F.col("ha") + s * F.col("hb")) % MINHASH_PRIME).alias(f"h{s}")
             for s in range(N_HASHES)
         ]
     )
@@ -338,8 +354,12 @@ def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
             F.array(*[
                 F.struct(
                     F.lit(band).alias("band"),
-                    F.xxhash64(
-                        *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{band * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     ).alias("bucket"),
                 )
                 for band in range(N_BANDS)
@@ -393,6 +413,45 @@ def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
         .where(jac >= NGRAM_JACCARD_THRESHOLD)
         .select("doc_lo", "doc_hi", F.round(jac, 6).alias("jaccard"))
     )
+
+
+O_DEDUP_NEAR_MINHASH = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+  FROM t),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 12))::BIGINT AS ha,
+         ('0x' || substring(md5(shingle), 13, 12))::BIGINT AS hb
+  FROM sh),
+hs AS (
+  SELECT doc_id, seeds.s,
+         min((ha + seeds.s * hb) % {MINHASH_PRIME}) AS mh
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, {N_HASHES})) AS s) seeds
+  GROUP BY doc_id, seeds.s),
+sig AS (
+  SELECT doc_id, s // {N_HASHES // N_BANDS} AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY s) AS bucket
+  FROM hs GROUP BY doc_id, s // {N_HASHES // N_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS shs FROM sh GROUP BY doc_id)
+SELECT doc_lo, doc_hi,
+       ROUND(len(list_intersect(sa.shs, sb.shs)) /
+             (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))),
+             6) AS jaccard
+FROM cand
+JOIN sets sa ON cand.doc_lo = sa.doc_id
+JOIN sets sb ON cand.doc_hi = sb.doc_id
+WHERE len(list_intersect(sa.shs, sb.shs)) /
+      (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+      >= {NGRAM_JACCARD_THRESHOLD}
+"""
 
 
 # --- D5c near-dup cluster canonicalization (connected components) -----------
@@ -825,7 +884,7 @@ QUERIES = {
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
-    "dedup_near_minhash": q_dedup_near_minhash,  # rows-only (LSH path)
+    "dedup_near_minhash": q_dedup_near_minhash,
     "text_profile": q_text_profile,
     "lang_id_ngram": q_lang_id_ngram,
     "text_quality_score": q_text_quality_score,
@@ -841,6 +900,7 @@ ORACLES = {
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_near_jaccard": O_NEAR_JACCARD,
     "dedup_ngram_jaccard": O_NGRAM_JACCARD,
+    "dedup_near_minhash": O_DEDUP_NEAR_MINHASH,
     "dedup_components": O_DEDUP_COMPONENTS,
     "text_profile": O_TEXT_PROFILE,
     "lang_id_ngram": O_LANG_ID,
