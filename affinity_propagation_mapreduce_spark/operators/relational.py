@@ -284,6 +284,69 @@ def q_agg_distinct_approx(spark, sf_dir):
     )
 
 
+KMV_K = 256
+_KMV_DOMAIN = 1 << 48  # md5 12-hex-char prefix → uniform over [0, 2^48)
+
+
+def q_agg_distinct_kmv(spark, sf_dir):
+    """Approximate distinct via a K-minimum-values sketch with a
+    PORTABLE hash (md5 48-bit prefix) — unlike HLL, the estimate is
+    reproducible bit-for-bit across engines, so the gate hash-checks an
+    *approximate* operator exactly.  Estimator: (K-1) * 2^48 / h_K with
+    h_K the K-th smallest distinct hash; groups with < K distinct values
+    report exactly.  (255 * 2^48 has 8 significant bits — exact in
+    float64; one division then floor, identical in both engines.)
+
+    Scale shape: the declared formulation ranks the distinct relation
+    (oracle-checkable); a 100 TB run keeps only each partition's K
+    smallest hashes before the merge — same estimator, sketch-sized
+    shuffle (the property HLL gives up cross-engine determinism for,
+    KMV keeps)."""
+    orders = _t(spark, sf_dir, "orders")
+    h = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10)
+        .cast("long")
+    )
+    hashed = (
+        orders.select("o_orderpriority", h.alias("h")).distinct()
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    per_group = ranked.groupBy("o_orderpriority").agg(
+        F.count("*").alias("nd"),
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("nd") < KMV_K, F.col("nd")
+    ).otherwise(
+        F.floor(F.lit(float((KMV_K - 1) * _KMV_DOMAIN)) / F.col("hk"))
+    ).cast("long")
+    return per_group.select(
+        "o_orderpriority", est.alias("est_distinct_custkeys")
+    )
+
+
+O_AGG_DISTINCT_KMV = f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority,
+         ('0x' || substring(md5(o_custkey::VARCHAR), 1, 12))::BIGINT AS h
+  FROM orders),
+ranked AS (
+  SELECT o_orderpriority, h,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rk
+  FROM hashed),
+per_group AS (
+  SELECT o_orderpriority, count(*) AS nd,
+         max(CASE WHEN rk = {KMV_K} THEN h END) AS hk
+  FROM ranked GROUP BY 1)
+SELECT o_orderpriority,
+       CAST(CASE WHEN nd < {KMV_K} THEN nd
+                 ELSE floor({float((KMV_K - 1) * _KMV_DOMAIN)} / hk)
+            END AS BIGINT) AS est_distinct_custkeys
+FROM per_group
+"""
+
+
 # --- B12 grouping sets / cube ----------------------------------------------
 
 def q_agg_grouping_sets(spark, sf_dir):
@@ -759,6 +822,7 @@ QUERIES = {
     "join_cross_small": q_join_cross_small,
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,  # rows-only
+    "agg_distinct_kmv": q_agg_distinct_kmv,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_percentiles": q_agg_percentiles,
     "agg_stats": q_agg_stats,
