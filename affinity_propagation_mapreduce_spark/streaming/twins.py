@@ -135,6 +135,26 @@ _WM_OUTPUT = StructType(
 _WM_STATE = StructType([StructField("max_ts", LongType())])
 
 
+def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the RAW events parquet (ts as nanos long) — the
+    file-stream source needs a directory, so the single testdata file is
+    staged into a tmp dir keyed by sf."""
+    import shutil
+    import tempfile
+
+    src = f"{sf_dir}/events.parquet"
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "apms_stream_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copyfile(src, dst)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.readStream.schema(_EVENTS_RAW).format("parquet").load(stage)
+
+
 def watermark_stream_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of q_late_data_watermark: per-user 1-hour lateness
     cutoff carried as explicit keyed state (applyInPandasWithState).
@@ -150,20 +170,7 @@ def watermark_stream_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    import shutil
-    import tempfile
-
-    src = f"{sf_dir}/events.parquet"
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "apms_stream_" + os.path.basename(os.path.normpath(sf_dir)),
-    )
-    os.makedirs(stage, exist_ok=True)
-    dst = os.path.join(stage, "events.parquet")
-    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
-        shutil.copyfile(src, dst)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW).format("parquet").load(stage)
+    raw = _staged_events_stream(spark, sf_dir)
 
     hour_us = 3_600_000_000
 
@@ -217,4 +224,86 @@ def session_stream(ev: DataFrame) -> DataFrame:
             F.col("w.start").alias("session_start"),
             "n_events",
         )
+    )
+
+
+_FFILL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("hour", LongType()),  # micros; rebuilt to timestamp below
+        StructField("value_ffill", DoubleType()),
+        StructField("is_observed", LongType()),
+    ]
+)
+
+# (last emitted hour in micros, last filled value) per user
+_FFILL_STATE = StructType(
+    [StructField("last_hour", LongType()), StructField("last_value", DoubleType())]
+)
+
+_HOUR_US = 3_600_000_000
+
+
+def resample_ffill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_resample_ffill: per-user gap-fill carried as
+    explicit keyed state (applyInPandasWithState).  Each micro-batch
+    extends the user's hourly grid from the state's last emitted hour to
+    the batch's max hour, forward-filling from the state's last value —
+    so a user silent for a whole micro-batch still gets their hours
+    emitted on the next event.  On bounded single-trigger input the
+    output equals the batch operator exactly (tested); on unbounded
+    input the append caveat of watermark_stream_raw applies (hours
+    already emitted are not retracted by late data)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = _staged_events_stream(spark, sf_dir)
+
+    def _update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_hour, last_value = state.get if state.exists else (None, None)
+        batches = [pdf for pdf in pdfs]
+        pdf = pd.concat(batches)
+        us = pdf["ts"].astype("int64") // 1000  # raw nanos → micros
+        pdf = pdf.assign(us=us, hour=(us // _HOUR_US) * _HOUR_US)
+        # deterministic last observation per hour: (ts, event_id) order
+        obs = (
+            pdf.sort_values(["us", "event_id"])
+            .groupby("hour", as_index=False)
+            .last()[["hour", "value"]]
+        )
+        start = obs["hour"].min() if last_hour is None else last_hour + _HOUR_US
+        end = int(obs["hour"].max())
+        if end < start:
+            # batch entirely within already-emitted hours: state unchanged
+            yield pd.DataFrame(columns=_FFILL_OUTPUT.fieldNames())
+            return
+        grid = pd.DataFrame({"hour": range(int(start), end + _HOUR_US, _HOUR_US)})
+        out = grid.merge(obs, on="hour", how="left")
+        out["is_observed"] = out["value"].notna().astype("int64")
+        out["value"] = out["value"].ffill()
+        if last_value is not None:
+            out["value"] = out["value"].fillna(last_value)
+        state.update((end, float(out["value"].iloc[-1])))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "hour": out["hour"].astype("int64"),
+                "value_ffill": out["value"],
+                "is_observed": out["is_observed"],
+            }
+        )
+
+    filled = raw.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_FFILL_OUTPUT,
+        stateStructType=_FFILL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return filled.select(
+        "user_id",
+        F.timestamp_micros(F.col("hour")).alias("hour"),
+        "value_ffill",
+        F.col("is_observed").cast("boolean").alias("is_observed"),
     )

@@ -152,3 +152,13 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # state really crossed batches: some user must have emitted twice
     emit_counts = got_df.groupBy("user_id").count().agg(F.max("count")).first()[0]
     assert emit_counts >= 2, "no user spanned multiple micro-batches"
+
+
+def test_resample_ffill_twin_equals_batch(spark):
+    """Gap-fill twin: per-user stateful hourly grid + forward fill equals
+    the batch resample operator exactly on bounded input."""
+    stream = twins.resample_ffill_stream(spark, SF_SMALL)
+    got = _run_stream(spark, stream, "t_ffill", "append")
+    want = ev_ops.q_resample_ffill(spark, SF_SMALL)
+    cols = ["user_id", "hour", "value_ffill", "is_observed"]
+    assert _rows(got, cols) == _rows(want, cols)
