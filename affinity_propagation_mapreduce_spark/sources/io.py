@@ -59,6 +59,26 @@ def write_partitioned_parquet(
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
+def write_range_partitioned(
+    df: DataFrame, path: str, by: str, n_files: int = 32
+) -> None:
+    """Range-partitioned parquet layout: repartitionByRange + sort gives
+    files with DISJOINT [min, max] spans of the sort key (verified in
+    tests/test_io.py via per-file min/max), so a point or range filter
+    on the key prunes to the few files whose span intersects — the
+    file-level analogue of partition pruning, without directory
+    explosion on high-cardinality keys.  At 100 TB this is the layout
+    for time- or id-ranged corpora: the sampler range-partitions the
+    keys, every file is a contiguous slice, and compaction preserves
+    order."""
+    (
+        df.repartitionByRange(n_files, by)
+        .sortWithinPartitions(by)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC reader — the second columnar interchange format Spark ships
     natively.  Filter pushdown and column pruning reach the ORC reader

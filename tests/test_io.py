@@ -162,3 +162,24 @@ def test_orc_roundtrip_and_pushdown(spark):
         got = q.count()
         want = li.filter(F.col("l_quantity") > 40).count()
         assert got == want
+
+
+def test_range_partitioned_files_are_disjoint(spark):
+    """write_range_partitioned must produce files whose sort-key spans
+    do not overlap — the property that makes file-level min/max pruning
+    effective for range predicates."""
+    li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/li_range"
+        eio.write_range_partitioned(li, path, "l_orderkey", n_files=8)
+        back = spark.read.parquet(path)
+        assert back.count() == li.count()
+        spans = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+            .collect()
+        )
+        spans = sorted((r.lo, r.hi) for r in spans)
+        assert len(spans) > 1
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev <= lo_next, "file key spans overlap"
