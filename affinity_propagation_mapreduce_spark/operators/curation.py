@@ -100,13 +100,16 @@ def q_vocab_prune(spark, sf_dir):
     per-document effect of pruning them: token counts before/after and
     the surviving distinct vocabulary.  Two aggregates over one explode;
     the df side is a tiny distinct-token relation that broadcasts into
-    the per-doc join."""
-    docs_n = _docs(spark, sf_dir).count()  # scalar, one tiny job
+    the per-doc join.  The corpus size enters as a cross-joined 1-row
+    aggregate (stays lazy — no separate driver-side count job)."""
+    n_docs = _docs(spark, sf_dir).agg(F.count("*").alias("n_docs"))
     df_tbl = (
         _tokens(spark, sf_dir)
         .groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .withColumn("is_stop", (F.col("df") >= STOPWORD_DF * docs_n))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("is_stop", F.col("df") >= STOPWORD_DF * F.col("n_docs"))
+        .drop("n_docs")
     )
     toks = _tokens(spark, sf_dir)
     return (
