@@ -875,6 +875,107 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_HAMMING_MAX}
 """
 
 
+# --- D5d PageRank over the near-dup graph (⊕) -------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 5
+
+
+def q_pagerank_neardup(spark, sf_dir):
+    """PageRank (damping 0.85, 5 unrolled iterations, uniform teleport)
+    over the symmetric >= 0.95 token-Jaccard near-dup graph — the second
+    iterative relational algorithm in the engine after AP, and the
+    centrality signal a curation pipeline uses to pick cluster
+    representatives.  Same execution shape as the AP passes: per-
+    iteration contribution = edges ⋈ ranks keyed by src, partial-
+    aggregated by dst, rank rebuilt with a left join — the O(E) state is
+    scanned per iteration, never sorted.  The corpus size enters as a
+    cross-joined 1-row aggregate (lazy).  Ranks are group sums of
+    doubles (summation-order dependent) → round(6) on BOTH sides at the
+    output only; intermediates stay raw (divergence ~1e-14 after 5
+    iterations, far under the grid).
+
+    At 100 TB: the edge list shuffles by key once per iteration; ranks
+    and degrees are vertex-sized.  For unrolled depth beyond a few
+    iterations, checkpoint per iteration as ap.iterate does."""
+    pairs = q_dedup_near_jaccard(spark, sf_dir).select("doc_lo", "doc_hi")
+    edges = (
+        pairs.select(F.col("doc_lo").alias("src"), F.col("doc_hi").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_hi").alias("src"), F.col("doc_lo").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    base = docs.crossJoin(F.broadcast(n))
+    ranks = base.select("doc_id", (F.lit(1.0) / F.col("n_docs")).alias("rank"))
+    d = PAGERANK_DAMPING
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = base.join(contrib, "doc_id", "left").select(
+            "doc_id",
+            (
+                (1.0 - d) / F.col("n_docs")
+                + d * F.coalesce("contrib", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled CTE chain mirroring q_pagerank_neardup iteration-for-
+    iteration (same graph CTEs as O_DEDUP_COMPONENTS' pair derivation)."""
+    d = PAGERANK_DAMPING
+    parts = [
+        """WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS inter
+  FROM dt a JOIN dt b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_lo, doc_hi
+  FROM inter
+  JOIN sizes sa ON inter.doc_lo = sa.doc_id
+  JOIN sizes sb ON inter.doc_hi = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.95),
+edges AS (SELECT doc_lo AS src, doc_hi AS dst FROM pairs
+          UNION ALL
+          SELECT doc_hi AS src, doc_lo AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n_docs FROM documents),
+r0 AS (SELECT doc_id, 1.0 / n.n_docs AS rank FROM documents, n)"""
+    ]
+    for i in range(PAGERANK_ITERS):
+        parts.append(
+            f"""c{i + 1} AS (
+  SELECT e.dst AS doc_id, sum(r.rank / deg.deg) AS contrib
+  FROM edges e JOIN deg ON e.src = deg.src
+  JOIN r{i} r ON e.src = r.doc_id
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT d.doc_id,
+         (1.0 - {d}) / n.n_docs + {d} * COALESCE(c.contrib, 0.0) AS rank
+  FROM documents d CROSS JOIN n LEFT JOIN c{i + 1} c ON d.doc_id = c.doc_id)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT doc_id, ROUND(rank, 6) AS rank FROM r{PAGERANK_ITERS}"
+    )
+
+
+O_PAGERANK_NEARDUP = _pagerank_oracle_sql()
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
     "dedup_simhash": q_dedup_simhash,
@@ -884,6 +985,7 @@ QUERIES = {
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
+    "pagerank_neardup": q_pagerank_neardup,
     "dedup_near_minhash": q_dedup_near_minhash,
     "text_profile": q_text_profile,
     "lang_id_ngram": q_lang_id_ngram,
@@ -901,6 +1003,7 @@ ORACLES = {
     "dedup_near_jaccard": O_NEAR_JACCARD,
     "dedup_ngram_jaccard": O_NGRAM_JACCARD,
     "dedup_near_minhash": O_DEDUP_NEAR_MINHASH,
+    "pagerank_neardup": O_PAGERANK_NEARDUP,
     "dedup_components": O_DEDUP_COMPONENTS,
     "text_profile": O_TEXT_PROFILE,
     "lang_id_ngram": O_LANG_ID,
