@@ -180,14 +180,59 @@ QUALIFY freq_rank <= {ZIPF_TOPK}
 """
 
 
+# --- X4 feature-hashing embedder ------------------------------------------
+
+FEATURE_HASH_DIMS = 64
+
+
+def q_embed_feature_hash(spark, sf_dir):
+    """Hashing-trick featurization: each token occurrence lands in
+    dimension md5_bucket(token) % 64 with sign ±1 from the next hash
+    bit — the classic collision-tolerant bag-of-words embedding that
+    needs NO vocabulary table (the property that makes it the 100 TB
+    featurizer: zero global state, pure map + one aggregate).  Output is
+    the sparse (doc_id, dim, weight) relation with exact integer
+    weights — dense assembly/normalization is a downstream concern
+    (and floats would need parity rounding; ints hash exactly)."""
+    toks = _tokens(spark, sf_dir)
+    h = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long")
+    dim = (h % FEATURE_HASH_DIMS).alias("dim")
+    sign = (F.when((h / FEATURE_HASH_DIMS).cast("long") % 2 == 0, 1)
+            .otherwise(-1))
+    return (
+        toks.select("doc_id", dim, sign.alias("sign"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+O_EMBED_FEATURE_HASH = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(token), 1, 12))::BIGINT % {FEATURE_HASH_DIMS}
+           AS dim,
+         CASE WHEN (('0x' || substring(md5(token), 1, 12))::BIGINT
+                    // {FEATURE_HASH_DIMS}) % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM tok)
+SELECT doc_id, dim, sum(sign) AS weight
+FROM hashed GROUP BY doc_id, dim
+HAVING sum(sign) != 0
+"""
+
+
 QUERIES = {
     "decontaminate_eval": q_decontaminate_eval,
     "vocab_prune": q_vocab_prune,
     "zipf_topk": q_zipf_topk,
+    "embed_feature_hash": q_embed_feature_hash,
 }
 
 ORACLES = {
     "decontaminate_eval": O_DECONTAMINATE_EVAL,
     "vocab_prune": O_VOCAB_PRUNE,
     "zipf_topk": O_ZIPF_TOPK,
+    "embed_feature_hash": O_EMBED_FEATURE_HASH,
 }
