@@ -326,6 +326,46 @@ def q_agg_distinct_kmv(spark, sf_dir):
     )
 
 
+FUZZY_MAX_DIST = 1
+
+
+def q_fuzzy_name_match(spark, sf_dir):
+    """Blocked fuzzy string join: customer-name pairs within Levenshtein
+    distance 1, blocked by nation — the scalable fuzzy-join shape (the
+    equi-join on the block key bounds candidate pairs to block-local;
+    the edit-distance filter runs post-join on that bounded set, never
+    on the full N²).  levenshtein() is native in both engines with
+    identical integer semantics."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_name"
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.c_nationkey").alias("nationkey"),
+            F.col("a.c_name").alias("name_lo"),
+            F.col("b.c_name").alias("name_hi"),
+            dist.alias("dist"),
+        )
+    )
+
+
+O_FUZZY_NAME_MATCH = f"""
+SELECT a.c_nationkey AS nationkey, a.c_name AS name_lo, b.c_name AS name_hi,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 O_AGG_DISTINCT_KMV = f"""
 WITH hashed AS (
   SELECT DISTINCT o_orderpriority,
@@ -823,6 +863,7 @@ QUERIES = {
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,  # rows-only
     "agg_distinct_kmv": q_agg_distinct_kmv,
+    "fuzzy_name_match": q_fuzzy_name_match,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_percentiles": q_agg_percentiles,
     "agg_stats": q_agg_stats,
