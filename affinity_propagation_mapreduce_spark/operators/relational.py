@@ -897,6 +897,8 @@ ORACLES = {
     "join_asof": O_JOIN_ASOF,
     "join_cross_small": O_JOIN_CROSS,
     "agg_distinct": O_AGG_DISTINCT,
+    "agg_distinct_kmv": O_AGG_DISTINCT_KMV,
+    "fuzzy_name_match": O_FUZZY_NAME_MATCH,
     "agg_grouping_sets": O_GROUPING,
     "agg_percentiles": O_PERCENTILES,
     "agg_stats": O_AGG_STATS,
