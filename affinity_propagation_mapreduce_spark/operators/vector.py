@@ -169,9 +169,10 @@ def q_knn_cosine_ivf(spark, sf_dir):
     each query probes only its N_PROBE nearest cells, so the pairwise
     work drops from |Q|·N to |Q|·(N·nprobe/nlist).  At 100 TB the cell
     id is the shuffle/partition key — queries and candidates co-locate
-    per cell and no task sees the full corpus.  Rows-only: recall vs the
-    exact `knn_cosine_topk` is asserted in tests (not hash-stable by
-    design — it is an approximation)."""
+    per cell and no task sees the full corpus.  The whole pipeline is
+    deterministic fold arithmetic with id tie-breaks, so the oracle
+    mirrors the same approximation and the gate hash-checks it; recall
+    vs the exact `knn_cosine_topk` is asserted in tests."""
     emb = _emb(spark, sf_dir)
     norms = emb.select(
         "vec_id",
@@ -219,6 +220,44 @@ def q_knn_cosine_ivf(spark, sf_dir):
         .where(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn"))
     )
+
+
+O_KNN_IVF = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+coarse AS (
+  SELECT vec_id AS cell, emb AS c_emb, nrm AS c_nrm FROM e
+  WHERE vec_id < {N_COARSE}),
+scored_cells AS (
+  SELECT e.vec_id, e.emb, e.nrm, c.cell,
+         list_reduce(list_transform(list_zip(e.emb, c.c_emb), z -> z[1]*z[2]),
+                     (a, b) -> a + b) / (e.nrm * c.c_nrm) AS cell_cos
+  FROM e CROSS JOIN coarse c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY cell_cos DESC, cell ASC) AS crn
+  FROM scored_cells),
+assignment AS (
+  SELECT vec_id AS neighbor_id, emb AS n_emb, nrm AS n_nrm, cell
+  FROM ranked WHERE crn = 1),
+probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, cell
+  FROM ranked WHERE crn <= {N_PROBE} AND vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.neighbor_id,
+         list_reduce(list_transform(list_zip(p.q_emb, a.n_emb), z -> z[1]*z[2]),
+                     (x, y) -> x + y) / (p.q_nrm * a.n_nrm) AS cosine
+  FROM probes p JOIN assignment a USING (cell)
+  WHERE p.query_id <> a.neighbor_id)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM cand
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= {TOP_K}
+"""
 
 
 # --- E5 embedding-cosine near-dup -------------------------------------------
@@ -371,13 +410,14 @@ QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_embed_cosine_ivf": q_dedup_embed_cosine_ivf,  # rows-only scale twin
-    "knn_cosine_ivf": q_knn_cosine_ivf,  # rows-only (approximate by design)
+    "knn_cosine_ivf": q_knn_cosine_ivf,
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,
 }
 
 ORACLES = {
     "knn_cosine_topk": O_KNN,
+    "knn_cosine_ivf": O_KNN_IVF,
     "dedup_embed_cosine": O_EMBED_DUP,
     "dist_histogram": O_DIST_HIST,
     "label_centroids": O_CENTROIDS,
