@@ -271,7 +271,119 @@ FROM grid g LEFT JOIN obs o USING (user_id, hour)
 """
 
 
+# --- funnel analysis (view -> click -> purchase, strictly ordered) ----------
+
+def q_funnel_conversion(spark, sf_dir):
+    """Strict-order conversion funnel per user: first 'view', then the
+    first 'click' AFTER that view, then the first 'purchase' AFTER that
+    click.  Three filtered per-user min-aggregates chained by left
+    joins — each stage shuffles only its event-type slice on user_id
+    (map-side partial min), never the whole event log; at 100 TB each
+    stage's input is a pruned scan (event_type pushed to parquet).
+    stage = how far the user got (1=view, 2=+click, 3=+purchase)."""
+    ev = _ev(spark, sf_dir)
+
+    def first_after(etype, out, prev=None, prev_col=None):
+        src = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            return src.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            src.join(prev.select("user_id", prev_col), "user_id")
+            .where(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = first_after("view", "view_ts")
+    c = first_after("click", "click_ts", v, "view_ts")
+    p = first_after("purchase", "purchase_ts", c, "click_ts")
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            ).cast("long").alias("stage"),
+        )
+    )
+
+
+O_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (SELECT user_id, min(ts) AS view_ts FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS click_ts
+      FROM ev e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM ev e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY e.user_id)
+SELECT v.user_id, view_ts, click_ts, purchase_ts,
+       CAST(1 + (click_ts IS NOT NULL)::INT + (purchase_ts IS NOT NULL)::INT
+            AS BIGINT) AS stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+# --- EWMA smoothing over the per-user daily series ---------------------------
+
+EWMA_ALPHA = 0.25  # exact binary fraction: fold arithmetic stays bitwise
+
+
+def q_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted moving average of each user's daily event
+    count, folded left-to-right over the day-ordered series (acc =
+    alpha*x + (1-alpha)*acc, seeded with the first day).  The sequential
+    fold is bitwise identical cross-engine (parity rule), and alpha=1/4
+    is an exact binary fraction.  Scale shape: the daily pre-aggregate
+    is the only shuffle of the raw log; the fold runs over one small
+    array per user (days, not events)."""
+    ev = _ev(spark, sf_dir)
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    series = daily.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))), lambda s: s["n"]
+        ).alias("xs")
+    )
+    ewma = F.aggregate(
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at("xs", 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1.0 - EWMA_ALPHA) * acc,
+    )
+    return series.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_days"),
+        ewma.alias("ewma_daily_events"),
+    )
+
+
+O_EWMA = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+series AS (
+  SELECT user_id, list(n ORDER BY day) AS xs
+  FROM daily GROUP BY user_id)
+SELECT user_id, CAST(len(xs) AS BIGINT) AS n_days,
+       list_reduce(xs, (acc, x) -> {EWMA_ALPHA} * x + {1.0 - EWMA_ALPHA} * acc)
+         AS ewma_daily_events
+FROM series
+"""
+
+
 QUERIES = {
+    "funnel_conversion": q_funnel_conversion,
+    "ewma_smooth": q_ewma_smooth,
     "resample_ffill": q_resample_ffill,
     "win_tumbling": q_win_tumbling,
     "win_sliding": q_win_sliding,
@@ -282,6 +394,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "funnel_conversion": O_FUNNEL,
+    "ewma_smooth": O_EWMA,
     "resample_ffill": O_RESAMPLE_FFILL,
     "win_tumbling": O_TUMBLING,
     "win_sliding": O_SLIDING,

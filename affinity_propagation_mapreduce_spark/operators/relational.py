@@ -650,6 +650,149 @@ EXCEPT
 SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
 """
 
+
+def _cust_multiset(spark, sf_dir, status):
+    """Custkey MULTISET of one order-status slice (customers repeat —
+    multiplicities are what the bag set-ops below are about)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == status)
+        .select("o_custkey")
+    )
+
+
+def q_set_intersect_all(spark, sf_dir):
+    """Bag-semantics INTERSECT ALL: each custkey kept min(m_open, m_final)
+    times.  Plans as a single hash aggregate over the union (Spark's
+    intersectAll), no join — map-side combinable at any scale."""
+    return _cust_multiset(spark, sf_dir, "O").intersectAll(
+        _cust_multiset(spark, sf_dir, "F")
+    )
+
+
+O_SET_INTERSECT_ALL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_set_except_all(spark, sf_dir):
+    """Bag-semantics EXCEPT ALL: open-order custkeys with final-order
+    occurrences subtracted copy-for-copy (multiplicity max(m_o - m_f, 0))."""
+    return _cust_multiset(spark, sf_dir, "O").exceptAll(
+        _cust_multiset(spark, sf_dir, "F")
+    )
+
+
+O_SET_EXCEPT_ALL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_join_full_outer(spark, sf_dir):
+    """Full-outer join of per-day open vs final order counts — at ~6
+    orders/day split over 3 statuses, many days miss one side, so both
+    null wings are populated (FIXTURES.md data-shape rule).  Shuffles
+    both sides on the day key once; counts pre-aggregate map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.date_trunc("day", F.col("o_orderdate")).alias("day")
+
+    def per_day(status, out):
+        return (
+            orders.where(F.col("o_orderstatus") == status)
+            .groupBy(day)
+            .agg(F.count("*").alias(out))
+        )
+
+    o, f = per_day("O", "n_open"), per_day("F", "n_final")
+    return (
+        o.join(f, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_open", F.lit(0)).alias("n_open"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            (F.coalesce("n_open", F.lit(0)) - F.coalesce("n_final", F.lit(0)))
+            .alias("open_minus_final"),
+        )
+    )
+
+
+O_JOIN_FULL_OUTER = """
+WITH o AS (
+  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_open
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+f AS (
+  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_final
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT COALESCE(o.day, f.day) AS day,
+       COALESCE(n_open, 0) AS n_open,
+       COALESCE(n_final, 0) AS n_final,
+       COALESCE(n_open, 0) - COALESCE(n_final, 0) AS open_minus_final
+FROM o FULL OUTER JOIN f ON o.day = f.day
+"""
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+_PROFILE_NUMERIC = {"o_custkey", "o_totalprice"}
+
+
+def q_profile_columns(spark, sf_dir):
+    """Dataset-audit profile: one row per column with row/null/distinct
+    counts and min/max (numeric columns report numeric min/max; string
+    columns report lexicographic bounds).  ONE scan, ONE aggregate —
+    all per-column stats ride the same map-side partial agg, then the
+    1-row result is exploded into the per-column report, so profiling a
+    100 TB table costs a single pass regardless of column count.
+    Min/max are selections (never sums) — bitwise portable, no rounding."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    rows = []
+    for c in _PROFILE_COLS:
+        num = c in _PROFILE_NUMERIC
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.col(f"{c}__min").cast("double") if num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"{c}__max").cast("double") if num else F.lit(None).cast("double")).alias("max_num"),
+                (F.lit(None).cast("string") if num else F.col(f"{c}__min")).alias("min_str"),
+                (F.lit(None).cast("string") if num else F.col(f"{c}__max")).alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def _profile_oracle_branch(c):
+    num = c in _PROFILE_NUMERIC
+    min_num = f"CAST(min({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+    max_num = f"CAST(max({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+    min_str = "CAST(NULL AS VARCHAR)" if num else f"min({c})"
+    max_str = "CAST(NULL AS VARCHAR)" if num else f"max({c})"
+    return (
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+        f" count(*) - count({c}) AS n_null,"
+        f" count(DISTINCT {c}) AS n_distinct,"
+        f" {min_num} AS min_num, {max_num} AS max_num,"
+        f" {min_str} AS min_str, {max_str} AS max_str FROM orders"
+    )
+
+
+O_PROFILE_COLUMNS = "\nUNION ALL\n".join(
+    _profile_oracle_branch(c) for c in _PROFILE_COLS
+)
+
 # --- B24 string scalar functions ---------------------------------------------
 
 def q_scalar_string(spark, sf_dir):
@@ -860,6 +1003,7 @@ QUERIES = {
     "join_range_theta": q_join_range_theta,
     "join_asof": q_join_asof,
     "join_cross_small": q_join_cross_small,
+    "join_full_outer": q_join_full_outer,
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,  # rows-only
     "agg_distinct_kmv": q_agg_distinct_kmv,
@@ -876,6 +1020,9 @@ QUERIES = {
     "set_union": q_set_union,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
+    "set_intersect_all": q_set_intersect_all,
+    "set_except_all": q_set_except_all,
+    "profile_columns": q_profile_columns,
     "scalar_string": q_scalar_string,
     "scalar_datetime": q_scalar_datetime,
     "scalar_math": q_scalar_math,
@@ -911,6 +1058,9 @@ ORACLES = {
     "set_union": O_SET_UNION,
     "set_intersect": O_SET_INTERSECT,
     "set_except": O_SET_EXCEPT,
+    "set_intersect_all": O_SET_INTERSECT_ALL,
+    "set_except_all": O_SET_EXCEPT_ALL,
+    "profile_columns": O_PROFILE_COLUMNS,
     "scalar_string": O_SCALAR_STRING,
     "scalar_datetime": O_SCALAR_DATETIME,
     "scalar_math": O_SCALAR_MATH,
