@@ -223,7 +223,45 @@ HAVING sum(sign) != 0
 """
 
 
+# --- PII-style masking ------------------------------------------------------
+
+def q_pii_scrub(spark, sf_dir):
+    """PII-shaped scrubbing pass: mask every digit in the identifier-bearing
+    name column ('Customer#000000042' -> 'Customer##########') and report
+    how many characters were redacted per row plus a per-row residual
+    check (no digits may survive).  Pure JVM regexp expressions — the
+    masking pipeline is a map-only projection at any scale, no shuffle.
+    On a real corpus the same shape carries email/phone patterns; the
+    digit-run rule is the pattern this fixture schema can exercise."""
+    from ..sources import table as _table
+
+    cust = _table(spark, sf_dir, "customer")
+    masked = F.regexp_replace(F.col("c_name"), "[0-9]", "#")
+    n_redacted = (
+        F.length("c_name") - F.length(F.regexp_replace(F.col("c_name"), "[0-9]", ""))
+    )
+    return cust.select(
+        "c_custkey",
+        masked.alias("name_masked"),
+        n_redacted.cast("long").alias("n_redacted"),
+        masked.rlike("[0-9]").cast("bigint").alias("residual_digits"),
+    )
+
+
+O_PII_SCRUB = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+       CAST(length(c_name)
+            - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT)
+         AS n_redacted,
+       CAST(regexp_matches(regexp_replace(c_name, '[0-9]', '#', 'g'), '[0-9]')
+            AS BIGINT) AS residual_digits
+FROM customer
+"""
+
+
 QUERIES = {
+    "pii_scrub": q_pii_scrub,
     "decontaminate_eval": q_decontaminate_eval,
     "vocab_prune": q_vocab_prune,
     "zipf_topk": q_zipf_topk,
@@ -231,6 +269,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pii_scrub": O_PII_SCRUB,
     "decontaminate_eval": O_DECONTAMINATE_EVAL,
     "vocab_prune": O_VOCAB_PRUNE,
     "zipf_topk": O_ZIPF_TOPK,

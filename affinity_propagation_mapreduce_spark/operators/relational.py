@@ -793,6 +793,103 @@ O_PROFILE_COLUMNS = "\nUNION ALL\n".join(
     _profile_oracle_branch(c) for c in _PROFILE_COLS
 )
 
+HIST_BUCKET_WIDTH = 25_000.0  # o_totalprice ∈ [~1013, ~499979] → 20 buckets
+
+
+def q_hist_equiwidth(spark, sf_dir):
+    """Equi-width histogram of order totals: bucket = floor(price/width).
+    The bucketing is a map-side integer projection and the aggregate is a
+    20-group hash agg — the one-pass histogram that works at any scale
+    (no sort, no percentile state).  Bucket bounds are exact integer
+    multiples; min/max are selections (unrounded)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(HIST_BUCKET_WIDTH))
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_BUCKET_WIDTH).alias("bucket_lo"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+O_HIST_EQUIWIDTH = f"""
+SELECT bucket, bucket * {HIST_BUCKET_WIDTH} AS bucket_lo,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+FROM (SELECT o_totalprice,
+             CAST(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket
+      FROM orders)
+GROUP BY bucket
+"""
+
+
+MAD_SCALE = 1.4826  # normal-consistency constant
+MAD_K = 3.0
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier counts per market segment: median / MAD of account
+    balance, then |x - med| > k * 1.4826 * MAD.  Both medians are exact
+    percentiles ROUNDED to cents on both engines before any downstream
+    arithmetic, so the deviation comparisons are bitwise-identical
+    per-row math.  The 5-row segment stats broadcast back onto the scan —
+    two aggregate passes, no sort of the full table."""
+    cust = _t(spark, sf_dir, "customer")
+    med = cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 2).alias("med_bal")
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "absdev", F.abs(F.col("c_acctbal") - F.col("med_bal"))
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.first("med_bal").alias("med_bal"),
+        F.round(F.expr("percentile(absdev, 0.5)"), 2).alias("mad_bal"),
+    )
+    flagged = dev.select("c_mktsegment", "absdev").join(
+        F.broadcast(mad.select("c_mktsegment", "mad_bal")), "c_mktsegment"
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(
+                (F.col("absdev") > F.lit(MAD_K * MAD_SCALE) * F.col("mad_bal"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+        .join(F.broadcast(mad), "c_mktsegment")
+        .select("c_mktsegment", "med_bal", "mad_bal", "n_customers", "n_outliers")
+    )
+
+
+O_MAD_OUTLIERS = f"""
+WITH med AS (
+  SELECT c_mktsegment, ROUND(quantile_cont(c_acctbal, 0.5), 2) AS med_bal
+  FROM customer GROUP BY c_mktsegment),
+dev AS (
+  SELECT c.c_mktsegment, med_bal, abs(c_acctbal - med_bal) AS absdev
+  FROM customer c JOIN med USING (c_mktsegment)),
+mad AS (
+  SELECT c_mktsegment, any_value(med_bal) AS med_bal,
+         ROUND(quantile_cont(absdev, 0.5), 2) AS mad_bal
+  FROM dev GROUP BY c_mktsegment)
+SELECT d.c_mktsegment, m.med_bal, m.mad_bal,
+       count(*) AS n_customers,
+       CAST(sum((d.absdev > {MAD_K * MAD_SCALE} * m.mad_bal)::INT) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (c_mktsegment)
+GROUP BY d.c_mktsegment, m.med_bal, m.mad_bal
+"""
+
 # --- B24 string scalar functions ---------------------------------------------
 
 def q_scalar_string(spark, sf_dir):
@@ -1023,6 +1120,8 @@ QUERIES = {
     "set_intersect_all": q_set_intersect_all,
     "set_except_all": q_set_except_all,
     "profile_columns": q_profile_columns,
+    "hist_equiwidth": q_hist_equiwidth,
+    "mad_outliers": q_mad_outliers,
     "scalar_string": q_scalar_string,
     "scalar_datetime": q_scalar_datetime,
     "scalar_math": q_scalar_math,
@@ -1061,6 +1160,8 @@ ORACLES = {
     "set_intersect_all": O_SET_INTERSECT_ALL,
     "set_except_all": O_SET_EXCEPT_ALL,
     "profile_columns": O_PROFILE_COLUMNS,
+    "hist_equiwidth": O_HIST_EQUIWIDTH,
+    "mad_outliers": O_MAD_OUTLIERS,
     "scalar_string": O_SCALAR_STRING,
     "scalar_datetime": O_SCALAR_DATETIME,
     "scalar_math": O_SCALAR_MATH,
