@@ -135,7 +135,10 @@ dfreq AS (
   FROM tok GROUP BY token)
 SELECT t.doc_id,
        count(*) AS n_tokens,
-       sum(CASE WHEN d.is_stop THEN 1 ELSE 0 END) AS n_stop_tokens,
+       -- CAST: DuckDB integer sum() yields HUGEINT; driver hash is
+       -- type-sensitive against Spark's BIGINT
+       CAST(sum(CASE WHEN d.is_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stop_tokens,
        count(DISTINCT CASE WHEN NOT d.is_stop THEN t.token END) AS kept_vocab
 FROM tok t JOIN dfreq d USING (token)
 GROUP BY 1
@@ -217,7 +220,7 @@ hashed AS (
          CASE WHEN (('0x' || substring(md5(token), 1, 12))::BIGINT
                     // {FEATURE_HASH_DIMS}) % 2 = 0 THEN 1 ELSE -1 END AS sign
   FROM tok)
-SELECT doc_id, dim, sum(sign) AS weight
+SELECT doc_id, dim, CAST(sum(sign) AS BIGINT) AS weight
 FROM hashed GROUP BY doc_id, dim
 HAVING sum(sign) != 0
 """

@@ -116,8 +116,10 @@ flagged AS (
                  THEN 1 ELSE 0 END AS is_new
   FROM ordered),
 sessions AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+  -- CAST: DuckDB integer sum() yields HUGEINT; Spark emits BIGINT
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,

@@ -276,12 +276,30 @@ FROM customer GROUP BY c_mktsegment
 
 
 def q_agg_distinct_approx(spark, sf_dir):
-    """HLL++ sketch counts — rows-only (sketch constants differ across
-    engines by design; this is the 100 TB path for distinct counts)."""
+    """HLL++ sketch distinct counts — the 100 TB path for distinct
+    counting.  Raw sketch estimates differ across engines by design
+    (sketch constants), so the query emits the exact count plus a
+    deterministic accuracy attestation: |HLL - exact| <= 5x the default
+    rsd (0.05).  The HLL estimate is deterministic for a fixed input, so
+    the attestation column is a stable 0/1 the oracle can hash — the
+    driver verifies the sketch ran AND landed inside its error budget,
+    instead of recording an unverifiable rows-only row.  (The KMV twin
+    `agg_distinct_kmv` is the bit-for-bit reproducible approx-distinct.)"""
     cust = _t(spark, sf_dir, "customer")
+    exact = F.countDistinct("c_custkey")
+    approx = F.approx_count_distinct("c_custkey")
     return cust.groupBy("c_mktsegment").agg(
-        F.approx_count_distinct("c_custkey").alias("approx_custkeys")
+        exact.alias("n_exact"),
+        (F.abs(approx - exact) <= F.lit(0.25) * exact)
+        .cast("long").alias("approx_within_25pct"),
     )
+
+
+O_AGG_DISTINCT_APPROX = """
+SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_exact,
+       CAST(1 AS BIGINT) AS approx_within_25pct
+FROM customer GROUP BY c_mktsegment
+"""
 
 
 KMV_K = 256
@@ -838,56 +856,71 @@ MAD_K = 3.0
 
 def q_mad_outliers(spark, sf_dir):
     """Robust outlier counts per market segment: median / MAD of account
-    balance, then |x - med| > k * 1.4826 * MAD.  Both medians are exact
-    percentiles ROUNDED to cents on both engines before any downstream
-    arithmetic, so the deviation comparisons are bitwise-identical
-    per-row math.  The 5-row segment stats broadcast back onto the scan —
-    two aggregate passes, no sort of the full table."""
+    balance, then |x - med| > k * 1.4826 * MAD.  ALL median/MAD arithmetic
+    is integer cents: an interpolated even-N median is a multiple of 0.5,
+    so 2x the percentile is an exact integer in both engines — no decimal
+    rounding ever touches an interpolated value (round-2's mad_outliers
+    hash-fail was ROUND(quantile, 2) landing on a .885 half-boundary).
+    med_x2c = 2 x median(cents); absdev2 = |2*cents - med_x2c| (2x-cents
+    deviations, still integers); mad_x4c = 2 x median(absdev2) (4x-cents
+    MAD).  The outlier test |x-med| > k*1.4826*MAD becomes
+    2*absdev2 > (k*1.4826)*mad_x4c — one float64 multiply of an integer,
+    bitwise identical across engines.  The 5-row segment stats broadcast
+    back onto the scan — two aggregate passes, no sort of the full table."""
     cust = _t(spark, sf_dir, "customer")
-    med = cust.groupBy("c_mktsegment").agg(
-        F.round(F.expr("percentile(c_acctbal, 0.5)"), 2).alias("med_bal")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    base = cust.select("c_mktsegment", cents.alias("cents"))
+    med = base.groupBy("c_mktsegment").agg(
+        (F.lit(2) * F.expr("percentile(cents, 0.5)"))
+        .cast("long").alias("med_x2c")
     )
-    dev = cust.join(F.broadcast(med), "c_mktsegment").withColumn(
-        "absdev", F.abs(F.col("c_acctbal") - F.col("med_bal"))
+    dev = base.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "absdev2", F.abs(F.lit(2) * F.col("cents") - F.col("med_x2c"))
     )
     mad = dev.groupBy("c_mktsegment").agg(
-        F.first("med_bal").alias("med_bal"),
-        F.round(F.expr("percentile(absdev, 0.5)"), 2).alias("mad_bal"),
+        F.first("med_x2c").alias("med_x2c"),
+        (F.lit(2) * F.expr("percentile(absdev2, 0.5)"))
+        .cast("long").alias("mad_x4c"),
     )
-    flagged = dev.select("c_mktsegment", "absdev").join(
-        F.broadcast(mad.select("c_mktsegment", "mad_bal")), "c_mktsegment"
+    flagged = dev.select("c_mktsegment", "absdev2").join(
+        F.broadcast(mad.select("c_mktsegment", "mad_x4c")), "c_mktsegment"
     )
     return (
         flagged.groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
             F.sum(
-                (F.col("absdev") > F.lit(MAD_K * MAD_SCALE) * F.col("mad_bal"))
-                .cast("long")
+                (
+                    F.lit(2) * F.col("absdev2")
+                    > F.lit(MAD_K * MAD_SCALE) * F.col("mad_x4c")
+                ).cast("long")
             ).alias("n_outliers"),
         )
         .join(F.broadcast(mad), "c_mktsegment")
-        .select("c_mktsegment", "med_bal", "mad_bal", "n_customers", "n_outliers")
+        .select("c_mktsegment", "med_x2c", "mad_x4c", "n_customers", "n_outliers")
     )
 
 
 O_MAD_OUTLIERS = f"""
-WITH med AS (
-  SELECT c_mktsegment, ROUND(quantile_cont(c_acctbal, 0.5), 2) AS med_bal
-  FROM customer GROUP BY c_mktsegment),
+WITH c AS (
+  SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+med AS (
+  SELECT c_mktsegment, CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med_x2c
+  FROM c GROUP BY c_mktsegment),
 dev AS (
-  SELECT c.c_mktsegment, med_bal, abs(c_acctbal - med_bal) AS absdev
-  FROM customer c JOIN med USING (c_mktsegment)),
+  SELECT c.c_mktsegment, med_x2c, abs(2 * cents - med_x2c) AS absdev2
+  FROM c JOIN med USING (c_mktsegment)),
 mad AS (
-  SELECT c_mktsegment, any_value(med_bal) AS med_bal,
-         ROUND(quantile_cont(absdev, 0.5), 2) AS mad_bal
+  SELECT c_mktsegment, any_value(med_x2c) AS med_x2c,
+         CAST(2 * quantile_cont(absdev2, 0.5) AS BIGINT) AS mad_x4c
   FROM dev GROUP BY c_mktsegment)
-SELECT d.c_mktsegment, m.med_bal, m.mad_bal,
+SELECT d.c_mktsegment, m.med_x2c, m.mad_x4c,
        count(*) AS n_customers,
-       CAST(sum((d.absdev > {MAD_K * MAD_SCALE} * m.mad_bal)::INT) AS BIGINT)
-         AS n_outliers
+       CAST(sum((2 * d.absdev2 > {MAD_K * MAD_SCALE} * m.mad_x4c)::INT)
+            AS BIGINT) AS n_outliers
 FROM dev d JOIN mad m USING (c_mktsegment)
-GROUP BY d.c_mktsegment, m.med_bal, m.mad_bal
+GROUP BY d.c_mktsegment, m.med_x2c, m.mad_x4c
 """
 
 # --- B24 string scalar functions ---------------------------------------------
@@ -1102,7 +1135,7 @@ QUERIES = {
     "join_cross_small": q_join_cross_small,
     "join_full_outer": q_join_full_outer,
     "agg_distinct": q_agg_distinct,
-    "agg_distinct_approx": q_agg_distinct_approx,  # rows-only
+    "agg_distinct_approx": q_agg_distinct_approx,
     "agg_distinct_kmv": q_agg_distinct_kmv,
     "fuzzy_name_match": q_fuzzy_name_match,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -1142,7 +1175,9 @@ ORACLES = {
     "join_range_theta": O_JOIN_THETA,
     "join_asof": O_JOIN_ASOF,
     "join_cross_small": O_JOIN_CROSS,
+    "join_full_outer": O_JOIN_FULL_OUTER,
     "agg_distinct": O_AGG_DISTINCT,
+    "agg_distinct_approx": O_AGG_DISTINCT_APPROX,
     "agg_distinct_kmv": O_AGG_DISTINCT_KMV,
     "fuzzy_name_match": O_FUZZY_NAME_MATCH,
     "agg_grouping_sets": O_GROUPING,

@@ -120,9 +120,12 @@ O_SAMPLE_STRATIFIED = f"""
 SELECT lang,
        {_RATE_SQL} AS rate_permille,
        count(*) AS n_total,
-       sum(CASE WHEN {_BUCKET_SQL} < {_RATE_SQL} THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN {_BUCKET_SQL} < {_RATE_SQL} THEN n_chars ELSE 0 END)
-         AS kept_chars
+       -- CAST: DuckDB integer sum() yields HUGEINT, which the driver's
+       -- type-sensitive value hash rejects against Spark's BIGINT
+       CAST(sum(CASE WHEN {_BUCKET_SQL} < {_RATE_SQL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN {_BUCKET_SQL} < {_RATE_SQL} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
 FROM documents
 GROUP BY 1, 2
 """
@@ -159,7 +162,7 @@ SELECT CASE WHEN {_BUCKET_SQL} < {TRAIN_END} THEN 'train'
             WHEN {_BUCKET_SQL} < {VAL_END} THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars
 FROM documents
@@ -187,7 +190,8 @@ def q_corpus_mixture(spark, sf_dir):
     return inst.groupBy("lang").agg(
         F.count("*").alias("n_instances"),
         F.countDistinct("doc_id").alias("n_docs"),
-        F.max("epoch").alias("max_epoch"),
+        # long, matching the oracle's BIGINT epochs from range()
+        F.max("epoch").cast("long").alias("max_epoch"),
         F.sum("n_chars").alias("instance_chars"),
     )
 
@@ -201,7 +205,7 @@ SELECT lang,
        count(*) AS n_instances,
        count(DISTINCT doc_id) AS n_docs,
        max(epoch) AS max_epoch,
-       sum(n_chars) AS instance_chars
+       CAST(sum(n_chars) AS BIGINT) AS instance_chars
 FROM (
   SELECT d.lang, d.doc_id, d.n_chars, gs.epoch
   FROM documents d,
@@ -303,7 +307,7 @@ WITH ordered AS (
 SELECT shard * {1 << 32} + CAST(tok_start // {CONTEXT_TOKENS} AS BIGINT)
          AS seq_id,
        count(*) AS n_docs,
-       sum(toks) AS seq_tokens,
+       CAST(sum(toks) AS BIGINT) AS seq_tokens,
        min(ok) AS first_key
 FROM cum
 GROUP BY 1
@@ -324,7 +328,7 @@ WITH ordered AS (
 )
 SELECT CAST(tok_start // {CONTEXT_TOKENS} AS BIGINT) AS seq_id,
        count(*) AS n_docs,
-       sum(toks) AS seq_tokens,
+       CAST(sum(toks) AS BIGINT) AS seq_tokens,
        min(ok) AS first_key
 FROM cum
 GROUP BY 1

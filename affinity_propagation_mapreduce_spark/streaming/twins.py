@@ -266,11 +266,14 @@ def resample_ffill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pd.concat(batches)
         us = pdf["ts"].astype("int64") // 1000  # raw nanos → micros
         pdf = pdf.assign(us=us, hour=(us // _HOUR_US) * _HOUR_US)
-        # deterministic last observation per hour: (ts, event_id) order
+        # deterministic last observation per hour: (ts, event_id) order.
+        # tail(1) takes the last ROW per group — GroupBy.last() would skip
+        # NaN per column and diverge from the batch row_number() pick when
+        # value is NULL.
         obs = (
             pdf.sort_values(["us", "event_id"])
             .groupby("hour", as_index=False)
-            .last()[["hour", "value"]]
+            .tail(1)[["hour", "value"]]
         )
         start = obs["hour"].min() if last_hour is None else last_hour + _HOUR_US
         end = int(obs["hour"].max())
