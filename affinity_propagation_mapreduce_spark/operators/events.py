@@ -383,6 +383,174 @@ FROM series
 """
 
 
+# --- (⊕ r4) hypertable rollup: hour → day → month continuous aggregate ------
+
+def q_rollup_timeseries(spark, sf_dir):
+    """Multi-grain time rollup (the hypertable / continuous-aggregate
+    shape): one pass over events produces hour, day, month and grand
+    totals via ROLLUP(month, day, hour) — Catalyst expands the grouping
+    sets into a single shuffle with partial aggregation, so at 100 TB
+    this is one scan + one exchange, not three queries.  The grain label
+    derives from which truncated columns survive grouping (ts is never
+    null, so a null here can only come from the rollup)."""
+    ev = _ev(spark, sf_dir)
+    with_grains = ev.select(
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    grain = (
+        F.when(F.col("hour").isNotNull(), "hour")
+        .when(F.col("day").isNotNull(), "day")
+        .when(F.col("month").isNotNull(), "month")
+        .otherwise("total")
+    )
+    return (
+        with_grains.rollup("month", "day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            grain.alias("grain"),
+            "month",
+            "day",
+            "hour",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+O_ROLLUP_TS = """
+SELECT CASE WHEN hour IS NOT NULL THEN 'hour'
+            WHEN day IS NOT NULL THEN 'day'
+            WHEN month IS NOT NULL THEN 'month'
+            ELSE 'total' END AS grain,
+       month, day, hour, n_events, sum_value
+FROM (
+  SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS month,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+  FROM events
+  GROUP BY ROLLUP (1, 2, 3))
+"""
+
+
+# --- (⊕ r4) daily-count anomaly detection via z-score ------------------------
+
+def q_anomaly_zscore_daily(spark, sf_dir):
+    """Per-event-type daily volumes scored against that type's own
+    mean/stddev across days; |z| > 2 flags the anomaly.  Two-level
+    aggregate: the raw log shuffles once to (type, day) partial counts,
+    the per-type stats run over O(days) rows via a window — monitoring-
+    pipeline shape, no second pass over the log."""
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_samp(
+        "n_events"
+    ).over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+O_ANOMALY_Z = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, n_events,
+       ROUND((n_events - avg(n_events) OVER w)
+             / stddev_samp(n_events) OVER w, 4) AS zscore,
+       abs((n_events - avg(n_events) OVER w)
+           / stddev_samp(n_events) OVER w) > 2.0 AS is_anomaly
+FROM daily
+WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+# --- (⊕ r4) interval-overlap join: activity spans × campaign windows ---------
+
+CAMPAIGN_START_H = 8  # daily campaign window 08:00–12:00
+CAMPAIGN_END_H = 12
+
+
+def q_campaign_overlap(spark, sf_dir):
+    """Interval-overlap join: each user's daily activity span
+    [min ts, max ts] against a generated per-day campaign window
+    (08:00–12:00).  The join is equi on day with the overlap predicate
+    as a residual — at scale that's a co-partitioned hash join, never a
+    cartesian; the campaign dim is generated from the data's own day
+    span (sequence + explode: a narrow generator) and broadcast."""
+    ev = _ev(spark, sf_dir)
+    spans = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    days = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    campaigns = days.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    ).select(
+        "day",
+        (F.col("day") + F.expr(f"INTERVAL {CAMPAIGN_START_H} HOURS")).alias("c_start"),
+        (F.col("day") + F.expr(f"INTERVAL {CAMPAIGN_END_H} HOURS")).alias("c_end"),
+    )
+    joined = spans.join(F.broadcast(campaigns), "day").where(
+        (F.col("a_start") <= F.col("c_end")) & (F.col("a_end") >= F.col("c_start"))
+    )
+    return (
+        joined.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_overlap_users"))
+        .join(
+            spans.groupBy("day").agg(
+                F.countDistinct("user_id").alias("n_active_users")
+            ),
+            "day",
+        )
+        .select("day", "n_active_users", "n_overlap_users")
+    )
+
+
+O_CAMPAIGN_OVERLAP = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+spans AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         min(ts) AS a_start, max(ts) AS a_end
+  FROM ev GROUP BY 1, 2),
+campaigns AS (
+  SELECT unnest(generate_series(date_trunc('day', min(ts)),
+                                date_trunc('day', max(ts)),
+                                INTERVAL 1 DAY)) AS day
+  FROM ev),
+cwin AS (
+  SELECT day, day + INTERVAL {CAMPAIGN_START_H} HOURS AS c_start,
+         day + INTERVAL {CAMPAIGN_END_H} HOURS AS c_end
+  FROM campaigns),
+overlap AS (
+  SELECT s.day, count(DISTINCT s.user_id) AS n_overlap_users
+  FROM spans s JOIN cwin c USING (day)
+  WHERE s.a_start <= c.c_end AND s.a_end >= c.c_start
+  GROUP BY s.day),
+active AS (
+  SELECT day, count(DISTINCT user_id) AS n_active_users
+  FROM spans GROUP BY day)
+SELECT day, n_active_users, n_overlap_users
+FROM overlap JOIN active USING (day)
+"""
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "ewma_smooth": q_ewma_smooth,
@@ -393,9 +561,15 @@ QUERIES = {
     "late_data_watermark": q_late_data_watermark,
     "dedup_stateful": q_dedup_stateful,
     "topk_users_window": q_topk_users_window,
+    "rollup_timeseries": q_rollup_timeseries,
+    "anomaly_zscore_daily": q_anomaly_zscore_daily,
+    "campaign_overlap": q_campaign_overlap,
 }
 
 ORACLES = {
+    "rollup_timeseries": O_ROLLUP_TS,
+    "anomaly_zscore_daily": O_ANOMALY_Z,
+    "campaign_overlap": O_CAMPAIGN_OVERLAP,
     "funnel_conversion": O_FUNNEL,
     "ewma_smooth": O_EWMA,
     "resample_ffill": O_RESAMPLE_FFILL,

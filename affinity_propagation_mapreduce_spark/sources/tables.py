@@ -28,25 +28,30 @@ TABLES: tuple[str, ...] = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. ``sf_dir`` is e.g. /root/testdata/sf0.01.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark's reader rejects
-    outright; we read it as raw nanos (legacy conf) and rebuild a
-    TIMESTAMP_NTZ at microsecond precision — lossless for this data
-    (verified: no sub-microsecond components) and timezone-independent
-    (NTZ arithmetic, no session-zone dependence).  The DuckDB oracle casts
-    ts to TIMESTAMP (us) to match (FIXTURES.md fact 7).
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: TIMESTAMP(NANOS) (which Spark's reader rejects unless
+    read as raw nanos via the legacy conf) and plain TIMESTAMP(US).  The
+    loader normalizes either to TIMESTAMP_NTZ at microsecond precision —
+    lossless for this data (verified: no sub-microsecond components) and
+    timezone-independent (NTZ arithmetic, no session-zone dependence).
+    The DuckDB oracle casts ts to TIMESTAMP (us) to match (FIXTURES.md
+    fact 7).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        ts_type = raw.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):  # nanos-as-long generation
+            return raw.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

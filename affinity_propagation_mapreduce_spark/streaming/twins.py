@@ -24,18 +24,32 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events schema with ts as raw nanos (Spark rejects parquet NANOS;
-# sources.table does the same dance for batch)
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events schema for the file-stream source (readStream requires an
+# explicit schema).  ts has shipped as raw nanos (int64) in one testdata
+# generation and TIMESTAMP(US) in another — sniff the footer via a batch
+# read and build the matching schema (sources.table does the same dance
+# for batch).
+def _events_raw_schema(spark: SparkSession, src: str) -> tuple[StructType, bool]:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = (
+        spark.read.parquet(src).schema["ts"].dataType.typeName()
+        in ("long", "bigint")
+    )
+    from pyspark.sql.types import TimestampType
+
+    return (
+        StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", LongType() if ts_is_long else TimestampType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        ),
+        ts_is_long,
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,12 +71,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
         shutil.copyfile(src, dst)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW).format("parquet").load(stage)
+    schema, ts_is_long = _events_raw_schema(spark, src)
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
     # LTZ (timestamp_micros), not NTZ: EventTimeWatermark requires
     # TIMESTAMP type; session timeZone=UTC keeps wall values equal to
     # the batch NTZ column
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_stream(ev: DataFrame) -> DataFrame:
