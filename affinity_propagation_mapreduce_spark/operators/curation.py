@@ -263,7 +263,112 @@ FROM customer
 """
 
 
+# --- (⊕ r4) count-min sketch term frequencies --------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_PRIME = 2147483647  # 2^31-1; (ha + j*hb) < 2^53 stays exact int64
+
+
+def q_freq_cms(spark, sf_dir):
+    """Count-min sketch of corpus term frequencies, checked against the
+    exact counts: every token occurrence increments CMS_DEPTH counters
+    (Carter-Wegman bucket = (ha + j·hb) mod p mod width, one md5 per
+    token — same portable family as the minhash LSH), the estimate is
+    the min over depths, and the emitted overcount = estimate − exact is
+    the sketch's collision error (never negative, by construction).
+
+    Scale story: the counter table is depth×width = 256 cells regardless
+    of corpus size — the shuffle reduces to it map-side — and the probe
+    joins are broadcasts of that fixed-size sketch; the exact counts
+    here are the oracle-side audit, not something the 100 TB run needs."""
+    from .. sources import table as _table
+
+    toks = _table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    digest = F.md5("token")
+    hashed = toks.select(
+        "token",
+        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long").alias("ha"),
+        F.conv(F.substring(digest, 13, 12), 16, 10).cast("long").alias("hb"),
+    )
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                ((F.col("ha") + F.lit(j) * F.col("hb")) % CMS_PRIME % CMS_WIDTH)
+                .alias("bucket"),
+            )
+            for j in range(1, CMS_DEPTH + 1)
+        ]
+    )
+    counters = (
+        hashed.select(F.explode(bucket_structs).alias("s"))
+        .groupBy(F.col("s.depth").alias("depth"), F.col("s.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        hashed.groupBy("token", "ha", "hb")
+        .agg(F.count("*").alias("exact_n"))
+        .select("token", "exact_n", F.explode(bucket_structs).alias("s"))
+        .select(
+            "token", "exact_n",
+            F.col("s.depth").alias("depth"), F.col("s.bucket").alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "token",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+def _cms_oracle_sql() -> str:
+    probes = "\nUNION ALL\n".join(
+        f"SELECT token, exact_n, {j} AS depth,"
+        f" (ha + {j} * hb) % {CMS_PRIME} % {CMS_WIDTH} AS bucket FROM hashed"
+        for j in range(1, CMS_DEPTH + 1)
+    )
+    incr = "\nUNION ALL\n".join(
+        f"SELECT {j} AS depth,"
+        f" (ha + {j} * hb) % {CMS_PRIME} % {CMS_WIDTH} AS bucket FROM occ"
+        for j in range(1, CMS_DEPTH + 1)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+occ AS (
+  SELECT token,
+         ('0x' || substring(md5(token), 1, 12))::BIGINT AS ha,
+         ('0x' || substring(md5(token), 13, 12))::BIGINT AS hb
+  FROM toks),
+counters AS (
+  SELECT depth, bucket, count(*) AS cnt
+  FROM ({incr}) GROUP BY depth, bucket),
+hashed AS (
+  SELECT token, ha, hb, count(*) AS exact_n
+  FROM occ GROUP BY token, ha, hb),
+probed AS ({probes})
+SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(min(cnt) AS BIGINT) AS cms_est,
+       CAST(min(cnt) - exact_n AS BIGINT) AS overcount
+FROM probed JOIN counters USING (depth, bucket)
+GROUP BY token, exact_n
+"""
+
+
+O_FREQ_CMS = _cms_oracle_sql()
+
+
 QUERIES = {
+    "freq_cms": q_freq_cms,
     "pii_scrub": q_pii_scrub,
     "decontaminate_eval": q_decontaminate_eval,
     "vocab_prune": q_vocab_prune,
@@ -272,6 +377,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "freq_cms": O_FREQ_CMS,
     "pii_scrub": O_PII_SCRUB,
     "decontaminate_eval": O_DECONTAMINATE_EVAL,
     "vocab_prune": O_VOCAB_PRUNE,

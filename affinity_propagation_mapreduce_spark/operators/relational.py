@@ -1120,10 +1120,105 @@ FROM customer
 """
 
 
+# --- (⊕ r4) salted skew join: explicit hot-key spreading ---------------------
+
+JOIN_SALT_BUCKETS = 8
+
+
+def q_join_skew_salted(spark, sf_dir):
+    """Hot-key-resilient join: lineitem ⋈ orders with the big side salted
+    into 8 sub-keys and the small side replicated ×8, so one skewed
+    orderkey spreads over 8 reducers instead of stalling one.  The salt
+    is crc32 of the big side's own row identity (deterministic, no rand).
+    Result is provably identical to the plain join — the oracle IS the
+    plain join.  This is the manual fallback for when AQE's runtime
+    skew-split can't kick in (e.g. a skewed key inside one huge task);
+    at 100 TB the same shape applies to any hot entity key."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    salted_li = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        (F.crc32(F.concat_ws("|", "l_orderkey", "l_linenumber"))
+         % JOIN_SALT_BUCKETS).alias("salt"),
+    )
+    replicated = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(JOIN_SALT_BUCKETS - 1))
+        ).alias("salt0"),
+    ).select(
+        "o_orderkey", "o_orderpriority", F.col("salt0").cast("long").alias("salt")
+    )
+    joined = salted_li.join(
+        replicated,
+        (salted_li.l_orderkey == replicated.o_orderkey)
+        & (salted_li.salt == replicated.salt),
+    )
+    # integer-cents revenue: salt-bucket partial sums reassociate the fold,
+    # so the summed quantity must be exact, not float
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(cents) / 100, 2).alias("revenue"),
+    )
+
+
+O_JOIN_SKEW_SALTED = """
+SELECT o_orderpriority, count(*) AS n_items,
+       ROUND(sum(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)) / 100, 2)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --- (⊕ r4) equi-depth histogram (quantile bands) ----------------------------
+
+EQUIDEPTH_BANDS = 10
+
+
+def q_hist_equidepth(spark, sf_dir):
+    """Equi-depth (equal-count) histogram of l_extendedprice: ntile(10)
+    over a fully tie-broken order, then per-band count/min/max.  The
+    complement of hist_equiwidth — band edges adapt to the distribution.
+    The global sort is the declared oracle formulation; at 100 TB the
+    same bands come from approx_percentile edges + a bucket join (no
+    total order needed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .withColumn("band", F.ntile(EQUIDEPTH_BANDS).over(w).cast("long"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+O_HIST_EQUIDEPTH = f"""
+SELECT band, count(*) AS n_rows, min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM (
+  SELECT l_extendedprice,
+         CAST(ntile({EQUIDEPTH_BANDS}) OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+           AS band
+  FROM lineitem)
+GROUP BY band
+"""
+
+
 QUERIES = {
     "scan_project_filter": q_scan_project_filter,
     "pivot_status": q_pivot_status,
     "unpivot_metrics": q_unpivot_metrics,
+    "join_skew_salted": q_join_skew_salted,
+    "hist_equidepth": q_hist_equidepth,
     "pricing_summary": q_pricing_summary,
     "join_inner_equi": q_join_inner_equi,
     "join_broadcast_star": q_join_broadcast_star,
@@ -1163,6 +1258,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_skew_salted": O_JOIN_SKEW_SALTED,
+    "hist_equidepth": O_HIST_EQUIDEPTH,
     "scan_project_filter": O_SCAN,
     "pivot_status": O_PIVOT,
     "unpivot_metrics": O_UNPIVOT,

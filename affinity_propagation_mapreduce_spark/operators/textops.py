@@ -976,6 +976,93 @@ r{i + 1} AS (
 O_PAGERANK_NEARDUP = _pagerank_oracle_sql()
 
 
+# --- (⊕ r4) graph analytics over the near-dup pair graph ---------------------
+
+# shared oracle CTE: the exact-Jaccard >= 0.95 pair graph (same derivation
+# as O_NEAR_JACCARD / O_DEDUP_COMPONENTS)
+_O_PAIRS_CTE = """
+dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS inter
+  FROM dt a JOIN dt b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_lo, doc_hi
+  FROM inter
+  JOIN sizes sa ON inter.doc_lo = sa.doc_id
+  JOIN sizes sb ON inter.doc_hi = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.95)
+"""
+
+
+def q_graph_triangle_count(spark, sf_dir):
+    """Triangle census of the near-dup graph — near-dup components are
+    near-cliques, so triangle density is the cheap clique-ness signal
+    (how much of the pair list is redundant transitivity).  Classic
+    oriented two-path join: edges kept as a<b, triangles counted as
+    (a<b)⋈(b<c) two-paths closed by an (a,c) edge — each triangle counted
+    exactly once, never the 6× of the unoriented join.  At scale the
+    two-path join shuffles on the shared middle vertex and the closing
+    probe is a semi-join against the (broadcastable) edge list."""
+    pairs = q_dedup_near_jaccard(spark, sf_dir).select("doc_lo", "doc_hi")
+    e1 = pairs.select(F.col("doc_lo").alias("a"), F.col("doc_hi").alias("b"))
+    e2 = pairs.select(F.col("doc_lo").alias("b"), F.col("doc_hi").alias("c"))
+    two_paths = e1.join(e2, "b")
+    closing = pairs.select(F.col("doc_lo").alias("a"), F.col("doc_hi").alias("c"))
+    tri = two_paths.join(closing, ["a", "c"], "left_semi")
+    nodes = pairs.select(F.col("doc_lo").alias("d")).unionByName(
+        pairs.select(F.col("doc_hi").alias("d"))
+    )
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
+        .crossJoin(nodes.agg(F.countDistinct("d").alias("n_nodes")))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+O_TRIANGLE = f"""
+WITH {_O_PAIRS_CTE},
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_hi = e2.doc_lo
+  WHERE EXISTS (SELECT 1 FROM pairs e3
+                WHERE e3.doc_lo = e1.doc_lo AND e3.doc_hi = e2.doc_hi)),
+stats AS (
+  SELECT count(*) AS n_edges FROM pairs),
+nodes AS (
+  SELECT count(DISTINCT d) AS n_nodes
+  FROM (SELECT doc_lo AS d FROM pairs UNION ALL SELECT doc_hi FROM pairs))
+SELECT n_nodes, n_edges, n_triangles FROM tri, stats, nodes
+"""
+
+
+def q_graph_degree_hist(spark, sf_dir):
+    """Degree distribution of the near-dup graph: how many docs have k
+    near-duplicates.  Two keyed aggregations (symmetrize → per-vertex
+    degree → histogram); both shuffle keys shrink monotonically, the
+    standard degree-profile shape at any scale."""
+    pairs = q_dedup_near_jaccard(spark, sf_dir).select("doc_lo", "doc_hi")
+    incid = pairs.select(F.col("doc_lo").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_hi").alias("doc_id"))
+    )
+    deg = incid.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+O_DEGREE_HIST = f"""
+WITH {_O_PAIRS_CTE},
+incid AS (SELECT doc_lo AS doc_id FROM pairs
+          UNION ALL SELECT doc_hi FROM pairs),
+deg AS (SELECT doc_id, count(*) AS degree FROM incid GROUP BY doc_id)
+SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
+"""
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
     "dedup_simhash": q_dedup_simhash,
@@ -992,6 +1079,8 @@ QUERIES = {
     "text_quality_score": q_text_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "graph_triangle_count": q_graph_triangle_count,
+    "graph_degree_hist": q_graph_degree_hist,
 }
 
 ORACLES = {
@@ -1010,4 +1099,6 @@ ORACLES = {
     "text_quality_score": O_QUALITY,
     "token_count": O_TOKEN_COUNT,
     "doc_fingerprint": O_FINGERPRINT,
+    "graph_triangle_count": O_TRIANGLE,
+    "graph_degree_hist": O_DEGREE_HIST,
 }

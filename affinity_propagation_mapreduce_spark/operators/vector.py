@@ -406,8 +406,134 @@ def q_dedup_embed_cosine_ivf(spark, sf_dir):
     )
 
 
+# --- (⊕ r4) random-hyperplane LSH candidate generation + exact verify -------
+
+LSH_BANDS = 8
+LSH_PLANES_PER_BAND = 3
+LSH_DIM = 64  # embedding dimensionality (FIXTURES.md)
+
+
+def _lsh_signs() -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes: sign(p, d) from the
+    parity of the first md5 nibble of "p|d".  Both engines consume these
+    as embedded literals, so the bucketing — and therefore the
+    approximation itself — is reproducible anywhere md5 exists."""
+    import hashlib
+
+    planes = []
+    for p in range(LSH_BANDS * LSH_PLANES_PER_BAND):
+        row = []
+        for d in range(LSH_DIM):
+            nib = int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16)
+            row.append(1.0 if nib % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+_LSH_PLANES = _lsh_signs()
+
+
+def q_ann_lsh_cosine(spark, sf_dir):
+    """Near-dup pairs via random-hyperplane LSH: each vector gets an
+    8-band × 3-bit signature (sign of the dot with 24 fixed ±1
+    hyperplanes); candidates are pairs agreeing on ALL bits of ANY band;
+    exact cosine >= tau verifies candidates.  The banded OR keeps recall
+    high (~90% at this tau) while the per-band equi-join touches only
+    bucket-mates — the 100 TB shape, same family as the minhash LSH but
+    for dense embeddings.  Every stage is deterministic, so the oracle
+    replicates the approximation bit-for-bit (hash-checked like
+    knn_cosine_ivf)."""
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+    )
+    band_cols = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for j in range(LSH_PLANES_PER_BAND):
+            plane = _LSH_PLANES[b * LSH_PLANES_PER_BAND + j]
+            dot = _dot(F.col("emb"), F.array(*[F.lit(v) for v in plane]))
+            bits.append((dot >= 0).cast("int") * (2 ** j))
+        bucket = bits[0]
+        for extra in bits[1:]:
+            bucket = bucket + extra
+        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    sig = norms.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("s")
+    ).select("vec_id", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket"))
+    a = sig.alias("a")
+    b_ = sig.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("i"), F.col("b.vec_id").alias("k"))
+        .distinct()
+    )
+    ea = norms.select(
+        F.col("vec_id").alias("i"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    eb = norms.select(
+        F.col("vec_id").alias("k"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "i")
+        .join(eb, "k")
+        .select("i", "k", cos.alias("cosine"))
+        .where(F.col("cosine") >= COSINE_DUP_TAU)
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    def arr(plane):
+        return "[" + ", ".join(str(v) for v in plane) + "]"
+
+    band_rows = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for j in range(LSH_PLANES_PER_BAND):
+            plane = _LSH_PLANES[b * LSH_PLANES_PER_BAND + j]
+            dot = (
+                f"list_reduce(list_transform(list_zip(emb, {arr(plane)}),"
+                " p -> p[1]*p[2]), (x, y) -> x + y)"
+            )
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** j} ELSE 0 END)")
+        band_rows.append(
+            f"SELECT vec_id, {b} AS band, {' + '.join(bits)} AS bucket FROM e"
+        )
+    sigs = "\nUNION ALL\n".join(band_rows)
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+sig AS ({sigs}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS i, b.vec_id AS k
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT i, k,
+       list_reduce(list_transform(list_zip(ea.emb, eb.emb), p -> p[1]*p[2]),
+                   (x, y) -> x + y) / (ea.nrm * eb.nrm) AS cosine
+FROM cand JOIN e ea ON cand.i = ea.vec_id JOIN e eb ON cand.k = eb.vec_id
+WHERE list_reduce(list_transform(list_zip(ea.emb, eb.emb), p -> p[1]*p[2]),
+                  (x, y) -> x + y) / (ea.nrm * eb.nrm) >= {COSINE_DUP_TAU}
+"""
+
+
+O_ANN_LSH = _lsh_oracle_sql()
+
+
 QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
+    "ann_lsh_cosine": q_ann_lsh_cosine,
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_embed_cosine_ivf": q_dedup_embed_cosine_ivf,  # rows-only scale twin
     "knn_cosine_ivf": q_knn_cosine_ivf,
@@ -417,6 +543,7 @@ QUERIES = {
 
 ORACLES = {
     "knn_cosine_topk": O_KNN,
+    "ann_lsh_cosine": O_ANN_LSH,
     "knn_cosine_ivf": O_KNN_IVF,
     "dedup_embed_cosine": O_EMBED_DUP,
     "dist_histogram": O_DIST_HIST,
