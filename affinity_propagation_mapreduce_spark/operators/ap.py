@@ -206,25 +206,39 @@ def responsibility_pass(state: DataFrame, lam: float = DAMPING) -> DataFrame:
 
     r(i,k) <- lam*r + (1-lam)*(s(i,k) - max_{k'!=k}(a(i,k') + s(i,k')))
 
-    "max excluding self" uses the top-2 trick with an exact tie count:
-    when the row max is duplicated the excluded max is still m1.
+    "max excluding self" uses the top-2 trick: for the (unique) argmax
+    row the excluded max is the second value m2; everywhere else —
+    including a duplicated max — it is m1 itself.
 
-    Formulated as map-side hash aggregations to N rows + broadcast joins
-    back — the O(N²) state is scanned but never shuffled or sorted (a
-    window formulation sorts the full state every pass; at 100 TB that
-    sort is the whole bill).  Values are selection-based → identical to
-    the oracle's window formulation.
+    The per-row top-2 comes from ONE rank-limited window job
+    (row_number <= 2 → Catalyst's WindowGroupLimit pushes a per-map-task
+    top-2 heap BELOW the exchange, so the shuffle carries <= 2 rows per
+    (input partition × i), never the O(N²) state) aggregated to N rows
+    and broadcast back.  One job instead of the two chained max /
+    second-max hash aggregations — per-iteration job count is the
+    dominant wall cost of the dense loop at bench scale.  The O(N²)
+    state itself is still scanned but never shuffled or sorted.  Values
+    are selection-based → identical to the oracle's window formulation.
     """
     stage = state.withColumn("asv", F.col("a") + F.col("s"))
-    m1 = stage.groupBy("i").agg(F.max("asv").alias("m1"))
-    stage = stage.join(F.broadcast(m1), "i")
-    top2 = stage.groupBy("i").agg(
-        F.max(F.when(F.col("asv") < F.col("m1"), F.col("asv"))).alias("m2"),
-        F.sum(F.when(F.col("asv") == F.col("m1"), 1).otherwise(0)).alias("cnt1"),
+    w = Window.partitionBy("i").orderBy(F.desc("asv"))
+    top2 = (
+        stage.select("i", "asv")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .groupBy("i")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("asv"))).alias("m1"),
+            F.max(F.when(F.col("rn") == 2, F.col("asv"))).alias("m2"),
+        )
     )
     stage = stage.join(F.broadcast(top2), "i")
+    # m2 == m1 ⟺ the max is duplicated (row_number breaks the tie but
+    # both top rows carry the same value), in which case every row's
+    # excluded max is m1.  m2 is null only for single-row groups, which
+    # cannot occur (every i has N >= 2 state rows incl. the diagonal).
     excl_max = F.when(
-        (F.col("asv") == F.col("m1")) & (F.col("cnt1") == 1), F.col("m2")
+        (F.col("asv") == F.col("m1")) & (F.col("m2") != F.col("m1")), F.col("m2")
     ).otherwise(F.col("m1"))
     new_r = F.lit(lam) * F.col("r") + F.lit(1 - lam) * (F.col("s") - excl_max)
     return stage.select("i", "k", "s", new_r.alias("r"), "a")
@@ -278,17 +292,30 @@ def iterate(
     plan node — released by exact id, so co-materialized neighbors
     (e.g. a lazily-checkpointed S matrix) are never touched."""
     jsc = state.sparkSession.sparkContext._jsc
+
+    def _release(rdd_id: int | None) -> None:
+        if rdd_id is not None:
+            prev = jsc.getPersistentRDDs().get(rdd_id)
+            if prev is not None:
+                prev.unpersist()
+
+    def _ckpt_id(df: DataFrame) -> int:
+        # the LogicalRDD the checkpoint produced IS the persisted RDD
+        return df._jdf.queryExecution().analyzed().rdd().id()
+
     prev_id: int | None = None
     for _ in range(iterations):
+        # the R state is deliberately NOT checkpointed mid-iteration: its
+        # two consumers (col_stats aggregation, final A projection) each
+        # re-execute only a scan + one broadcast probe over the cached
+        # previous state — cheaper than a second O(N²) memory write per
+        # iteration (measured at sf0.1; the expensive variant was tried
+        # and reverted).
         state = availability_pass(responsibility_pass(state, lam), lam)
         if checkpoint:
             state = state.localCheckpoint(eager=True)
-            if prev_id is not None:
-                prev = jsc.getPersistentRDDs().get(prev_id)
-                if prev is not None:
-                    prev.unpersist()
-            # the LogicalRDD the checkpoint produced IS the persisted RDD
-            prev_id = state._jdf.queryExecution().analyzed().rdd().id()
+            _release(prev_id)
+            prev_id = _ckpt_id(state)
     return state
 
 

@@ -1,0 +1,164 @@
+"""Round-4 operator properties: scale-shape plan assertions and
+algorithmic invariants for the sketch / LSH / graph / skew additions.
+(Value-level parity vs DuckDB is covered for every key by
+tests/test_parity.py; these tests pin the properties parity can't see.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from affinity_propagation_mapreduce_spark import registry
+
+from .conftest import SF_T2
+
+
+def _q(spark, name):
+    return registry.queries()[name](spark, SF_T2)
+
+
+def _plan(spark, name: str) -> str:
+    return _q(spark, name)._jdf.queryExecution().executedPlan().toString()
+
+
+# --- freq_cms ---------------------------------------------------------------
+
+def test_cms_never_undercounts(spark):
+    """Count-min estimates are >= exact by construction (hash collisions
+    only ever add) — an undercount means the probe/increment hashes
+    diverged."""
+    rows = _q(spark, "freq_cms").collect()
+    assert rows, "empty sketch output"
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_est >= r.exact_n for r in rows)
+
+
+def test_cms_counter_table_is_fixed_size(spark):
+    """The sketch state is depth×width regardless of corpus size — the
+    property that makes it a 100 TB operator."""
+    from affinity_propagation_mapreduce_spark.operators.curation import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+    )
+
+    n_rows = _q(spark, "freq_cms").count()
+    assert n_rows > 0
+    # every estimate is a min over CMS_DEPTH counters out of CMS_WIDTH
+    assert CMS_DEPTH * CMS_WIDTH == 256
+
+
+# --- ann_lsh_cosine ---------------------------------------------------------
+
+def test_lsh_pairs_subset_of_exact_with_high_recall(spark):
+    """LSH candidates verified by exact cosine must be a subset of the
+    all-pairs operator's output; banding is tuned for >= 0.8 recall at
+    this tau."""
+    lsh = {(r.i, r.k) for r in _q(spark, "ann_lsh_cosine").collect()}
+    exact = {(r.i, r.k) for r in _q(spark, "dedup_embed_cosine").collect()}
+    assert lsh <= exact
+    assert len(lsh) >= 0.8 * len(exact), (len(lsh), len(exact))
+
+
+def test_lsh_plan_has_no_cartesian(spark):
+    """Candidates come from the band-bucket equi-join — an all-pairs
+    shape in the plan means the LSH pruning silently vanished."""
+    plan = _plan(spark, "ann_lsh_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- join_skew_salted -------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a physical rewrite only: the salted two-stage result
+    must equal the plain join bit-for-bit."""
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    li = table(spark, SF_T2, "lineitem")
+    orders = table(spark, SF_T2, "orders")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(cents) / 100, 2).alias("revenue"),
+        )
+    )
+    got = {r.o_orderpriority: (r.n_items, r.revenue)
+           for r in _q(spark, "join_skew_salted").collect()}
+    want = {r.o_orderpriority: (r.n_items, r.revenue) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_salts_the_join_key(spark):
+    """The physical join must be on (orderkey, salt), not orderkey alone."""
+    plan = _plan(spark, "join_skew_salted")
+    assert "salt" in plan
+
+
+# --- graph ops --------------------------------------------------------------
+
+def test_triangle_count_consistency(spark):
+    """Triangles are bounded by edges choose-3 locality: each triangle
+    needs 3 edges, and the count must be non-negative and consistent
+    with the degree profile's handshake sum."""
+    row = _q(spark, "graph_triangle_count").collect()[0]
+    assert row.n_triangles >= 0
+    assert row.n_edges >= 3 * (row.n_triangles > 0)
+    deg = _q(spark, "graph_degree_hist").collect()
+    handshake = sum(r.degree * r.n_docs for r in deg)
+    assert handshake == 2 * row.n_edges
+
+
+# --- hist_equidepth ---------------------------------------------------------
+
+def test_equidepth_bands_are_balanced_and_ordered(spark):
+    rows = sorted(_q(spark, "hist_equidepth").collect(), key=lambda r: r.band)
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile balance guarantee
+    for lo_band, hi_band in zip(rows, rows[1:]):
+        assert lo_band.hi <= hi_band.lo  # bands tile the value range
+
+
+# --- rollup_timeseries ------------------------------------------------------
+
+def test_rollup_grains_are_consistent(spark):
+    """Each grain's event total must equal the grand total — the rollup
+    is one dataset at four consistent granularities."""
+    rows = _q(spark, "rollup_timeseries").collect()
+    by_grain: dict[str, int] = {}
+    for r in rows:
+        by_grain[r.grain] = by_grain.get(r.grain, 0) + r.n_events
+    total = by_grain.pop("total")
+    assert set(by_grain) == {"hour", "day", "month"}
+    assert all(v == total for v in by_grain.values()), by_grain
+
+
+def test_rollup_single_exchange(spark):
+    """ROLLUP expands in one aggregation — more than one shuffle means
+    it degenerated into unioned re-scans."""
+    plan = _plan(spark, "rollup_timeseries")
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read), not 4 scans
+
+
+# --- campaign_overlap -------------------------------------------------------
+
+def test_campaign_overlap_bounds(spark):
+    rows = _q(spark, "campaign_overlap").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_overlap_users <= r.n_active_users
+
+
+# --- anomaly_zscore_daily ---------------------------------------------------
+
+def test_anomaly_zscore_centering(spark):
+    """Per event_type the z-scores must be centered: sum ≈ 0."""
+    rows = _q(spark, "anomaly_zscore_daily").collect()
+    by_type: dict[str, float] = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0.0) + r.zscore
+    assert by_type
+    for v in by_type.values():
+        assert abs(v) < 0.01
