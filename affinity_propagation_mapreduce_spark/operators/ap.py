@@ -1068,8 +1068,141 @@ FROM {min_final} WHERE i = k AND a + r > 0"""
     )
 
 
+def q_ap_soft_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(⊕ r4) Soft assignment: each point's top-2 exemplars by similarity
+    with raw scores — the fuzzy-membership view of A7 (rank 1 is the hard
+    label for non-exemplar points).  Selection-only arithmetic over the
+    shared cached kernel → bitwise parity; the exemplar set is broadcast
+    and the per-point rank uses the same WindowGroupLimit-pushed top-k
+    shape as the hard assignment."""
+    ex = exemplars_from_state(_final_state(spark, sf_dir))
+    off = cached_off(spark, sf_dir)
+    cand = off.join(F.broadcast(ex), off["k"] == ex["exemplar"]).select(
+        "i", "k", "s"
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select(
+            F.col("i").alias("vec_id"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("k").alias("exemplar"),
+            "s",
+        )
+    )
+
+
+def q_ap_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(⊕ r4) Per-cluster silhouette quality of the AP labeling:
+    s(i) = (b-a)/max(a,b) with a = mean distance to own cluster
+    (excluding self), b = min over foreign clusters of the mean
+    distance; singletons score 0 by convention.  Distances come from
+    the cached kernel (d = sqrt(-s)); the pairwise relation aggregates
+    to (point, cluster) means — O(N·C) — before any comparison, so the
+    N² relation is scanned once and never joined to itself."""
+    labels = _labels(spark, sf_dir)
+    off = cached_off(spark, sf_dir)
+    dists = off.select("i", "k", F.sqrt(-F.col("s")).alias("dist"))
+    lab_k = labels.select(
+        F.col("vec_id").alias("k"), F.col("exemplar").alias("ck")
+    )
+    pairagg = (
+        dists.join(F.broadcast(lab_k), "k")
+        .groupBy("i", "ck")
+        .agg(F.avg("dist").alias("ad"))
+    )
+    lab_i = labels.select(
+        F.col("vec_id").alias("i"), F.col("exemplar").alias("ci")
+    )
+    scored = pairagg.join(F.broadcast(lab_i), "i")
+    a_side = scored.where(F.col("ck") == F.col("ci")).select(
+        "i", F.col("ad").alias("a_dist")
+    )
+    b_side = (
+        scored.where(F.col("ck") != F.col("ci"))
+        .groupBy("i")
+        .agg(F.min("ad").alias("b_dist"))
+    )
+    sil = (
+        lab_i.join(a_side, "i", "left")
+        .join(b_side, "i", "left")
+        .select(
+            "i",
+            "ci",
+            F.when(
+                F.col("a_dist").isNull() | F.col("b_dist").isNull(), F.lit(0.0)
+            )
+            .otherwise(
+                (F.col("b_dist") - F.col("a_dist"))
+                / F.greatest("a_dist", "b_dist")
+            )
+            .alias("sil"),
+        )
+    )
+    return sil.groupBy(F.col("ci").alias("exemplar")).agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("sil"), 4).alias("avg_silhouette"),
+    )
+
+
+def oracle_ap_soft_assign(T: int = T_DEFAULT) -> str:
+    body, final = _iteration_ctes(T)
+    return (
+        "WITH "
+        + _prelude()
+        + body
+        + _exemplar_cte(final)
+        + """,
+cand AS (SELECT o.i, o.k, o.s FROM offd o JOIN ex ON o.k = ex.exemplar)
+SELECT i AS vec_id,
+       CAST(row_number() OVER w AS BIGINT) AS rank,
+       k AS exemplar, s
+FROM cand
+WINDOW w AS (PARTITION BY i ORDER BY s DESC, k ASC)
+QUALIFY row_number() OVER w <= 2"""
+    )
+
+
+def oracle_ap_silhouette(T: int = T_DEFAULT) -> str:
+    body, final = _iteration_ctes(T)
+    return (
+        "WITH "
+        + _prelude()
+        + body
+        + _exemplar_cte(final)
+        + _ASSIGN_SQL
+        + """,
+dists AS (SELECT i, k, sqrt(-s) AS dist FROM offd),
+pairagg AS (
+  SELECT d.i, lk.exemplar AS ck, avg(d.dist) AS ad
+  FROM dists d JOIN labels lk ON d.k = lk.vec_id
+  GROUP BY 1, 2),
+a_side AS (
+  SELECT p.i, p.ad AS a_dist
+  FROM pairagg p JOIN labels li ON p.i = li.vec_id AND p.ck = li.exemplar),
+b_side AS (
+  SELECT p.i, min(p.ad) AS b_dist
+  FROM pairagg p JOIN labels li ON p.i = li.vec_id AND p.ck <> li.exemplar
+  GROUP BY p.i),
+sil AS (
+  SELECT li.vec_id, li.exemplar AS ci,
+         CASE WHEN a.a_dist IS NULL OR b.b_dist IS NULL THEN 0.0
+              ELSE (b.b_dist - a.a_dist) / greatest(a.a_dist, b.b_dist)
+         END AS sil
+  FROM labels li
+  LEFT JOIN a_side a ON li.vec_id = a.i
+  LEFT JOIN b_side b ON li.vec_id = b.i)
+SELECT ci AS exemplar, count(*) AS n_members,
+       ROUND(avg(sil), 4) AS avg_silhouette
+FROM sil GROUP BY ci"""
+    )
+
+
 QUERIES = {
     "ap_similarity": q_ap_similarity,
+    "ap_soft_assign": q_ap_soft_assign,
+    "ap_silhouette": q_ap_silhouette,
     "ap_preference": q_ap_preference,
     "ap_responsibility": q_ap_responsibility,
     "ap_availability": q_ap_availability,
@@ -1084,6 +1217,8 @@ QUERIES = {
 
 ORACLES = {
     "ap_similarity": oracle_ap_similarity(),
+    "ap_soft_assign": oracle_ap_soft_assign(),
+    "ap_silhouette": oracle_ap_silhouette(),
     "ap_preference": oracle_ap_preference(),
     "ap_responsibility": oracle_ap_responsibility(),
     "ap_availability": oracle_ap_availability(),
