@@ -152,9 +152,11 @@ _WM_STATE = StructType([StructField("max_ts", LongType())])
 
 
 def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the RAW events parquet (ts as nanos long) — the
-    file-stream source needs a directory, so the single testdata file is
-    staged into a tmp dir keyed by sf."""
+    """readStream over the RAW events parquet with ts normalized to a
+    LONG of epoch MICROS (whichever physical encoding the testdata
+    generation used) — the stateful kernels below do their state math on
+    integer micros.  The file-stream source needs a directory, so the
+    single testdata file is staged into a tmp dir keyed by sf."""
     import shutil
     import tempfile
 
@@ -167,8 +169,12 @@ def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(stage, "events.parquet")
     if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
         shutil.copyfile(src, dst)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.readStream.schema(_EVENTS_RAW).format("parquet").load(stage)
+    schema, ts_is_long = _events_raw_schema(spark, src)
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    ts_us = (
+        F.expr("ts div 1000") if ts_is_long else F.unix_micros(F.col("ts"))
+    )
+    return raw.withColumn("ts", ts_us.cast("long"))
 
 
 def watermark_stream_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +201,7 @@ def watermark_stream_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         (max_ts,) = state.get if state.exists else (None,)
         frames = []
         for pdf in pdfs:
-            us = pdf["ts"].astype("int64") // 1000  # raw nanos → micros
+            us = pdf["ts"].astype("int64")  # epoch micros (normalized source)
             cur_max = int(us.max())
             max_ts = cur_max if max_ts is None else max(max_ts, cur_max)
             frames.append(
@@ -280,7 +286,7 @@ def resample_ffill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_hour, last_value = state.get if state.exists else (None, None)
         batches = [pdf for pdf in pdfs]
         pdf = pd.concat(batches)
-        us = pdf["ts"].astype("int64") // 1000  # raw nanos → micros
+        us = pdf["ts"].astype("int64")  # epoch micros (normalized source)
         pdf = pdf.assign(us=us, hour=(us // _HOUR_US) * _HOUR_US)
         # deterministic last observation per hour: (ts, event_id) order.
         # tail(1) takes the last ROW per group — GroupBy.last() would skip
@@ -326,3 +332,39 @@ def resample_ffill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_ffill",
         F.col("is_observed").cast("boolean").alias("is_observed"),
     )
+
+
+def rollup_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of q_rollup_timeseries for the three time grains:
+    hour/day/month continuous aggregates as a union of windowed
+    aggregations over the same stream (Structured Streaming has no
+    streaming ROLLUP, and the batch operator's grand-total row would
+    need complete-mode global state — the twin declares the three
+    incremental grains, which is exactly what a continuous aggregate
+    materializes)."""
+    grains = []
+    for grain, width in (("hour", "1 hour"), ("day", "1 day"), ("month", "31 days")):
+        # month windows: the events span is a single calendar month in
+        # the testdata; a 31-day tumbling window anchored by Spark's
+        # epoch-aligned windowing covers it.  On an unbounded feed a
+        # calendar-month grain would roll up from the day grain
+        # downstream (days compose into exact months; fixed windows
+        # don't).
+        grains.append(
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", width).alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                F.lit(grain).alias("grain"),
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "sum_value",
+            )
+        )
+    out = grains[0]
+    for g in grains[1:]:
+        out = out.unionByName(g)
+    return out

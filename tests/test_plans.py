@@ -107,15 +107,25 @@ def test_minhash_verify_broadcast_gate(spark):
 
 
 def test_ap_pass_state_never_sorted(spark):
-    """The agg+broadcast AP formulation must not sort the O(N^2) state:
-    no Sort node may sit above the similarity relation in one iteration."""
+    """The agg+broadcast AP formulation must never globally sort or
+    shuffle the O(N^2) state.  The one permitted Sort is the top-2
+    selector's: a 2-column (i, asv) projection sorted under a
+    WindowGroupLimit whose partial mode caps the exchange at <= 2 rows
+    per (i, input partition) — map-side CPU, O(N) network.  Any Sort
+    over the full 5-column state, or a SortMergeJoin, means the
+    formulation regressed to shuffling the matrix."""
     from affinity_propagation_mapreduce_spark.operators import ap
 
     state = ap.init_state(ap.similarity_matrix(spark, SF_T2))
     one_iter = ap.availability_pass(ap.responsibility_pass(state))
     plan = one_iter._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert "Sort " not in plan, "iteration plan sorts the message state"
+    assert "SortMergeJoin" not in plan, "state join became a shuffle join"
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            keys = line.split("Sort [", 1)[1]
+            assert "asv" in keys, f"sort beyond the top-2 selector: {line}"
 
 
 def test_sampling_ops_are_map_side(spark):

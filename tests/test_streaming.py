@@ -106,23 +106,28 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     from affinity_propagation_mapreduce_spark.streaming.stateful import (
         running_user_totals,
     )
-    from affinity_propagation_mapreduce_spark.streaming.twins import _EVENTS_RAW
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(_EVENTS_RAW).parquet(
-        f"{SF_SMALL}/events.parquet"
+    from affinity_propagation_mapreduce_spark.streaming.twins import (
+        _events_raw_schema,
     )
+
+    schema, ts_is_long = _events_raw_schema(
+        spark, f"{SF_SMALL}/events.parquet"
+    )
+    raw = spark.read.schema(schema).parquet(f"{SF_SMALL}/events.parquet")
     half = raw.count() // 2
     src = str(tmp_path / "stream_in")
     raw.where(F.col("event_id") < half).coalesce(1).write.parquet(f"{src}/f0")
     raw.where(F.col("event_id") >= half).coalesce(1).write.parquet(f"{src}/f1")
 
     stream = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_long:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     q = (
         running_user_totals(stream)
         .writeStream.format("memory")
@@ -162,3 +167,25 @@ def test_resample_ffill_twin_equals_batch(spark):
     want = ev_ops.q_resample_ffill(spark, SF_SMALL)
     cols = ["user_id", "hour", "value_ffill", "is_observed"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_rollup_twin_matches_batch_grain_totals(spark):
+    """The streaming rollup twin's hour-grain rows must equal the batch
+    rollup's hour grain exactly; coarser streaming grains (fixed-width
+    windows) must conserve the event total."""
+    stream = twins.rollup_stream(twins.stream_events(spark, SF_SMALL))
+    got = _run_stream(spark, stream, "t_rollup", "complete")
+    batch = ev_ops.q_rollup_timeseries(spark, SF_SMALL)
+    got_hours = _rows(
+        got.where("grain = 'hour'").withColumnRenamed("window_start", "hour"),
+        ["hour", "n_events", "sum_value"],
+    )
+    want_hours = _rows(
+        batch.where("grain = 'hour'").select("hour", "n_events", "sum_value"),
+        ["hour", "n_events", "sum_value"],
+    )
+    assert got_hours == want_hours
+    total = batch.where("grain = 'total'").collect()[0].n_events
+    for grain in ("hour", "day", "month"):
+        got_total = sum(r.n_events for r in got.where(f"grain = '{grain}'").collect())
+        assert got_total == total, grain
