@@ -1146,6 +1146,51 @@ def q_ap_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAMPING_SWEEP_ALT = 0.9  # canonical high-damping contrast to the 0.5 default
+
+
+def q_ap_damping_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(⊕ r4) Exemplar count under damping 0.5 vs 0.9 (T=5) — the other
+    AP hyperparameter knob next to the preference (A10).  Heavier
+    damping slows message movement, so fewer self-elected exemplars
+    emerge within a fixed unrolled T.  The 0.5 chain is the shared
+    cached one; the 0.9 chain runs fresh (identical plan shape)."""
+    out = []
+    for lam in (DAMPING, DAMPING_SWEEP_ALT):
+        if lam == DAMPING:
+            state = _final_state(spark, sf_dir)
+        else:
+            state = iterate(
+                init_state(cached_smat(spark, sf_dir)), T_DEFAULT, lam=lam
+            )
+        out.append(
+            exemplars_from_state(state)
+            .agg(F.count("*").alias("n_exemplars"))
+            .select(F.lit(lam).alias("damping"), "n_exemplars")
+        )
+    return out[0].unionByName(out[1])
+
+
+def oracle_ap_damping_sweep(T: int = T_DEFAULT) -> str:
+    body_05, final_05 = _iteration_ctes(T)
+    body_09, final_09 = _iteration_ctes(T, lam=DAMPING_SWEEP_ALT, suffix="_d9")
+    # the λ=0.9 stack starts from the same zero state: alias st0_d9 → st0
+    st0_alias = ",\nst0_d9 AS (SELECT * FROM st0)"
+    return (
+        "WITH "
+        + _prelude()
+        + body_05
+        + st0_alias
+        + body_09
+        + f"""
+SELECT {DAMPING} AS damping, count(*) AS n_exemplars
+FROM {final_05} WHERE i = k AND a + r > 0
+UNION ALL
+SELECT {DAMPING_SWEEP_ALT} AS damping, count(*) AS n_exemplars
+FROM {final_09} WHERE i = k AND a + r > 0"""
+    )
+
+
 def oracle_ap_soft_assign(T: int = T_DEFAULT) -> str:
     body, final = _iteration_ctes(T)
     return (
@@ -1203,6 +1248,7 @@ QUERIES = {
     "ap_similarity": q_ap_similarity,
     "ap_soft_assign": q_ap_soft_assign,
     "ap_silhouette": q_ap_silhouette,
+    "ap_damping_sweep": q_ap_damping_sweep,
     "ap_preference": q_ap_preference,
     "ap_responsibility": q_ap_responsibility,
     "ap_availability": q_ap_availability,
@@ -1219,6 +1265,7 @@ ORACLES = {
     "ap_similarity": oracle_ap_similarity(),
     "ap_soft_assign": oracle_ap_soft_assign(),
     "ap_silhouette": oracle_ap_silhouette(),
+    "ap_damping_sweep": oracle_ap_damping_sweep(),
     "ap_preference": oracle_ap_preference(),
     "ap_responsibility": oracle_ap_responsibility(),
     "ap_availability": oracle_ap_availability(),

@@ -1063,8 +1063,51 @@ SELECT degree, count(*) AS n_docs FROM deg GROUP BY degree
 """
 
 
+# --- (⊕ r4) BPE first-merge statistics ---------------------------------------
+
+def q_bpe_pair_stats(spark, sf_dir):
+    """Adjacent character-pair frequencies within tokens — the statistic
+    the first BPE merge step maximizes over a training corpus.  Emits
+    each pair's total occurrence count and the number of distinct tokens
+    containing it (the candidate-merge table a distributed BPE trainer
+    consumes).  Generator explode over the token relation; both counts
+    partial-aggregate map-side, and the result is bounded by alphabet²,
+    not corpus size."""
+    toks = _tokens(spark, sf_dir)
+    pairs = toks.select(
+        "token",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+    ).where(F.length("pair") == 2)
+    return pairs.groupBy("pair").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("token").alias("n_distinct_tokens"),
+    )
+
+
+O_BPE_PAIRS = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+pairs AS (
+  SELECT token,
+         unnest(list_transform(generate_series(1, length(token) - 1),
+                               i -> substring(token, i, 2))) AS pair
+  FROM toks)
+SELECT pair, count(*) AS n_occurrences,
+       count(DISTINCT token) AS n_distinct_tokens
+FROM pairs
+WHERE length(pair) = 2
+GROUP BY pair
+"""
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
+    "bpe_pair_stats": q_bpe_pair_stats,
     "dedup_simhash": q_dedup_simhash,
     "tfidf_topterms": q_tfidf_topterms,
     "ngrams_bigram": q_ngrams_bigram,
@@ -1085,6 +1128,7 @@ QUERIES = {
 
 ORACLES = {
     "tok_wordcount": O_WORDCOUNT,
+    "bpe_pair_stats": O_BPE_PAIRS,
     "dedup_simhash": O_SIMHASH,
     "tfidf_topterms": O_TFIDF,
     "ngrams_bigram": O_BIGRAM,
