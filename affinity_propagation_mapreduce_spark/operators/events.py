@@ -551,8 +551,78 @@ FROM overlap JOIN active USING (day)
 """
 
 
+# --- (⊕ r4) attribution: purchase → most recent view within 1h --------------
+
+ATTRIB_WINDOW_MIN = 60
+
+
+def q_attribution_window(spark, sf_dir):
+    """Last-touch attribution: each purchase joined to the same user's
+    most recent view within the preceding hour.  Equi key (user) +
+    time-range residual, top-1 by view recency with full tie-break —
+    the batch declaration of a stream-stream interval join (the
+    streaming twin joins the two event streams with watermarks and the
+    same range condition; see streaming/twins.py attribution_stream).
+    Scale: both sides pre-filter by event_type at the scan, the join
+    co-partitions on user_id, and WindowGroupLimit caps the top-1."""
+    ev = _ev(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    joined = purchases.join(views, "user_id").where(
+        (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            > F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+        )
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("view_ts"), F.desc("view_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "view_id",
+            "view_ts",
+            F.floor(
+                (F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                 - F.unix_micros(F.col("view_ts").cast("timestamp"))) / 1_000_000
+            ).cast("long").alias("gap_sec"),
+        )
+    )
+
+
+O_ATTRIBUTION = f"""
+WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM ev WHERE event_type = 'view')
+SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
+       CAST(floor(epoch(purchase_ts - view_ts)) AS BIGINT) AS gap_sec
+FROM p JOIN v USING (user_id)
+WHERE view_ts <= purchase_ts
+  AND view_ts > purchase_ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTES
+QUALIFY row_number() OVER (PARTITION BY purchase_id
+                           ORDER BY view_ts DESC, view_id DESC) = 1
+"""
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
+    "attribution_window": q_attribution_window,
     "ewma_smooth": q_ewma_smooth,
     "resample_ffill": q_resample_ffill,
     "win_tumbling": q_win_tumbling,
@@ -567,6 +637,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_window": O_ATTRIBUTION,
     "rollup_timeseries": O_ROLLUP_TS,
     "anomaly_zscore_daily": O_ANOMALY_Z,
     "campaign_overlap": O_CAMPAIGN_OVERLAP,

@@ -141,8 +141,47 @@ FROM per_type
 """
 
 
+# --- (⊕ r4) schema-on-read: typed from_json struct projection ---------------
+
+def q_json_typed_struct(spark, sf_dir):
+    """Schema-on-read over the JSON column: ``from_json`` with an
+    explicit schema parses props ONCE into a typed struct (vs
+    get_json_object's per-path re-parse in C1), then projects typed
+    fields, flags corrupt/missing keys, and aggregates per decile
+    bucket.  At scale the single parse + struct projection is the
+    cheap shape when multiple fields come from one JSON payload."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k BIGINT").alias("p"), "event_type"
+    )
+    k = F.col("p.k")
+    return (
+        parsed.select(
+            (k % 10).alias("k_decile"),
+            k.isNull().cast("int").alias("is_missing"),
+            "event_type",
+        )
+        .groupBy("k_decile", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_missing").cast("long").alias("n_missing"),
+        )
+    )
+
+
+O_JSON_TYPED = """
+WITH parsed AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, event_type
+  FROM events)
+SELECT k % 10 AS k_decile, event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM parsed GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "json_extract": q_json_extract,
+    "json_typed_struct": q_json_typed_struct,
     "array_ops": q_array_ops,
     "explode_unnest": q_explode_unnest,
     "map_struct_ops": q_map_struct_ops,
@@ -150,6 +189,7 @@ QUERIES = {
 
 ORACLES = {
     "json_extract": O_JSON_EXTRACT,
+    "json_typed_struct": O_JSON_TYPED,
     "array_ops": O_ARRAY_OPS,
     "explode_unnest": O_EXPLODE,
     "map_struct_ops": O_MAP_STRUCT,

@@ -368,3 +368,45 @@ def rollup_stream(ev: DataFrame) -> DataFrame:
     for g in grains[1:]:
         out = out.unionByName(g)
     return out
+
+
+def attribution_stream(ev: DataFrame) -> DataFrame:
+    """Streaming twin of q_attribution_window's JOIN STAGE: a
+    stream-stream inner join of the purchase stream against the view
+    stream on user_id with the 1-hour interval condition.  Watermarks on
+    BOTH sides bound the join state (views retained only while a
+    matching purchase can still arrive).  The batch operator's top-1
+    per purchase is a post-join ranking the append-mode twin leaves to
+    the consumer — the capability under test is the watermarked
+    interval join itself; equality of the emitted PAIR SET with the
+    batch join stage is asserted in tests."""
+    from ..operators.events import ATTRIB_WINDOW_MIN
+
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            > F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+        ),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")

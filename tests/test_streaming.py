@@ -189,3 +189,38 @@ def test_rollup_twin_matches_batch_grain_totals(spark):
     for grain in ("hour", "day", "month"):
         got_total = sum(r.n_events for r in got.where(f"grain = '{grain}'").collect())
         assert got_total == total, grain
+
+
+def test_attribution_stream_stream_join_equals_batch_pairs(spark):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch join stage's (purchase, view) pair set on bounded input."""
+    from affinity_propagation_mapreduce_spark.operators.events import (
+        ATTRIB_WINDOW_MIN,
+    )
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    stream = twins.attribution_stream(twins.stream_events(spark, SF_SMALL))
+    got = _run_stream(spark, stream, "t_attrib", "append")
+    ev = table(spark, SF_SMALL, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    want = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            > F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+        ),
+    ).select("purchase_id", "view_id")
+    got_pairs = {(r.purchase_id, r.view_id) for r in got.collect()}
+    want_pairs = {(r.purchase_id, r.view_id) for r in want.collect()}
+    assert got_pairs == want_pairs
