@@ -567,6 +567,168 @@ def q_ap_assign_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_sparse(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Hash-checked sparse AP: the same IVF-pruned pipeline with every stage in
+# oracle-mirrorable fold arithmetic (upgrades the flagship scale path from
+# rows-only to a full DuckDB value-hash check, like knn_cosine_ivf)
+# ---------------------------------------------------------------------------
+
+SPARSE_CHECKED_K = 32
+
+
+def _fold_sq_l2(a, b):
+    """Sequential-fold squared L2 — bitwise identical to DuckDB's
+    list_reduce over the zipped squared diffs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sparse_candidates_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, oracle-mirrorable IVF candidate graph: coarse cells
+    are the nlist lowest-id vectors, every point ranks cells by
+    sequential-fold d² (ties → lowest cell id), is indexed in its
+    nearest cell and probes its SPARSE_NPROBE nearest; probe×home pairs
+    per cell become candidates, then the symmetric per-point top-k
+    subgraph.  Identical pruning semantics to ivf_candidate_pairs /
+    knn_candidate_pairs, but fold-based throughout so DuckDB replays the
+    exact float bits (the numpy-gram production kernel reorders the d²
+    accumulation and is therefore rows-only)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    nlist = _sparse_nlist(_n_points(spark, sf_dir))
+    nprobe = min(SPARSE_NPROBE, nlist)
+    coarse = emb.where(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("cell"), F.col("emb").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "emb", "cell",
+        _fold_sq_l2(F.col("emb"), F.col("c_emb")).alias("d2"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    ranked = scored.withColumn("crn", F.row_number().over(w_cell))
+    home = ranked.where(F.col("crn") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("emb").alias("cand_emb"), "cell"
+    )
+    probes = ranked.where(F.col("crn") <= nprobe).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb"), "cell"
+    )
+    raw = (
+        probes.join(home, "cell")
+        .where(F.col("probe_id") != F.col("cand_id"))
+        .select(
+            F.least("probe_id", "cand_id").alias("i"),
+            F.greatest("probe_id", "cand_id").alias("k"),
+            (-_fold_sq_l2(F.col("probe_emb"), F.col("cand_emb"))).alias("s"),
+        )
+        .dropDuplicates(["i", "k"])
+    )
+    sym = raw.unionByName(
+        raw.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
+    )
+    w_top = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
+    topk = (
+        sym.withColumn("rn", F.row_number().over(w_top))
+        .where(F.col("rn") <= SPARSE_CHECKED_K)
+        .select("i", "k", "s")
+    )
+    back = topk.unionByName(
+        topk.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
+    )
+    return back.dropDuplicates(["i", "k"])
+
+
+def q_ap_assign_sparse_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked sparse AP assignment: candidate graph above, median
+    preference over candidate similarities, T damped iterations of the
+    SAME coordinate-format passes (sparse-correct as-is), exemplars,
+    assignment restricted to declared edges; unreachable points emit
+    exemplar = -1."""
+    cand = sparse_candidates_checked(spark, sf_dir).localCheckpoint(eager=False)
+    p = cand.agg(F.expr("percentile(s, 0.5)").alias("p"))
+    ids = table(spark, sf_dir, "embeddings").select("vec_id")
+    diag = ids.crossJoin(p).select(
+        F.col("vec_id").alias("i"), F.col("vec_id").alias("k"),
+        F.col("p").alias("s"),
+    )
+    smat = cand.unionByName(diag).localCheckpoint(eager=False)
+    state = init_state(smat)
+    for _ in range(T_DEFAULT):
+        state = availability_pass(responsibility_pass(state))
+        state = state.localCheckpoint(eager=False)
+    ex = exemplars_from_state(state)
+    best = assign(cand, ex)
+    return (
+        ids.join(best, ids["vec_id"] == best["vec_id"], "left")
+        .select(
+            ids["vec_id"],
+            F.coalesce(best["exemplar"], F.lit(-1).cast("long")).alias("exemplar"),
+        )
+    )
+
+
+def oracle_ap_assign_sparse_checked(
+    T: int = T_DEFAULT, nlist: int = 16, nprobe: int = SPARSE_NPROBE
+) -> str:
+    """Full SQL mirror of the checked sparse pipeline.  nlist is the
+    sf0.01 value (_sparse_nlist(500) = 16) — the oracle only ever runs
+    at the driver's sf0.01."""
+    sqd = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y)"
+    )
+    body, final = _iteration_ctes(T, suffix="_sp")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb"
+        " FROM embeddings),\n"
+        f"cells AS (SELECT vec_id AS cell, emb AS c_emb FROM e"
+        f" WHERE vec_id < {nlist}),\n"
+        "scored AS (SELECT e.vec_id, e.emb, c.cell, "
+        + sqd.format(a="e.emb", b="c.c_emb")
+        + " AS d2 FROM e CROSS JOIN cells c),\n"
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY d2 ASC, cell ASC) AS crn FROM scored),\n"
+        "home AS (SELECT vec_id AS cand_id, emb AS cand_emb, cell"
+        " FROM ranked WHERE crn = 1),\n"
+        f"probes AS (SELECT vec_id AS probe_id, emb AS probe_emb, cell"
+        f" FROM ranked WHERE crn <= {nprobe}),\n"
+        "rawpairs AS (SELECT DISTINCT least(probe_id, cand_id) AS i,"
+        " greatest(probe_id, cand_id) AS k, -("
+        + sqd.format(a="probe_emb", b="cand_emb")
+        + ") AS s FROM probes JOIN home USING (cell)"
+        " WHERE probe_id <> cand_id),\n"
+        "sym AS (SELECT i, k, s FROM rawpairs"
+        " UNION ALL SELECT k, i, s FROM rawpairs),\n"
+        f"topk AS (SELECT i, k, s FROM (SELECT *, row_number() OVER"
+        f" (PARTITION BY i ORDER BY s DESC, k ASC) AS rn FROM sym)"
+        f" WHERE rn <= {SPARSE_CHECKED_K}),\n"
+        "cand AS (SELECT DISTINCT i, k, s FROM"
+        " (SELECT i, k, s FROM topk UNION ALL SELECT k, i, s FROM topk)),\n"
+        "pref_sp AS (SELECT median(s) AS p FROM cand),\n"
+        "smat_sp AS (SELECT i, k, s FROM cand UNION ALL"
+        " SELECT vec_id, vec_id, p FROM e CROSS JOIN pref_sp),\n"
+        "st0_sp AS (SELECT i, k, s, CAST(0 AS DOUBLE) AS r,"
+        " CAST(0 AS DOUBLE) AS a FROM smat_sp)"
+        + body
+        + f""",
+ex_sp AS (SELECT k AS exemplar FROM {final} WHERE i = k AND a + r > 0),
+acand AS (SELECT c.i, c.k, c.s FROM cand c JOIN ex_sp x ON c.k = x.exemplar),
+abest AS (
+  SELECT i AS vec_id, k AS assigned
+  FROM acand
+  QUALIFY row_number() OVER (PARTITION BY i ORDER BY s DESC, k ASC) = 1),
+labels_sp AS (
+  SELECT b.vec_id, coalesce(x.exemplar, b.assigned) AS exemplar
+  FROM abest b LEFT JOIN ex_sp x ON b.vec_id = x.exemplar)
+SELECT e.vec_id,
+       CAST(coalesce(l.exemplar, -1) AS BIGINT) AS exemplar
+FROM e LEFT JOIN labels_sp l ON e.vec_id = l.vec_id"""
+    )
+
+
 def cluster_converged(
     spark: SparkSession,
     sf_dir: str,
@@ -1259,6 +1421,7 @@ QUERIES = {
     "ap_convergence": q_ap_convergence,
     "ap_pref_sweep": q_ap_pref_sweep,
     "ap_assign_sparse": q_ap_assign_sparse,  # rows-only (pruned candidates)
+    "ap_assign_sparse_checked": q_ap_assign_sparse_checked,
 }
 
 ORACLES = {
@@ -1266,6 +1429,7 @@ ORACLES = {
     "ap_soft_assign": oracle_ap_soft_assign(),
     "ap_silhouette": oracle_ap_silhouette(),
     "ap_damping_sweep": oracle_ap_damping_sweep(),
+    "ap_assign_sparse_checked": oracle_ap_assign_sparse_checked(),
     "ap_preference": oracle_ap_preference(),
     "ap_responsibility": oracle_ap_responsibility(),
     "ap_availability": oracle_ap_availability(),

@@ -162,3 +162,23 @@ def test_anomaly_zscore_centering(spark):
     assert by_type
     for v in by_type.values():
         assert abs(v) < 0.01
+
+
+# --- ap_assign_sparse_checked ----------------------------------------------
+
+def test_sparse_checked_agrees_with_production_sparse(spark):
+    """The hash-checked sparse pipeline (fold-arithmetic candidates) and
+    the production numpy-kernel pipeline implement the same pruning
+    semantics; their labelings must agree on almost all points (exact
+    equality is not pinned: the gram-reordered d² can flip a probe-set
+    boundary in the last ulp)."""
+    checked = {
+        r.vec_id: r.exemplar
+        for r in _q(spark, "ap_assign_sparse_checked").collect()
+    }
+    prod = {
+        r.vec_id: r.exemplar for r in _q(spark, "ap_assign_sparse").collect()
+    }
+    assert set(checked) == set(prod)
+    agree = sum(1 for v in checked if checked[v] == prod[v])
+    assert agree >= 0.95 * len(checked), (agree, len(checked))
