@@ -1105,9 +1105,85 @@ GROUP BY pair
 """
 
 
+# --- (⊕ r4) per-source dedup QC report ---------------------------------------
+
+def q_dedup_report(spark, sf_dir):
+    """Corpus-curation QC rollup: per source, how much would exact
+    (normalized token-set) dedup remove, and how many near-dup pairs
+    (Jaccard >= 0.95) touch the source's docs.  Composes the D4 and D5
+    relations — the report a pipeline operator emits before a filtering
+    run; every input is an already-declared operator, so the report
+    inherits their scale shapes."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    survivors = q_dedup_exact(spark, sf_dir).select("doc_id")
+    pairs = q_dedup_near_jaccard(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    surv = (
+        docs.join(survivors, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_exact_survivors"))
+    )
+    touched = (
+        pairs.select(F.col("doc_lo").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_hi").alias("doc_id")))
+        .distinct()
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_near_dup_docs"))
+    )
+    return (
+        per_source.join(surv, "source")
+        .join(touched, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_survivors",
+            F.round(
+                (F.col("n_docs") - F.col("n_exact_survivors"))
+                / F.col("n_docs"),
+                4,
+            ).alias("exact_dup_ratio"),
+            F.coalesce("n_near_dup_docs", F.lit(0)).alias("n_near_dup_docs"),
+        )
+    )
+
+
+O_DEDUP_REPORT = f"""
+WITH {_O_PAIRS_CTE},
+docs AS (SELECT doc_id, source FROM documents),
+keyed AS (
+  SELECT doc_id,
+         md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                            'string_agg', ' ')) AS dup_key
+  FROM documents),
+survivors AS (
+  SELECT doc_id FROM keyed
+  QUALIFY row_number() OVER (PARTITION BY dup_key ORDER BY doc_id) = 1),
+per_source AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source),
+surv AS (
+  SELECT source, count(*) AS n_exact_survivors
+  FROM docs JOIN survivors USING (doc_id) GROUP BY source),
+touched AS (
+  SELECT source, count(*) AS n_near_dup_docs
+  FROM (SELECT DISTINCT doc_id
+        FROM (SELECT doc_lo AS doc_id FROM pairs
+              UNION ALL SELECT doc_hi FROM pairs)) t
+  JOIN docs USING (doc_id)
+  GROUP BY source)
+SELECT source, n_docs, n_exact_survivors,
+       ROUND((n_docs - n_exact_survivors) / CAST(n_docs AS DOUBLE), 4)
+         AS exact_dup_ratio,
+       CAST(coalesce(n_near_dup_docs, 0) AS BIGINT) AS n_near_dup_docs
+FROM per_source
+JOIN surv USING (source)
+LEFT JOIN touched USING (source)
+"""
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
     "bpe_pair_stats": q_bpe_pair_stats,
+    "dedup_report": q_dedup_report,
     "dedup_simhash": q_dedup_simhash,
     "tfidf_topterms": q_tfidf_topterms,
     "ngrams_bigram": q_ngrams_bigram,
@@ -1129,6 +1205,7 @@ QUERIES = {
 ORACLES = {
     "tok_wordcount": O_WORDCOUNT,
     "bpe_pair_stats": O_BPE_PAIRS,
+    "dedup_report": O_DEDUP_REPORT,
     "dedup_simhash": O_SIMHASH,
     "tfidf_topterms": O_TFIDF,
     "ngrams_bigram": O_BIGRAM,
