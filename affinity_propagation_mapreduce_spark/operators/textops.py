@@ -223,14 +223,24 @@ NGRAM_JACCARD_THRESHOLD = 0.8
 
 
 def _shingles(spark, sf_dir):
-    """(doc_id, shingle) — the distinct word-bigram shingle set per doc."""
-    shingle_expr = (
-        "explode(array_distinct(transform("
-        "  sequence(1, size(split(text, ' ')) - 1),"
-        "  i -> concat(element_at(split(text, ' '), i), ' ',"
-        "              element_at(split(text, ' '), i + 1)))))"
+    """(doc_id, shingle) — the distinct word-bigram shingle set per doc.
+
+    The token array is projected ONCE before the generator: referencing
+    ``split(text, ' ')`` inside the transform lambda re-evaluates the
+    split per element (Catalyst does not CSE through generator lambdas —
+    measured 5× slower on the sf0.1 shingle stage)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("tk")
     )
-    return _docs(spark, sf_dir).select("doc_id", F.expr(shingle_expr).alias("shingle"))
+    sh = F.explode(
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+            )
+        )
+    )
+    return docs.select("doc_id", sh.alias("shingle"))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
