@@ -182,3 +182,32 @@ def test_sparse_checked_agrees_with_production_sparse(spark):
     assert set(checked) == set(prod)
     agree = sum(1 for v in checked if checked[v] == prod[v])
     assert agree >= 0.95 * len(checked), (agree, len(checked))
+
+
+# --- registry rotation guards ------------------------------------------------
+
+def test_registry_rotation_unproven_first():
+    """The driver checks the first 50 queries() entries only — every key
+    without a green CORRECTNESS row must sort ahead of every proven key,
+    and the proven set must reference real keys."""
+    import json
+    import glob
+    import os
+
+    from affinity_propagation_mapreduce_spark import registry
+
+    names = list(registry.queries())
+    proven_positions = [i for i, n in enumerate(names) if n in registry._PROVEN]
+    unproven_positions = [
+        i for i, n in enumerate(names) if n not in registry._PROVEN
+    ]
+    assert max(unproven_positions) < min(proven_positions)
+    assert registry._PROVEN <= set(names), "stale _PROVEN entries"
+    # _PROVEN matches the correctness files exactly (refresh_proven.py)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proven = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            if row.get("err") is None and row.get("rows_match"):
+                proven.add(name)
+    assert set(registry._PROVEN) == proven
