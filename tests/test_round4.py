@@ -210,4 +210,8 @@ def test_registry_rotation_unproven_first():
         for name, row in json.load(open(path)).items():
             if row.get("err") is None and row.get("rows_match"):
                 proven.add(name)
-    assert set(registry._PROVEN) == proven
+    assert set(registry._PROVEN) == proven, (
+        "registry._PROVEN is stale vs CORRECTNESS_r*.json — run "
+        "`python tools/refresh_proven.py --write` (expected at the start "
+        "of every round, after the driver drops the new file)"
+    )
