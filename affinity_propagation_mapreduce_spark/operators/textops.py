@@ -228,9 +228,17 @@ def _shingles(spark, sf_dir):
     The token array is projected ONCE before the generator: referencing
     ``split(text, ' ')`` inside the transform lambda re-evaluates the
     split per element (Catalyst does not CSE through generator lambdas —
-    measured 5× slower on the sf0.1 shingle stage)."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.split("text", " ").alias("tk")
+    measured 5× slower on the sf0.1 shingle stage).
+
+    Docs with < 2 tokens are filtered FIRST — they have no bigram
+    shingles, and Spark's ``sequence(1, 0)`` is a *descending* [1, 0]
+    whose 0 index would throw in ANSI ``element_at`` (same trap as
+    _char_trigrams; DuckDB's range(1, 0) is empty, so the oracle needs
+    no guard)."""
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 2)
     )
     sh = F.explode(
         F.array_distinct(
