@@ -1092,6 +1092,9 @@ def q_bpe_pair_stats(spark, sf_dir):
     partial-aggregate map-side, and the result is bounded by alphabet²,
     not corpus size."""
     toks = _tokens(spark, sf_dir)
+    # 1-char tokens make sequence(1, 0) descend through position 0;
+    # substring tolerates it (unlike element_at) and the length filter
+    # drops the sub-2-char artifacts it produces
     pairs = toks.select(
         "token",
         F.explode(
