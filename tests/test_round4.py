@@ -203,12 +203,22 @@ def test_registry_rotation_unproven_first():
     ]
     assert max(unproven_positions) < min(proven_positions)
     assert registry._PROVEN <= set(names), "stale _PROVEN entries"
-    # _PROVEN matches the correctness files exactly (refresh_proven.py)
+    # _PROVEN matches the correctness files exactly, under the single
+    # criterion defined in tools/refresh_proven.py (hash-green or declared
+    # rows-only — rows_match alone is NOT proven: the driver gate is the
+    # type-sensitive value hash).
+    import sys
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from refresh_proven import row_is_proven
+    finally:
+        sys.path.pop(0)
     proven = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         for name, row in json.load(open(path)).items():
-            if row.get("err") is None and row.get("rows_match"):
+            if row_is_proven(row):
                 proven.add(name)
     assert set(registry._PROVEN) == proven, (
         "registry._PROVEN is stale vs CORRECTNESS_r*.json — run "
