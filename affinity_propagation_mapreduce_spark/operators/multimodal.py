@@ -12,7 +12,8 @@ multimodal pipeline needs:
 * metadata profiling as plain relational ops (oracle-checked)
 * content fingerprinting over the binary column (oracle-checked)
 * Arrow-batched decode/feature-extract via mapInPandas (batch shape,
-  schema, partitioning all real; rows-only check)
+  schema, partitioning all real; hash-checked per-dimension — the
+  md5-seeded stub is exactly reproducible in SQL)
 * frame sampling as a 1→N UDTF-shaped expansion (rows-only check)
 
 Payloads are synthesized from `documents.text` bytes so every engine and
@@ -136,7 +137,12 @@ def q_media_decode_features(spark, sf_dir):
     """Arrow-batched decode/feature-extract: mapInPandas so one Python
     worker handles a whole Arrow batch of binary payloads (the only
     viable shape at 100 TB — per-row UDF round-trips would drown in
-    serialization)."""
+    serialization).  The feature vector is exploded to one row per
+    dimension: list columns crash the driver's pandas canonicalizer
+    (r4 lesson, same as r1's array_ops), and per-dim scalars let the
+    md5-seeded stub be hash-checked exactly — each value is
+    digest_byte/256.0, a dyadic rational both engines compute bitwise
+    identically."""
     assets = media_assets(spark, sf_dir)
 
     def extract(batches):
@@ -152,9 +158,28 @@ def q_media_decode_features(spark, sf_dir):
                 }
             )
 
-    return assets.mapInPandas(
+    decoded = assets.mapInPandas(
         extract, schema="asset_id long, media_type string, feature array<double>"
     )
+    return decoded.select(
+        "asset_id",
+        "media_type",
+        F.posexplode("feature").alias("dim", "value"),
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
+O_DECODE_FEATURES = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         ['image/jpeg','image/png','audio/wav','video/mp4'][(doc_id % 4 + 1)::INT]
+           AS media_type,
+         md5(text) AS h
+  FROM documents),
+dims AS (SELECT unnest(range(0, 8)) AS dim)
+SELECT asset_id, media_type, CAST(dim AS BIGINT) AS dim,
+       (('0x' || substring(h, (dim * 2 + 1)::INT, 2))::INT) / 256.0 AS value
+FROM assets CROSS JOIN dims
+"""
 
 
 # --- M4 frame sampling: 1 video → N frame rows (UDTF shape, rows-only) ------
@@ -204,12 +229,13 @@ FROM frames
 QUERIES = {
     "media_profile": q_media_profile,
     "media_fingerprint": q_media_fingerprint,
-    "media_decode_features": q_media_decode_features,  # rows-only (decode stub)
+    "media_decode_features": q_media_decode_features,
     "media_frame_sample": q_media_frame_sample,
 }
 
 ORACLES = {
     "media_profile": O_MEDIA_PROFILE,
     "media_fingerprint": O_MEDIA_FP,
+    "media_decode_features": O_DECODE_FEATURES,
     "media_frame_sample": O_FRAME_SAMPLE,
 }

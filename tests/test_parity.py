@@ -25,7 +25,6 @@ ORACLES = registry.oracle_sql()
 ROWS_ONLY = {
     "ap_assign_sparse",        # sparse AP: no bounded-depth SQL equivalent
     "dedup_embed_cosine_ivf",  # IVF-approximate by design
-    "media_decode_features",   # decode stub (no image libs in container)
 }
 
 AP_KEYS = sorted(k for k in QUERIES if k.startswith("ap_"))
