@@ -395,20 +395,28 @@ def cluster(
 SPARSE_NPROBE = 4  # coarse cells probed per query point
 
 
-def _sparse_nlist(n: int) -> int:
-    """Coarse-quantizer size: nlist ∝ N keeps cells at ~64 members, so a
-    point's candidate set is ~nprobe·64 = O(1) regardless of N and the
-    total pair count is O(N·256) — linear, not quadratic."""
-    return max(16, n // 64)
+def _sparse_nlist(n: int, nprobe: int = SPARSE_NPROBE) -> int:
+    """Cost-balanced coarse-quantizer size (see operators/ivf.py):
+    nlist = sqrt(nprobe·N) balances the O(N·nlist) coarse-scoring step
+    against the O(N·nprobe·N/nlist) within-cell verify, so the whole
+    candidate pass is O(N^1.5) — sub-quadratic, unlike the earlier
+    nlist ∝ N sizing whose coarse step was O(N²/64)."""
+    from .ivf import cost_balanced_nlist
+
+    return cost_balanced_nlist(n, nprobe)
 
 
-def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_candidate_pairs(
+    spark: SparkSession, sf_dir: str, trained: bool = False
+) -> DataFrame:
     """Deduplicated candidate pairs (i < k, s) from an IVF coarse
     quantizer, WITHOUT materializing the dense N² kernel.
 
-    The nlist lowest-id vectors stand in for trained centroids
-    (deterministic, no training pass — same scheme as
-    vector.q_knn_cosine_ivf).  Standard IVF asymmetry: every point is
+    The nlist lowest-id vectors stand in for trained centroids by
+    default (deterministic, no training pass — same scheme as
+    vector.q_knn_cosine_ivf, and what the hash-checked twin mirrors);
+    ``trained=True`` swaps in the sampled-Lloyd quantizer from
+    operators/ivf.py instead.  Standard IVF asymmetry: every point is
     INDEXED in exactly its home (nearest) cell, and PROBES its
     SPARSE_NPROBE nearest cells — so pair (x, y) is considered when
     either point's home cell is probed by the other.  Pairwise work is
@@ -425,9 +433,15 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = _n_points(spark, sf_dir)
     nlist = _sparse_nlist(n)
-    cent_rows = emb.where(F.col("vec_id") < nlist).collect()
-    cent_ids = np.array([r.vec_id for r in cent_rows], dtype="i8")
-    cent_mat = np.array([r.embedding for r in cent_rows], dtype="f8")
+    if trained:
+        from .ivf import train_centroids
+
+        cent_mat = train_centroids(emb, nlist)
+        cent_ids = np.arange(len(cent_mat), dtype="i8")
+    else:
+        cent_rows = emb.where(F.col("vec_id") < nlist).collect()
+        cent_ids = np.array([r.vec_id for r in cent_rows], dtype="i8")
+        cent_mat = np.array([r.embedding for r in cent_rows], dtype="f8")
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
     nprobe = min(SPARSE_NPROBE, len(cent_ids))
 
@@ -496,12 +510,12 @@ def ivf_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def knn_candidate_pairs(
-    spark: SparkSession, sf_dir: str, k: int = 32
+    spark: SparkSession, sf_dir: str, k: int = 32, trained: bool = False
 ) -> DataFrame:
     """Symmetric k-NN candidate graph (i, k, s): per-point top-k over the
     IVF candidate pairs, symmetrized.  All window/top-k work runs over
     the O(N·nprobe·cell_size) candidate rows — never N² rows."""
-    pairs = ivf_candidate_pairs(spark, sf_dir)
+    pairs = ivf_candidate_pairs(spark, sf_dir, trained=trained)
     sym = pairs.unionByName(
         pairs.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
     )
@@ -523,6 +537,7 @@ def cluster_sparse(
     iterations: int = T_DEFAULT,
     lam: float = DAMPING,
     k: int = 32,
+    trained: bool = False,
 ) -> DataFrame:
     """Sparse Affinity Propagation over the k-NN candidate graph.
 
@@ -536,7 +551,9 @@ def cluster_sparse(
     exemplar = -1 (honest sparse semantics: a point can only elect an
     exemplar it has a declared similarity to).
     """
-    cand = knn_candidate_pairs(spark, sf_dir, k).localCheckpoint(eager=False)
+    cand = knn_candidate_pairs(spark, sf_dir, k, trained=trained).localCheckpoint(
+        eager=False
+    )
     p = cand.agg(F.expr("percentile(s, 0.5)").alias("p"))
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
     diag = ids.crossJoin(p).select(
@@ -671,11 +688,16 @@ def q_ap_assign_sparse_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_ap_assign_sparse_checked(
-    T: int = T_DEFAULT, nlist: int = 16, nprobe: int = SPARSE_NPROBE
+    T: int = T_DEFAULT, nlist: int | None = None, nprobe: int = SPARSE_NPROBE
 ) -> str:
-    """Full SQL mirror of the checked sparse pipeline.  nlist is the
-    sf0.01 value (_sparse_nlist(500) = 16) — the oracle only ever runs
-    at the driver's sf0.01."""
+    """Full SQL mirror of the checked sparse pipeline.  nlist defaults to
+    the sf0.01 value (_sparse_nlist(ORACLE_SF_N)) — the oracle only ever
+    runs at the driver's sf0.01, where the Spark side computes the same
+    function of the actual row count."""
+    if nlist is None:
+        from .ivf import ORACLE_SF_N
+
+        nlist = _sparse_nlist(ORACLE_SF_N)
     sqd = (
         "list_reduce(list_transform(list_zip({a}, {b}),"
         " z -> (z[1]-z[2])*(z[1]-z[2])), (x, y) -> x + y)"

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources import table
+from .ivf import ORACLE_SF_N, cost_balanced_nlist
 
 N_QUERIES = 10  # fixed query ids 0..9 (deterministic contract)
 TOP_K = 5
@@ -158,32 +159,29 @@ GROUP BY x.vec_id, x.label
 
 # --- E4 IVF-bucketed ANN (rows-only; the beyond-memory scale path) ----------
 
-N_COARSE = 16  # coarse quantizer size (IVF nlist)
 N_PROBE = 4  # buckets probed per query
 
 
-def q_knn_cosine_ivf(spark, sf_dir):
-    """IVF-style approximate top-k: a coarse quantizer (the N_COARSE
-    lowest-id vectors stand in for k-means centroids — deterministic, no
-    training pass) assigns every vector to its nearest coarse cell;
-    each query probes only its N_PROBE nearest cells, so the pairwise
-    work drops from |Q|·N to |Q|·(N·nprobe/nlist).  At 100 TB the cell
-    id is the shuffle/partition key — queries and candidates co-locate
-    per cell and no task sees the full corpus.  The whole pipeline is
-    deterministic fold arithmetic with id tie-breaks, so the oracle
-    mirrors the same approximation and the gate hash-checks it; recall
-    vs the exact `knn_cosine_topk` is asserted in tests."""
+def _ivf_knn(spark, sf_dir, coarse):
+    """IVF-style approximate top-k against an arbitrary coarse quantizer
+    ``coarse`` (cell, c_emb, c_nrm): every vector is indexed in its
+    nearest cell; each query probes only its N_PROBE nearest cells, so
+    the pairwise work drops from |Q|·N to |Q|·nprobe·N/nlist.  At 100 TB
+    the cell id is the shuffle/partition key — queries and candidates
+    co-locate per cell and no task sees the full corpus."""
     emb = _emb(spark, sf_dir)
     norms = emb.select(
         "vec_id",
         "emb",
         F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
     )
-    coarse = norms.where(F.col("vec_id") < N_COARSE).select(
-        F.col("vec_id").alias("cell"),
-        F.col("emb").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+    return _ivf_knn_frames(norms, coarse, F.col("vec_id") < N_QUERIES)
+
+
+def _ivf_knn_frames(norms, coarse, is_query):
+    """Core IVF top-k pipeline over prepared frames: ``norms`` is
+    (vec_id, emb, nrm), ``coarse`` is (cell, c_emb, c_nrm), ``is_query``
+    a boolean Column selecting the query rows."""
     cos_to_cell = _dot(F.col("emb"), F.col("c_emb")) / (
         F.col("nrm") * F.col("c_nrm")
     )
@@ -200,9 +198,7 @@ def q_knn_cosine_ivf(spark, sf_dir):
         F.col("nrm").alias("n_nrm"),
         "cell",
     )
-    probes = ranked.where(
-        (F.col("crn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES)
-    ).select(
+    probes = ranked.where((F.col("crn") <= N_PROBE) & is_query).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -222,6 +218,68 @@ def q_knn_cosine_ivf(spark, sf_dir):
     )
 
 
+def _lowid_coarse(spark, sf_dir, nlist):
+    """The nlist lowest-id vectors as pseudo-centroids — deterministic,
+    training-free, and exactly mirrorable in oracle SQL."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.where(F.col("vec_id") < nlist)
+        .select(
+            F.col("vec_id").alias("cell"),
+            F.col("emb").alias("c_emb"),
+            F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("c_nrm"),
+        )
+    )
+
+
+def _trained_coarse(spark, sf_dir, nlist):
+    """Sampled-Lloyd trained centroids (operators/ivf.py) as a coarse
+    DataFrame — the production quantizer for clustered data; not
+    oracle-mirrorable (iterative), so used by rows-only paths and the
+    recall comparison test."""
+    from .ivf import train_centroids
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = train_centroids(emb, nlist)
+    rows = [
+        (i, [float(x) for x in c], float((c * c).sum() ** 0.5))
+        for i, c in enumerate(cent)
+    ]
+    return spark.createDataFrame(
+        rows, "cell long, c_emb array<double>, c_nrm double"
+    )
+
+
+def q_knn_cosine_ivf(spark, sf_dir):
+    """IVF approximate top-k with the lowest-id coarse quantizer and a
+    cost-balanced nlist = sqrt(nprobe·N) (operators/ivf.py): coarse
+    scoring is O(N·sqrt(N)) and cells hold ~sqrt(N/nprobe) members, so
+    no stage is quadratic — the earlier fixed nlist=16 meant O(N)-sized
+    cells and an O(N²/16) within-cell join.  The whole pipeline is
+    deterministic fold arithmetic with id tie-breaks, so the oracle
+    mirrors the same approximation and the gate hash-checks it; recall
+    vs the exact `knn_cosine_topk` (and vs the trained quantizer) is
+    asserted in tests."""
+    from .ivf import cost_balanced_nlist
+
+    n = table(spark, sf_dir, "embeddings").count()
+    nlist = cost_balanced_nlist(n, N_PROBE)
+    return _ivf_knn(spark, sf_dir, _lowid_coarse(spark, sf_dir, nlist))
+
+
+def knn_cosine_ivf_trained(spark, sf_dir):
+    """Production-quality variant: same IVF pipeline over sampled-Lloyd
+    trained centroids.  Not a declared query (training is iterative —
+    no SQL mirror); recall vs exact is asserted in test_ann_recall."""
+    from .ivf import cost_balanced_nlist
+
+    n = table(spark, sf_dir, "embeddings").count()
+    nlist = cost_balanced_nlist(n, N_PROBE)
+    return _ivf_knn(spark, sf_dir, _trained_coarse(spark, sf_dir, nlist))
+
+
+O_KNN_IVF_NLIST = cost_balanced_nlist(ORACLE_SF_N, N_PROBE)
+
 O_KNN_IVF = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -230,7 +288,7 @@ WITH e AS (
   FROM embeddings),
 coarse AS (
   SELECT vec_id AS cell, emb AS c_emb, nrm AS c_nrm FROM e
-  WHERE vec_id < {N_COARSE}),
+  WHERE vec_id < {O_KNN_IVF_NLIST}),
 scored_cells AS (
   SELECT e.vec_id, e.emb, e.nrm, c.cell,
          list_reduce(list_transform(list_zip(e.emb, c.c_emb), z -> z[1]*z[2]),
@@ -312,7 +370,6 @@ WHERE list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]),
 
 # --- E5b IVF-bucketed embed-cosine near-dup (the 100 TB path) ---------------
 
-DUP_NLIST_DIVISOR = 64  # cells of ~64 members; nlist ∝ N
 DUP_NPROBE = 8  # near-threshold pairs are loosely clustered → probe wide
 
 
@@ -321,9 +378,12 @@ def q_dedup_embed_cosine_ivf(spark, sf_dir):
     cosine >= tau semantics, but candidate pairs are restricted to
     IVF-co-resident ones — every point is indexed in its home (nearest)
     cell and probes its DUP_NPROBE nearest cells, the exact cosine runs
-    per cell, and the cell id is the shuffle key.  Pairwise work is
-    O(N · nprobe · cell_size) instead of the crossJoin's N²; no task
-    ever sees the full corpus.
+    per cell, and the cell id is the shuffle key.  With the
+    cost-balanced nlist = sqrt(nprobe·N) (operators/ivf.py) both the
+    coarse scoring and the within-cell work are O(N^1.5) — never the
+    crossJoin's N²; no task ever sees the full corpus.  Centroids are
+    sampled-Lloyd trained (this is a rows-only path, so no SQL mirror
+    constrains the quantizer).
 
     Cosine is accumulated dimension-sequentially (same IEEE add order as
     the declared query's fold), so any pair present in both is bitwise
@@ -331,12 +391,13 @@ def q_dedup_embed_cosine_ivf(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
+    from .ivf import train_centroids
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
-    nlist = max(16, n // DUP_NLIST_DIVISOR)
-    cent_rows = emb.where(F.col("vec_id") < nlist).collect()
-    cent_ids = np.array([r.vec_id for r in cent_rows], dtype="i8")
-    cent_mat = np.array([r.embedding for r in cent_rows], dtype="f8")
+    nlist = cost_balanced_nlist(n, DUP_NPROBE)
+    cent_mat = train_centroids(emb, nlist)
+    cent_ids = np.arange(len(cent_mat), dtype="i8")
     bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
     nprobe = min(DUP_NPROBE, len(cent_ids))
 
