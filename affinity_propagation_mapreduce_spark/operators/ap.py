@@ -330,7 +330,14 @@ def exemplars_from_state(state: DataFrame) -> DataFrame:
 def assign(smat_off: DataFrame, exemplar_set: DataFrame) -> DataFrame:
     """A7: label(i) = argmax over exemplars k of s(i,k); ties broken by
     lowest k; exemplars labeled as themselves.  Exemplar set is tiny →
-    broadcast join prunes the candidate pairs before the window."""
+    broadcast join prunes the candidate pairs before the window.
+
+    Exemplar self-labels are emitted as their own block rather than
+    derived from the argmax rows: on a sparse graph an exemplar may have
+    no candidate edge to any *other* exemplar and would otherwise drop
+    out of the argmax entirely — labeled -1 while other points are
+    assigned to it (the r4 advice finding).  Dense graphs are unaffected
+    (every exemplar has every edge)."""
     cand = smat_off.join(
         F.broadcast(exemplar_set), smat_off["k"] == exemplar_set["exemplar"]
     ).select("i", "k", "s")
@@ -340,16 +347,16 @@ def assign(smat_off: DataFrame, exemplar_set: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .select(F.col("i").alias("vec_id"), F.col("k").alias("assigned"))
     )
-    return (
+    non_ex = (
         best.join(
             F.broadcast(exemplar_set),
             best["vec_id"] == exemplar_set["exemplar"],
-            "left",
+            "left_anti",
         )
-        .select(
-            "vec_id",
-            F.coalesce(F.col("exemplar"), F.col("assigned")).alias("exemplar"),
-        )
+        .select("vec_id", F.col("assigned").alias("exemplar"))
+    )
+    return non_ex.unionByName(
+        exemplar_set.select(F.col("exemplar").alias("vec_id"), "exemplar")
     )
 
 
@@ -743,8 +750,10 @@ abest AS (
   FROM acand
   QUALIFY row_number() OVER (PARTITION BY i ORDER BY s DESC, k ASC) = 1),
 labels_sp AS (
-  SELECT b.vec_id, coalesce(x.exemplar, b.assigned) AS exemplar
-  FROM abest b LEFT JOIN ex_sp x ON b.vec_id = x.exemplar)
+  SELECT b.vec_id, b.assigned AS exemplar
+  FROM abest b ANTI JOIN ex_sp x ON b.vec_id = x.exemplar
+  UNION ALL
+  SELECT exemplar AS vec_id, exemplar FROM ex_sp)
 SELECT e.vec_id,
        CAST(coalesce(l.exemplar, -1) AS BIGINT) AS exemplar
 FROM e LEFT JOIN labels_sp l ON e.vec_id = l.vec_id"""

@@ -270,6 +270,48 @@ CMS_WIDTH = 64
 CMS_PRIME = 2147483647  # 2^31-1; (ha + j*hb) < 2^53 stays exact int64
 
 
+def _cms_hashed(spark, sf_dir):
+    """(token, ha, hb): one md5 per token occurrence, split into the two
+    Carter-Wegman 48-bit halves."""
+    from .. sources import table as _table
+
+    toks = _table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    digest = F.md5("token")
+    return toks.select(
+        "token",
+        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long").alias("ha"),
+        F.conv(F.substring(digest, 13, 12), 16, 10).cast("long").alias("hb"),
+    )
+
+
+def _cms_bucket_structs():
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"),
+                ((F.col("ha") + F.lit(j) * F.col("hb")) % CMS_PRIME % CMS_WIDTH)
+                .alias("bucket"),
+            )
+            for j in range(1, CMS_DEPTH + 1)
+        ]
+    )
+
+
+def cms_counters(spark, sf_dir):
+    """The sketch state itself: ≤ CMS_DEPTH·CMS_WIDTH counter rows no
+    matter the corpus size (the bound tests assert both the cardinality
+    and the map-side partial aggregation that keeps the shuffle at that
+    size)."""
+    hashed = _cms_hashed(spark, sf_dir)
+    return (
+        hashed.select(F.explode(_cms_bucket_structs()).alias("s"))
+        .groupBy(F.col("s.depth").alias("depth"), F.col("s.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def q_freq_cms(spark, sf_dir):
     """Count-min sketch of corpus term frequencies, checked against the
     exact counts: every token occurrence increments CMS_DEPTH counters
@@ -282,32 +324,9 @@ def q_freq_cms(spark, sf_dir):
     of corpus size — the shuffle reduces to it map-side — and the probe
     joins are broadcasts of that fixed-size sketch; the exact counts
     here are the oracle-side audit, not something the 100 TB run needs."""
-    from .. sources import table as _table
-
-    toks = _table(spark, sf_dir, "documents").select(
-        F.explode(F.split("text", " ")).alias("token")
-    )
-    digest = F.md5("token")
-    hashed = toks.select(
-        "token",
-        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long").alias("ha"),
-        F.conv(F.substring(digest, 13, 12), 16, 10).cast("long").alias("hb"),
-    )
-    bucket_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("depth"),
-                ((F.col("ha") + F.lit(j) * F.col("hb")) % CMS_PRIME % CMS_WIDTH)
-                .alias("bucket"),
-            )
-            for j in range(1, CMS_DEPTH + 1)
-        ]
-    )
-    counters = (
-        hashed.select(F.explode(bucket_structs).alias("s"))
-        .groupBy(F.col("s.depth").alias("depth"), F.col("s.bucket").alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
-    )
+    hashed = _cms_hashed(spark, sf_dir)
+    bucket_structs = _cms_bucket_structs()
+    counters = cms_counters(spark, sf_dir)
     probes = (
         hashed.groupBy("token", "ha", "hb")
         .agg(F.count("*").alias("exact_n"))

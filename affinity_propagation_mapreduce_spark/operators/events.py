@@ -446,15 +446,21 @@ def q_anomaly_zscore_daily(spark, sf_dir):
     mean/stddev across days; |z| > 2 flags the anomaly.  Two-level
     aggregate: the raw log shuffles once to (type, day) partial counts,
     the per-type stats run over O(days) rows via a window — monitoring-
-    pipeline shape, no second pass over the log."""
+    pipeline shape, no second pass over the log.
+
+    The divisor is nullif(stddev, 0): Spark's non-ANSI x/0 yields NULL
+    while DuckDB yields IEEE inf/NaN, so a type whose daily counts are
+    all equal would hash-diverge without the guard (r4 advice); with it,
+    both engines agree on NULL zscore/is_anomaly for flat or single-day
+    types."""
     ev = _ev(spark, sf_dir)
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count("*").alias("n_events"))
     w = Window.partitionBy("event_type")
-    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.stddev_samp(
-        "n_events"
-    ).over(w)
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.nullif(
+        F.stddev_samp("n_events").over(w), F.lit(0.0)
+    )
     return daily.select(
         "event_type",
         "day",
@@ -471,9 +477,9 @@ WITH daily AS (
   FROM events GROUP BY 1, 2)
 SELECT event_type, day, n_events,
        ROUND((n_events - avg(n_events) OVER w)
-             / stddev_samp(n_events) OVER w, 4) AS zscore,
+             / nullif(stddev_samp(n_events) OVER w, 0), 4) AS zscore,
        abs((n_events - avg(n_events) OVER w)
-           / stddev_samp(n_events) OVER w) > 2.0 AS is_anomaly
+           / nullif(stddev_samp(n_events) OVER w, 0)) > 2.0 AS is_anomaly
 FROM daily
 WINDOW w AS (PARTITION BY event_type)
 """

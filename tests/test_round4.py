@@ -34,17 +34,26 @@ def test_cms_never_undercounts(spark):
 
 
 def test_cms_counter_table_is_fixed_size(spark):
-    """The sketch state is depth×width regardless of corpus size — the
-    property that makes it a 100 TB operator."""
+    """The sketch state is bounded by depth×width regardless of corpus
+    size — the property that makes it a 100 TB operator — and the
+    reduction to it happens map-side (partial aggregate below the
+    exchange), so the shuffle itself carries at most depth×width rows
+    per mapper."""
     from affinity_propagation_mapreduce_spark.operators.curation import (
         CMS_DEPTH,
         CMS_WIDTH,
+        cms_counters,
     )
 
-    n_rows = _q(spark, "freq_cms").count()
-    assert n_rows > 0
-    # every estimate is a min over CMS_DEPTH counters out of CMS_WIDTH
-    assert CMS_DEPTH * CMS_WIDTH == 256
+    from .conftest import SF_T2
+
+    counters = cms_counters(spark, SF_T2)
+    n_rows = counters.count()
+    assert 0 < n_rows <= CMS_DEPTH * CMS_WIDTH, n_rows
+    plan = counters._jdf.queryExecution().executedPlan().toString()
+    agg_before_exchange = plan.split("Exchange")[-1]
+    assert "HashAggregate" in agg_before_exchange, plan
+    assert _q(spark, "freq_cms").count() > 0
 
 
 # --- ann_lsh_cosine ---------------------------------------------------------
