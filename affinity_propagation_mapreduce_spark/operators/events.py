@@ -626,6 +626,58 @@ QUALIFY row_number() OVER (PARTITION BY purchase_id
 """
 
 
+# --- (⊕ r5) driver-visible streaming equality check -------------------------
+
+def q_stream_batch_equiv_sessionize(spark, sf_dir):
+    """Rows-only batch≡stream gate, driver-visible (the six F-row
+    streaming twins were previously pytest-only): runs the native
+    session_window streaming twin on bounded input (availableNow trigger
+    into a memory sink), aggregates per-user session count and event
+    totals, and full-outer-joins them against the batch cumsum
+    sessionizer.  RAISES if any user diverges — so the driver row is an
+    actual equality check, not just a row count — and returns the
+    per-user comparison."""
+    from ..streaming import twins
+
+    stream = twins.session_stream(twins.stream_events(spark, sf_dir))
+    sink = "q_stream_batch_equiv_sessionize_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("session_window stream did not drain in 300s")
+    got = spark.table(sink).groupBy("user_id").agg(
+        F.count("*").alias("n_sessions_stream"),
+        F.sum("n_events").alias("n_events_stream"),
+    )
+    want = q_sessionize(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n_sessions_batch"),
+        F.sum("n_events").alias("n_events_batch"),
+    )
+    cmp = want.join(got, "user_id", "full_outer").select(
+        "user_id",
+        "n_sessions_batch",
+        "n_sessions_stream",
+        "n_events_batch",
+        "n_events_stream",
+        (
+            F.col("n_sessions_batch").eqNullSafe(F.col("n_sessions_stream"))
+            & F.col("n_events_batch").eqNullSafe(F.col("n_events_stream"))
+        ).alias("sessions_match"),
+    )
+    n_bad = cmp.where(~F.col("sessions_match")).count()
+    if n_bad:
+        raise AssertionError(
+            f"stream/batch sessionization diverged for {n_bad} users"
+        )
+    return cmp
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "attribution_window": q_attribution_window,
@@ -640,6 +692,8 @@ QUERIES = {
     "rollup_timeseries": q_rollup_timeseries,
     "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "campaign_overlap": q_campaign_overlap,
+    # rows-only: runs a real structured stream, no SQL equivalent
+    "stream_batch_equiv_sessionize": q_stream_batch_equiv_sessionize,
 }
 
 ORACLES = {

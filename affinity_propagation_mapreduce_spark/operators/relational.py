@@ -440,6 +440,31 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+APPROX_PCT_ACCURACY = 10000  # GK sketch accuracy: rank error <= n/accuracy
+
+
+def q_agg_percentiles_approx(spark, sf_dir):
+    """Rows-only scale twin of agg_percentiles (the PLANS.md promise —
+    exact `percentile` buffers every group value in memory; at 100 TB
+    the bounded Greenwald-Khanna sketch behind `approx_percentile` is
+    the only viable plan).  Emits exact and approx side by side so the
+    sketch error is inspectable; the rank-error bound
+    (<= n/accuracy ranks) is asserted in tests.  No oracle: DuckDB has
+    no GK implementation to mirror the sketch bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders")
+    acc = APPROX_PCT_ACCURACY
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_exact"),
+        F.round(
+            F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})"), 2
+        ).alias("median_approx"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_exact"),
+        F.round(
+            F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})"), 2
+        ).alias("p90_approx"),
+    )
+
 # --- B14 statistical aggregates ---------------------------------------------
 
 def q_agg_stats(spark, sf_dir):
@@ -1235,6 +1260,8 @@ QUERIES = {
     "fuzzy_name_match": q_fuzzy_name_match,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_percentiles": q_agg_percentiles,
+    # rows-only: GK sketch has no DuckDB mirror (exact twin is hashed)
+    "agg_percentiles_approx": q_agg_percentiles_approx,
     "agg_stats": q_agg_stats,
     "agg_conditional": q_agg_conditional,
     "win_rank_topk_per_group": q_win_rank_topk_per_group,

@@ -25,6 +25,8 @@ ORACLES = registry.oracle_sql()
 ROWS_ONLY = {
     "ap_assign_sparse",        # sparse AP: no bounded-depth SQL equivalent
     "dedup_embed_cosine_ivf",  # IVF-approximate by design
+    "agg_percentiles_approx",  # GK sketch: no DuckDB mirror
+    "stream_batch_equiv_sessionize",  # runs a real structured stream
 }
 
 AP_KEYS = sorted(k for k in QUERIES if k.startswith("ap_"))

@@ -1,0 +1,53 @@
+"""Round-5 additions: approx-percentile error bound and the
+driver-visible stream≡batch key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from affinity_propagation_mapreduce_spark import registry
+from affinity_propagation_mapreduce_spark.operators import relational
+
+from .conftest import SF_T2
+
+
+def _q(spark, name):
+    return registry.queries()[name](spark, SF_T2)
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """approx_percentile(accuracy=A) guarantees rank error <= n/A: the
+    value it returns for quantile q must be an element whose true rank
+    is within [floor((q - eps) * n), ceil((q + eps) * n)]."""
+    rows = {r.o_orderstatus: r for r in _q(spark, "agg_percentiles_approx").collect()}
+    assert rows
+    orders = relational._t(spark, SF_T2, "orders")
+    eps = 1.0 / relational.APPROX_PCT_ACCURACY
+    for status, row in rows.items():
+        vals = sorted(
+            r.o_totalprice
+            for r in orders.where(F.col("o_orderstatus") == status)
+            .select("o_totalprice")
+            .collect()
+        )
+        n = len(vals)
+        assert n == row.n
+        for q, approx in ((0.5, row.median_approx), (0.9, row.p90_approx)):
+            # rank of the approx value among the true values (rounding to
+            # 2 decimals moves a value by < 0.01, well below value gaps)
+            lo_rank = sum(1 for v in vals if v < approx - 0.01)
+            hi_rank = sum(1 for v in vals if v <= approx + 0.01)
+            want = q * n
+            slack = eps * n + 1.5  # +1 for rounding at either edge
+            assert lo_rank - slack <= want <= hi_rank + slack, (
+                status, q, approx, lo_rank, hi_rank, n
+            )
+
+
+def test_stream_batch_equiv_sessionize_green(spark):
+    """The driver-visible key must drain the stream, agree with batch
+    for every user, and report all-match rows."""
+    df = _q(spark, "stream_batch_equiv_sessionize")
+    rows = df.collect()
+    assert rows
+    assert all(r.sessions_match for r in rows)
