@@ -626,6 +626,53 @@ QUALIFY row_number() OVER (PARTITION BY purchase_id
 """
 
 
+# --- (⊕ r5) partition-pruned write → read-back ------------------------------
+
+def partition_pruned_readback(spark, sf_dir):
+    """The scan after the prune: events written partitioned by
+    event_type (sources.io.write_partitioned_parquet), read back with a
+    partition-column filter.  The plan carries the predicate as
+    PartitionFilters — whole directories for the other types are never
+    listed or read (asserted in tests/test_io.py) — which at 100 TB is
+    the difference between scanning 1/5th of the corpus and all of it.
+    Layout is written once per (application, sf_dir) under /tmp."""
+    import os
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_{app}/{safe}/events_by_type"
+    if not os.path.isdir(path):
+        from ..sources.io import write_partitioned_parquet
+
+        write_partitioned_parquet(_ev(spark, sf_dir), path, ["event_type"])
+    return spark.read.parquet(path).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+
+
+def q_partition_prune_readback(spark, sf_dir):
+    """Daily per-type activity computed FROM the pruned read-back — the
+    declared query that proves the partitioned layout round-trips: same
+    rows/values as aggregating the original table (the oracle does the
+    latter)."""
+    pruned = partition_pruned_readback(spark, sf_dir)
+    return pruned.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+O_PARTITION_PRUNE = """
+SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+GROUP BY 1, 2
+"""
+
+
 # --- (⊕ r5) driver-visible streaming equality check -------------------------
 
 def q_stream_batch_equiv_sessionize(spark, sf_dir):
@@ -692,6 +739,7 @@ QUERIES = {
     "rollup_timeseries": q_rollup_timeseries,
     "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "campaign_overlap": q_campaign_overlap,
+    "partition_prune_readback": q_partition_prune_readback,
     # rows-only: runs a real structured stream, no SQL equivalent
     "stream_batch_equiv_sessionize": q_stream_batch_equiv_sessionize,
 }
@@ -701,6 +749,7 @@ ORACLES = {
     "rollup_timeseries": O_ROLLUP_TS,
     "anomaly_zscore_daily": O_ANOMALY_Z,
     "campaign_overlap": O_CAMPAIGN_OVERLAP,
+    "partition_prune_readback": O_PARTITION_PRUNE,
     "funnel_conversion": O_FUNNEL,
     "ewma_smooth": O_EWMA,
     "resample_ffill": O_RESAMPLE_FFILL,

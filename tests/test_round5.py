@@ -51,3 +51,19 @@ def test_stream_batch_equiv_sessionize_green(spark):
     rows = df.collect()
     assert rows
     assert all(r.sessions_match for r in rows)
+
+
+def test_partition_prune_readback_plan_prunes(spark):
+    """The declared query must carry its event_type predicate as
+    PartitionFilters on the read-back scan (directory-level pruning),
+    not as a post-scan filter."""
+    from affinity_propagation_mapreduce_spark.operators.events import (
+        partition_pruned_readback,
+    )
+
+    pruned = partition_pruned_readback(spark, SF_T2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    got = _q(spark, "partition_prune_readback")
+    assert got.count() > 0
