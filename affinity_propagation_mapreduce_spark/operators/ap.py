@@ -441,28 +441,37 @@ def ivf_candidate_pairs(
     n = _n_points(spark, sf_dir)
     nlist = _sparse_nlist(n)
     if trained:
-        from .ivf import train_centroids
+        from .ivf import TWO_LEVEL_MIN, build_two_level, train_centroids
 
         cent_mat = train_centroids(emb, nlist)
         cent_ids = np.arange(len(cent_mat), dtype="i8")
+        # two-level assignment once the cell count justifies it:
+        # coarse work per point drops O(nlist) → O(sqrt(nlist))
+        sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
     else:
         cent_rows = emb.where(F.col("vec_id") < nlist).collect()
         cent_ids = np.array([r.vec_id for r in cent_rows], dtype="i8")
         cent_mat = np.array([r.embedding for r in cent_rows], dtype="f8")
-    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+        sup_ch = None
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat, sup_ch))
     nprobe = min(SPARSE_NPROBE, len(cent_ids))
 
     def assign_cells(batches):
-        c_ids, c_mat = bc.value
+        c_ids, c_mat, sc = bc.value
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype="i8")
             pts = np.stack(pdf["embedding"].to_numpy()).astype("f8")
-            d2 = (
-                (pts * pts).sum(axis=1, keepdims=True)
-                - 2.0 * pts @ c_mat.T
-                + (c_mat * c_mat).sum(axis=1)[None, :]
-            )
-            order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+            if sc is not None:
+                from .ivf import two_level_cells
+
+                order, d2, _ = two_level_cells(pts, c_mat, sc[0], sc[1], nprobe)
+            else:
+                d2 = (
+                    (pts * pts).sum(axis=1, keepdims=True)
+                    - 2.0 * pts @ c_mat.T
+                    + (c_mat * c_mat).sum(axis=1)[None, :]
+                )
+                order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
             # home = true argmin among the nprobe probes
             probe_d2 = np.take_along_axis(d2, order, axis=1)
             home_pos = np.argmin(probe_d2, axis=1)

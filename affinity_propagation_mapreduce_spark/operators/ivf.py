@@ -17,9 +17,10 @@ coarse-scoring step O(N²/64) — a constant-factor reduction, not an
 asymptotic one.  A fixed nlist has the dual flaw: cells grow O(N) and
 within-cell work is O(N²/nlist).)  Beyond ~10⁹ points the next step is
 a two-level quantizer (score sqrt(nlist) super-cells, then the cells
-under the best super-cells), which brings coarse scoring to O(N·N^0.25);
-the single-level balance is sufficient for the scales this repo targets
-and keeps the oracle SQL mirrorable.
+under the best super-cells), which brings coarse scoring to O(N·N^0.25)
+— implemented below (build_two_level / two_level_cells) and used by the
+trained production paths once nlist crosses TWO_LEVEL_MIN; the
+single-level scan remains the oracle-mirrorable declared variant.
 
 The centroid *broadcast* is O(nlist · d) = O(sqrt(N)) bytes — e.g.
 10⁹ points × 64 dims ⇒ ~63k centroids ≈ 32 MB, within executor budget.
@@ -90,3 +91,81 @@ def train_centroids(
             if len(members):
                 cent[c] = members.mean(axis=0)
     return cent
+
+
+# --- two-level coarse assignment --------------------------------------------
+
+SUPER_PROBE = 2  # super-cells probed per point
+TWO_LEVEL_MIN = 64  # below this many cells a flat scan is cheaper
+
+
+def build_two_level(cent_mat: np.ndarray, iters: int = 2):
+    """Cluster the centroids themselves into ~sqrt(nlist) super-cells
+    (deterministic Lloyd, init = first centroids).  Returns
+    (super_mat, children) where children[s] lists the centroid indices
+    under super-cell s.  Pure function of cent_mat — same broadcast
+    everywhere."""
+    nsup = max(4, int(round(math.sqrt(len(cent_mat)))))
+    nsup = min(nsup, len(cent_mat))
+    sup = cent_mat[:nsup].copy()
+    for _ in range(iters + 1):
+        d2 = (
+            (cent_mat * cent_mat).sum(axis=1, keepdims=True)
+            - 2.0 * cent_mat @ sup.T
+            + (sup * sup).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        if _ < iters:
+            for s in range(nsup):
+                members = cent_mat[assign == s]
+                if len(members):
+                    sup[s] = members.mean(axis=0)
+    children = [np.flatnonzero(assign == s) for s in range(nsup)]
+    return sup, children
+
+
+def two_level_cells(
+    pts: np.ndarray,
+    cent_mat: np.ndarray,
+    sup: np.ndarray,
+    children: list[np.ndarray],
+    nprobe: int,
+    super_probe: int = SUPER_PROBE,
+):
+    """Top-``nprobe`` cell indices per point, scanning only the centroids
+    under each point's ``super_probe`` nearest super-cells: per-point
+    work O(nsup + super_probe·nlist/nsup) = O(sqrt(nlist)) instead of
+    O(nlist).  Unscanned cells carry d2=inf; with super_probe·avg
+    children ≈ 2·sqrt(nlist) ≥ nprobe at every real size, the top-nprobe
+    never reaches them.  Returns (order, d2_full, scanned) where
+    ``scanned`` counts point×centroid evaluations (cost-model tests)."""
+    n, nlist = len(pts), len(cent_mat)
+    nsup = len(sup)
+    d2_full = np.full((n, nlist), np.inf)
+    d2s = (
+        (pts * pts).sum(axis=1, keepdims=True)
+        - 2.0 * pts @ sup.T
+        + (sup * sup).sum(axis=1)[None, :]
+    )
+    sp = min(super_probe, nsup)
+    sup_top = np.argpartition(d2s, sp - 1, axis=1)[:, :sp]
+    scanned = n * nsup
+    for s in range(nsup):
+        idx = children[s]
+        if not len(idx):
+            continue
+        mask = (sup_top == s).any(axis=1)
+        if not mask.any():
+            continue
+        sub = pts[mask]
+        c = cent_mat[idx]
+        d2 = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ c.T
+            + (c * c).sum(axis=1)[None, :]
+        )
+        d2_full[np.ix_(mask, idx)] = d2
+        scanned += int(mask.sum()) * len(idx)
+    k = min(nprobe, nlist)
+    order = np.argpartition(d2_full, k - 1, axis=1)[:, :k]
+    return order, d2_full, scanned

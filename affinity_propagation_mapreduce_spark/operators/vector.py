@@ -391,27 +391,33 @@ def q_dedup_embed_cosine_ivf(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    from .ivf import train_centroids
+    from .ivf import TWO_LEVEL_MIN, build_two_level, train_centroids
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     n = emb.count()
     nlist = cost_balanced_nlist(n, DUP_NPROBE)
     cent_mat = train_centroids(emb, nlist)
     cent_ids = np.arange(len(cent_mat), dtype="i8")
-    bc = spark.sparkContext.broadcast((cent_ids, cent_mat))
+    sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
+    bc = spark.sparkContext.broadcast((cent_ids, cent_mat, sup_ch))
     nprobe = min(DUP_NPROBE, len(cent_ids))
 
     def assign_cells(batches):
-        c_ids, c_mat = bc.value
+        c_ids, c_mat, sc = bc.value
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype="i8")
             pts = np.stack(pdf["embedding"].to_numpy()).astype("f8")
-            d2 = (
-                (pts * pts).sum(axis=1, keepdims=True)
-                - 2.0 * pts @ c_mat.T
-                + (c_mat * c_mat).sum(axis=1)[None, :]
-            )
-            order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+            if sc is not None:
+                from .ivf import two_level_cells
+
+                order, d2, _ = two_level_cells(pts, c_mat, sc[0], sc[1], nprobe)
+            else:
+                d2 = (
+                    (pts * pts).sum(axis=1, keepdims=True)
+                    - 2.0 * pts @ c_mat.T
+                    + (c_mat * c_mat).sum(axis=1)[None, :]
+                )
+                order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
             probe_d2 = np.take_along_axis(d2, order, axis=1)
             home_pos = np.argmin(probe_d2, axis=1)
             is_home = (

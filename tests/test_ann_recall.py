@@ -184,3 +184,104 @@ def test_ivf_cost_model_subquadratic():
             10**6, nprobe
         )
         assert 9 <= ratio <= 11, ratio
+
+
+def test_train_centroids_deterministic(spark):
+    """Same input → bitwise-identical quantizer (retry/replan safety:
+    a re-run task must bucket points identically)."""
+    import numpy as np
+
+    from affinity_propagation_mapreduce_spark.operators.ivf import (
+        train_centroids,
+    )
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    emb = table(spark, SF_T2, "embeddings").select("vec_id", "embedding")
+    a = train_centroids(emb, 32)
+    b = train_centroids(emb, 32)
+    assert a.shape == b.shape == (32, 64)
+    assert np.array_equal(a, b)
+
+
+def test_sparse_ap_trained_quantizer_assigns_everyone(spark):
+    """The trained-quantizer variant of the sparse AP flagship must also
+    label every point and self-label exemplars."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    rows = ap.cluster_sparse(spark, "/root/testdata/sf0.001", trained=True).collect()
+    assert len(rows) == 500
+    labels = {r.vec_id: r.exemplar for r in rows}
+    exemplars = {e for e in labels.values() if e != -1}
+    assert exemplars and all(labels[e] == e for e in exemplars)
+    assert sum(1 for v in labels.values() if v == -1) == 0
+
+
+def test_two_level_cells_cost_and_agreement():
+    """Two-level coarse assignment: ~4x fewer point-centroid evaluations
+    than the flat scan at this size (asymptotically O(sqrt(nlist)) per
+    point) while agreeing with the exhaustive assignment on clustered
+    data — the regime the quantizer targets."""
+    import numpy as np
+
+    from affinity_propagation_mapreduce_spark.operators.ivf import (
+        build_two_level,
+        cost_balanced_nlist,
+        two_level_cells,
+    )
+
+    rng = np.random.default_rng(7)
+    k_true, per, d = 24, 500, 16
+    centers = rng.normal(size=(k_true, d))
+    pts = np.repeat(centers, per, axis=0) + 0.8 * rng.normal(
+        size=(k_true * per, d)
+    )
+    nlist = cost_balanced_nlist(len(pts), 4)
+    sample = pts[rng.permutation(len(pts))[: nlist * 8]]
+    cent = sample[:nlist].copy()
+    for _ in range(2):
+        d2 = (
+            (sample * sample).sum(axis=1, keepdims=True)
+            - 2.0 * sample @ cent.T
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        a = d2.argmin(axis=1)
+        for c in range(nlist):
+            m = sample[a == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    sup, ch = build_two_level(cent)
+    order, d2f, scanned = two_level_cells(pts, cent, sup, ch, 4)
+    flat = len(pts) * nlist
+    assert scanned <= 0.35 * flat, (scanned, flat)
+    d2t = (
+        (pts * pts).sum(axis=1, keepdims=True)
+        - 2.0 * pts @ cent.T
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+    true_home = d2t.argmin(axis=1)
+    probe_d2 = np.take_along_axis(d2f, order, axis=1)
+    home = order[np.arange(len(pts)), probe_d2.argmin(axis=1)]
+    assert not np.isinf(probe_d2).any()
+    assert (home == true_home).mean() >= 0.85
+    topt = np.argpartition(d2t, 3, axis=1)[:, :4]
+    overlap = np.mean(
+        [len(set(order[i]) & set(topt[i])) / 4 for i in range(len(pts))]
+    )
+    assert overlap >= 0.8, overlap
+
+
+def test_dedup_ivf_two_level_active_at_sf01(spark):
+    """At sf0.1 the dedup quantizer crosses TWO_LEVEL_MIN (nlist=200):
+    the two-level path must produce well-formed, threshold-respecting
+    pairs end to end."""
+    from affinity_propagation_mapreduce_spark.operators.ivf import (
+        TWO_LEVEL_MIN,
+        cost_balanced_nlist,
+    )
+
+    n = 5000  # embeddings rows at sf0.1
+    assert cost_balanced_nlist(n, vector.DUP_NPROBE) >= TWO_LEVEL_MIN
+    rows = vector.q_dedup_embed_cosine_ivf(spark, "/root/testdata/sf0.1").collect()
+    for r in rows:
+        assert r.i < r.k
+        assert r.cosine >= vector.COSINE_DUP_TAU
