@@ -1201,6 +1201,83 @@ LEFT JOIN touched USING (source)
 """
 
 
+# --- (⊕ r5) within-document repetition signals ------------------------------
+
+REPETITION_TAU = 0.2  # Gopher-style cutoff for either repetition signal
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition quality signals (the Gopher/RefinedWeb
+    filter family): per doc, the most-frequent-token fraction and the
+    duplicated-bigram fraction (1 − distinct/total), with a flag when
+    either crosses REPETITION_TAU.  Aggregation-shaped — tokens and
+    bigrams shuffle on doc_id only, so a 100 TB corpus profiles with
+    per-doc-sized state and no cross-doc joins."""
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " "))
+    ).select("doc_id", F.col("pos").alias("p"), F.col("col").alias("w"))
+    tok_stats = (
+        pos.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("max_tok"))
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    big = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.p") == F.col("a.p") + 1),
+    ).select(F.col("a.doc_id").alias("doc_id"),
+             F.concat_ws(" ", "a.w", "b.w").alias("g"))
+    big_stats = big.groupBy("doc_id").agg(
+        F.count("*").alias("n_big"), F.countDistinct("g").alias("n_big_d")
+    )
+    top_frac = F.col("max_tok") / F.col("n_tokens")
+    dup_frac = F.coalesce(
+        F.lit(1.0) - F.col("n_big_d") / F.col("n_big"), F.lit(0.0)
+    )
+    return (
+        tok_stats.join(big_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(top_frac, 4).alias("top_token_frac"),
+            F.round(dup_frac, 4).alias("dup_bigram_frac"),
+            ((top_frac > REPETITION_TAU) | (dup_frac > REPETITION_TAU))
+            .alias("is_repetitive"),
+        )
+    )
+
+
+O_DOC_REPETITION = f"""
+WITH pos_toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS p,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents),
+tok AS (SELECT doc_id, w, count(*) AS c FROM pos_toks GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(max(c) AS BIGINT) AS max_tok
+  FROM tok GROUP BY 1),
+big AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS g
+  FROM pos_toks a JOIN pos_toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+bstat AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_big_d
+  FROM big GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+       ROUND(t.max_tok / t.n_tokens, 4) AS top_token_frac,
+       ROUND(COALESCE(1.0 - b.n_big_d / b.n_big, 0.0), 4) AS dup_bigram_frac,
+       (t.max_tok / t.n_tokens > {REPETITION_TAU}
+        OR COALESCE(1.0 - b.n_big_d / b.n_big, 0.0) > {REPETITION_TAU})
+         AS is_repetitive
+FROM tstat t LEFT JOIN bstat b USING (doc_id)
+"""
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
     "bpe_pair_stats": q_bpe_pair_stats,
@@ -1215,6 +1292,7 @@ QUERIES = {
     "pagerank_neardup": q_pagerank_neardup,
     "dedup_near_minhash": q_dedup_near_minhash,
     "text_profile": q_text_profile,
+    "doc_repetition": q_doc_repetition,
     "lang_id_ngram": q_lang_id_ngram,
     "text_quality_score": q_text_quality_score,
     "token_count": q_token_count,
@@ -1237,6 +1315,7 @@ ORACLES = {
     "pagerank_neardup": O_PAGERANK_NEARDUP,
     "dedup_components": O_DEDUP_COMPONENTS,
     "text_profile": O_TEXT_PROFILE,
+    "doc_repetition": O_DOC_REPETITION,
     "lang_id_ngram": O_LANG_ID,
     "text_quality_score": O_QUALITY,
     "token_count": O_TOKEN_COUNT,

@@ -67,3 +67,24 @@ def test_partition_prune_readback_plan_prunes(spark):
     assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0], plan
     got = _q(spark, "partition_prune_readback")
     assert got.count() > 0
+
+
+def test_doc_repetition_signals_well_formed(spark):
+    """Repetition fractions are true fractions and the flag is exactly
+    the disjunction of the two threshold tests."""
+    from affinity_propagation_mapreduce_spark.operators.textops import (
+        REPETITION_TAU,
+    )
+
+    rows = _q(spark, "doc_repetition").collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0.0 <= r.top_token_frac <= 1.0
+        assert 0.0 <= r.dup_bigram_frac <= 1.0
+        want = (
+            r.top_token_frac > REPETITION_TAU
+            or r.dup_bigram_frac > REPETITION_TAU
+        )
+        # rounded-at-4 values only disagree with the raw flag within 5e-5
+        # of the cutoff; no fixture doc sits that close
+        assert r.is_repetitive == want, r
