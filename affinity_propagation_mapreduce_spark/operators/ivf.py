@@ -135,10 +135,12 @@ def two_level_cells(
     """Top-``nprobe`` cell indices per point, scanning only the centroids
     under each point's ``super_probe`` nearest super-cells: per-point
     work O(nsup + super_probe·nlist/nsup) = O(sqrt(nlist)) instead of
-    O(nlist).  Unscanned cells carry d2=inf; with super_probe·avg
-    children ≈ 2·sqrt(nlist) ≥ nprobe at every real size, the top-nprobe
-    never reaches them.  Returns (order, d2_full, scanned) where
-    ``scanned`` counts point×centroid evaluations (cost-model tests)."""
+    O(nlist).  Unscanned cells carry d2=inf; a point whose probed supers
+    hold fewer than ``nprobe`` children in total (skewed child counts —
+    hypothesis-found edge) falls back to a full scan for that point
+    alone, so every returned cell is always a genuinely scored one.
+    Returns (order, d2_full, scanned) where ``scanned`` counts
+    point×centroid evaluations (cost-model tests)."""
     n, nlist = len(pts), len(cent_mat)
     nsup = len(sup)
     d2_full = np.full((n, nlist), np.inf)
@@ -168,4 +170,15 @@ def two_level_cells(
         scanned += int(mask.sum()) * len(idx)
     k = min(nprobe, nlist)
     order = np.argpartition(d2_full, k - 1, axis=1)[:, :k]
+    bad = np.isinf(np.take_along_axis(d2_full, order, axis=1)).any(axis=1)
+    if bad.any():
+        sub = pts[bad]
+        d2b = (
+            (sub * sub).sum(axis=1, keepdims=True)
+            - 2.0 * sub @ cent_mat.T
+            + (cent_mat * cent_mat).sum(axis=1)[None, :]
+        )
+        d2_full[bad] = d2b
+        order[bad] = np.argpartition(d2b, k - 1, axis=1)[:, :k]
+        scanned += int(bad.sum()) * nlist
     return order, d2_full, scanned

@@ -108,3 +108,34 @@ def test_split_is_partition_and_stable_prefix(spark):
     }
     assert all(full[k] == v for k, v in half.items())
     assert all(0 <= b < 1000 for b in full.values())
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(200, 800),
+    nlist=st.integers(64, 160),
+)
+@settings(max_examples=15, deadline=None)
+def test_two_level_cells_properties(seed, n, nlist):
+    """Two-level coarse assignment, for arbitrary point/centroid sets:
+    deterministic; every selected cell was actually scanned (finite d2);
+    scanned work stays below the flat n*nlist scan."""
+    import numpy as np
+
+    from affinity_propagation_mapreduce_spark.operators.ivf import (
+        build_two_level,
+        two_level_cells,
+    )
+
+    rng = np.random.default_rng(seed)
+    cent = rng.normal(size=(nlist, 8))
+    pts = rng.normal(size=(n, 8))
+    sup, ch = build_two_level(cent)
+    assert sorted(np.concatenate(ch)) == list(range(nlist))  # partition
+    o1, d1, s1 = two_level_cells(pts, cent, sup, ch, 4)
+    o2, d2, s2 = two_level_cells(pts, cent, sup, ch, 4)
+    assert np.array_equal(o1, o2) and s1 == s2
+    probe_d2 = np.take_along_axis(d1, o1, axis=1)
+    assert np.isfinite(probe_d2).all()
+    # fallback rows may add full scans, but never exceed super scan + flat
+    assert s1 <= n * (len(sup) + nlist)
