@@ -604,6 +604,8 @@ QUERIES = {
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_embed_cosine_ivf": q_dedup_embed_cosine_ivf,  # rows-only scale twin
     "knn_cosine_ivf": q_knn_cosine_ivf,
+    # rows-only: sampled-Lloyd training is iterative, no SQL mirror
+    "knn_cosine_ivf_trained": knn_cosine_ivf_trained,
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,
 }

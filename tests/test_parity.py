@@ -27,6 +27,7 @@ ROWS_ONLY = {
     "dedup_embed_cosine_ivf",  # IVF-approximate by design
     "agg_percentiles_approx",  # GK sketch: no DuckDB mirror
     "stream_batch_equiv_sessionize",  # runs a real structured stream
+    "knn_cosine_ivf_trained",  # iterative centroid training: no SQL mirror
 }
 
 AP_KEYS = sorted(k for k in QUERIES if k.startswith("ap_"))
