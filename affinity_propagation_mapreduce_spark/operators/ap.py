@@ -464,7 +464,9 @@ def ivf_candidate_pairs(
             if sc is not None:
                 from .ivf import two_level_cells
 
-                order, d2, _ = two_level_cells(pts, c_mat, sc[0], sc[1], nprobe)
+                order, probe_d2, _ = two_level_cells(
+                    pts, c_mat, sc[0], sc[1], nprobe
+                )
             else:
                 d2 = (
                     (pts * pts).sum(axis=1, keepdims=True)
@@ -472,8 +474,8 @@ def ivf_candidate_pairs(
                     + (c_mat * c_mat).sum(axis=1)[None, :]
                 )
                 order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+                probe_d2 = np.take_along_axis(d2, order, axis=1)
             # home = true argmin among the nprobe probes
-            probe_d2 = np.take_along_axis(d2, order, axis=1)
             home_pos = np.argmin(probe_d2, axis=1)
             rows = np.repeat(np.arange(len(ids)), nprobe)
             cells = c_ids[order].ravel()

@@ -641,7 +641,10 @@ def partition_pruned_readback(spark, sf_dir):
     app = spark.sparkContext.applicationId
     safe = sf_dir.strip("/").replace("/", "_")
     path = f"/tmp/spark_graft_{app}/{safe}/events_by_type"
-    if not os.path.isdir(path):
+    # _SUCCESS, not bare directory existence: a write that died mid-way
+    # leaves the directory behind, and re-reading a partial layout would
+    # silently hash-diverge instead of retrying the write
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         from ..sources.io import write_partitioned_parquet
 
         write_partitioned_parquet(_ev(spark, sf_dir), path, ["event_type"])

@@ -40,6 +40,19 @@ from pyspark.sql import functions as F
 # at the only sf the oracle ever runs at.
 ORACLE_SF_N = 500
 
+# cached corpus row counts per (application, sf_dir, table): several IVF
+# queries need N to size nlist, and each .count() is a full-scan job
+_n_cache: dict = {}
+
+
+def corpus_rows(spark, sf_dir: str, table_name: str = "embeddings") -> int:
+    key = (spark.sparkContext.applicationId, sf_dir, table_name)
+    if key not in _n_cache:
+        from ..sources import table
+
+        _n_cache[key] = table(spark, sf_dir, table_name).count()
+    return _n_cache[key]
+
 
 def cost_balanced_nlist(n: int, nprobe: int) -> int:
     """Coarse-quantizer size balancing coarse scoring against within-cell
@@ -135,15 +148,18 @@ def two_level_cells(
     """Top-``nprobe`` cell indices per point, scanning only the centroids
     under each point's ``super_probe`` nearest super-cells: per-point
     work O(nsup + super_probe·nlist/nsup) = O(sqrt(nlist)) instead of
-    O(nlist).  Unscanned cells carry d2=inf; a point whose probed supers
-    hold fewer than ``nprobe`` children in total (skewed child counts —
-    hypothesis-found edge) falls back to a full scan for that point
-    alone, so every returned cell is always a genuinely scored one.
-    Returns (order, d2_full, scanned) where ``scanned`` counts
+    O(nlist) — in MEMORY too: candidates live as sparse
+    (row, cell, d2) triples, never an (n × nlist) matrix, so a 10k-row
+    Arrow batch against a 63k-cell quantizer holds ~MBs, not the ~5 GB
+    a dense inf-filled table would (review finding).  A point whose
+    probed supers hold fewer than ``nprobe`` children in total (skewed
+    child counts — hypothesis-found edge) falls back to a full scan for
+    that point alone, so every returned cell is always a genuinely
+    scored one.  Returns (order, probe_d2, scanned): the top-k cell
+    indices per point, their d2 values, and the number of
     point×centroid evaluations (cost-model tests)."""
     n, nlist = len(pts), len(cent_mat)
     nsup = len(sup)
-    d2_full = np.full((n, nlist), np.inf)
     d2s = (
         (pts * pts).sum(axis=1, keepdims=True)
         - 2.0 * pts @ sup.T
@@ -152,6 +168,7 @@ def two_level_cells(
     sp = min(super_probe, nsup)
     sup_top = np.argpartition(d2s, sp - 1, axis=1)[:, :sp]
     scanned = n * nsup
+    rows_l, cells_l, vals_l = [], [], []
     for s in range(nsup):
         idx = children[s]
         if not len(idx):
@@ -166,11 +183,29 @@ def two_level_cells(
             - 2.0 * sub @ c.T
             + (c * c).sum(axis=1)[None, :]
         )
-        d2_full[np.ix_(mask, idx)] = d2
-        scanned += int(mask.sum()) * len(idx)
+        r = np.flatnonzero(mask)
+        rows_l.append(np.repeat(r, len(idx)))
+        cells_l.append(np.tile(idx, len(r)))
+        vals_l.append(d2.ravel())
+        scanned += len(r) * len(idx)
     k = min(nprobe, nlist)
-    order = np.argpartition(d2_full, k - 1, axis=1)[:, :k]
-    bad = np.isinf(np.take_along_axis(d2_full, order, axis=1)).any(axis=1)
+    order = np.zeros((n, k), dtype="i8")
+    probe_d2 = np.full((n, k), np.inf)
+    if rows_l:
+        rows = np.concatenate(rows_l)
+        cells = np.concatenate(cells_l)
+        vals = np.concatenate(vals_l)
+        # children partition the centroids, so (row, cell) pairs are
+        # unique; rank within row by d2 and keep the first k
+        o = np.lexsort((vals, rows))
+        rows, cells, vals = rows[o], cells[o], vals[o]
+        start = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+        counts = np.diff(np.r_[start, len(rows)])
+        rank = np.arange(len(rows)) - np.repeat(start, counts)
+        keep = rank < k
+        order[rows[keep], rank[keep]] = cells[keep]
+        probe_d2[rows[keep], rank[keep]] = vals[keep]
+    bad = np.isinf(probe_d2).any(axis=1)
     if bad.any():
         sub = pts[bad]
         d2b = (
@@ -178,7 +213,7 @@ def two_level_cells(
             - 2.0 * sub @ cent_mat.T
             + (cent_mat * cent_mat).sum(axis=1)[None, :]
         )
-        d2_full[bad] = d2b
         order[bad] = np.argpartition(d2b, k - 1, axis=1)[:, :k]
+        probe_d2[bad] = np.take_along_axis(d2b, order[bad], axis=1)
         scanned += int(bad.sum()) * nlist
-    return order, d2_full, scanned
+    return order, probe_d2, scanned

@@ -1210,28 +1210,28 @@ def q_doc_repetition(spark, sf_dir):
     """Within-document repetition quality signals (the Gopher/RefinedWeb
     filter family): per doc, the most-frequent-token fraction and the
     duplicated-bigram fraction (1 − distinct/total), with a flag when
-    either crosses REPETITION_TAU.  Aggregation-shaped — tokens and
-    bigrams shuffle on doc_id only, so a 100 TB corpus profiles with
+    either crosses REPETITION_TAU.  The bigram signal is computed
+    array-side (transform over the token array — zero shuffle, no
+    positional self-join; review finding); only the token histogram
+    shuffles, on doc_id alone, so a 100 TB corpus profiles with
     per-doc-sized state and no cross-doc joins."""
     docs = _docs(spark, sf_dir)
-    pos = docs.select(
-        "doc_id", F.posexplode(F.split("text", " "))
-    ).select("doc_id", F.col("pos").alias("p"), F.col("col").alias("w"))
+    toks = F.split("text", " ")
     tok_stats = (
-        pos.groupBy("doc_id", "w")
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("max_tok"))
     )
-    a, b = pos.alias("a"), pos.alias("b")
-    big = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("b.p") == F.col("a.p") + 1),
-    ).select(F.col("a.doc_id").alias("doc_id"),
-             F.concat_ws(" ", "a.w", "b.w").alias("g"))
-    big_stats = big.groupBy("doc_id").agg(
-        F.count("*").alias("n_big"), F.countDistinct("g").alias("n_big_d")
+    bigrams = F.transform(
+        F.slice(toks, F.lit(1), F.size(toks) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.get(toks, i + 1)),
+    )
+    big_stats = docs.select(
+        "doc_id",
+        (F.size(toks) - F.lit(1)).cast("long").alias("n_big"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_big_d"),
     )
     top_frac = F.col("max_tok") / F.col("n_tokens")
     dup_frac = F.coalesce(

@@ -260,10 +260,9 @@ def q_knn_cosine_ivf(spark, sf_dir):
     mirrors the same approximation and the gate hash-checks it; recall
     vs the exact `knn_cosine_topk` (and vs the trained quantizer) is
     asserted in tests."""
-    from .ivf import cost_balanced_nlist
+    from .ivf import corpus_rows, cost_balanced_nlist
 
-    n = table(spark, sf_dir, "embeddings").count()
-    nlist = cost_balanced_nlist(n, N_PROBE)
+    nlist = cost_balanced_nlist(corpus_rows(spark, sf_dir), N_PROBE)
     return _ivf_knn(spark, sf_dir, _lowid_coarse(spark, sf_dir, nlist))
 
 
@@ -271,10 +270,9 @@ def knn_cosine_ivf_trained(spark, sf_dir):
     """Production-quality variant: same IVF pipeline over sampled-Lloyd
     trained centroids.  Not a declared query (training is iterative —
     no SQL mirror); recall vs exact is asserted in test_ann_recall."""
-    from .ivf import cost_balanced_nlist
+    from .ivf import corpus_rows, cost_balanced_nlist
 
-    n = table(spark, sf_dir, "embeddings").count()
-    nlist = cost_balanced_nlist(n, N_PROBE)
+    nlist = cost_balanced_nlist(corpus_rows(spark, sf_dir), N_PROBE)
     return _ivf_knn(spark, sf_dir, _trained_coarse(spark, sf_dir, nlist))
 
 
@@ -393,9 +391,10 @@ def q_dedup_embed_cosine_ivf(spark, sf_dir):
 
     from .ivf import TWO_LEVEL_MIN, build_two_level, train_centroids
 
+    from .ivf import corpus_rows
+
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = emb.count()
-    nlist = cost_balanced_nlist(n, DUP_NPROBE)
+    nlist = cost_balanced_nlist(corpus_rows(spark, sf_dir), DUP_NPROBE)
     cent_mat = train_centroids(emb, nlist)
     cent_ids = np.arange(len(cent_mat), dtype="i8")
     sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
@@ -410,7 +409,9 @@ def q_dedup_embed_cosine_ivf(spark, sf_dir):
             if sc is not None:
                 from .ivf import two_level_cells
 
-                order, d2, _ = two_level_cells(pts, c_mat, sc[0], sc[1], nprobe)
+                order, probe_d2, _ = two_level_cells(
+                    pts, c_mat, sc[0], sc[1], nprobe
+                )
             else:
                 d2 = (
                     (pts * pts).sum(axis=1, keepdims=True)
@@ -418,7 +419,7 @@ def q_dedup_embed_cosine_ivf(spark, sf_dir):
                     + (c_mat * c_mat).sum(axis=1)[None, :]
                 )
                 order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
-            probe_d2 = np.take_along_axis(d2, order, axis=1)
+                probe_d2 = np.take_along_axis(d2, order, axis=1)
             home_pos = np.argmin(probe_d2, axis=1)
             is_home = (
                 order == order[np.arange(len(ids)), home_pos][:, None]

@@ -250,7 +250,7 @@ def test_two_level_cells_cost_and_agreement():
             if len(m):
                 cent[c] = m.mean(axis=0)
     sup, ch = build_two_level(cent)
-    order, d2f, scanned = two_level_cells(pts, cent, sup, ch, 4)
+    order, probe_d2, scanned = two_level_cells(pts, cent, sup, ch, 4)
     flat = len(pts) * nlist
     assert scanned <= 0.35 * flat, (scanned, flat)
     d2t = (
@@ -259,7 +259,6 @@ def test_two_level_cells_cost_and_agreement():
         + (cent * cent).sum(axis=1)[None, :]
     )
     true_home = d2t.argmin(axis=1)
-    probe_d2 = np.take_along_axis(d2f, order, axis=1)
     home = order[np.arange(len(pts)), probe_d2.argmin(axis=1)]
     assert not np.isinf(probe_d2).any()
     assert (home == true_home).mean() >= 0.85
@@ -271,15 +270,19 @@ def test_two_level_cells_cost_and_agreement():
 
 
 def test_dedup_ivf_two_level_active_at_sf01(spark):
-    """At sf0.1 the dedup quantizer crosses TWO_LEVEL_MIN (nlist=200):
-    the two-level path must produce well-formed, threshold-respecting
-    pairs end to end."""
+    """At sf0.1 the dedup quantizer crosses TWO_LEVEL_MIN: the two-level
+    path must produce well-formed, threshold-respecting pairs end to
+    end.  n comes from the real table, NOT a constant — a hardcoded n
+    would keep the premise green after a testdata regeneration even if
+    the pipeline silently fell back to the flat scan (review finding:
+    the first version assumed 5000 rows; the actual table has 2000)."""
     from affinity_propagation_mapreduce_spark.operators.ivf import (
         TWO_LEVEL_MIN,
         cost_balanced_nlist,
     )
+    from affinity_propagation_mapreduce_spark.sources import table
 
-    n = 5000  # embeddings rows at sf0.1
+    n = table(spark, "/root/testdata/sf0.1", "embeddings").count()
     assert cost_balanced_nlist(n, vector.DUP_NPROBE) >= TWO_LEVEL_MIN
     rows = vector.q_dedup_embed_cosine_ivf(spark, "/root/testdata/sf0.1").collect()
     for r in rows:

@@ -34,6 +34,23 @@ AP_KEYS = sorted(k for k in QUERIES if k.startswith("ap_"))
 FAST_KEYS = sorted(k for k in QUERIES if not k.startswith("ap_"))
 
 
+def test_oracle_sf_n_matches_testdata(spark):
+    """Static oracle SQL embeds nlist evaluated at ORACLE_SF_N while the
+    Spark side computes it from the live row count — they only agree if
+    this constant matches the actual sf0.01 embeddings table.  The
+    driver regenerates testdata every round; this tripwire turns a
+    silent hash divergence (knn_cosine_ivf, ap_assign_sparse_checked)
+    into an actionable round-start failure."""
+    from affinity_propagation_mapreduce_spark.operators.ivf import ORACLE_SF_N
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    n = table(spark, SF_T2, "embeddings").count()
+    assert n == ORACLE_SF_N, (
+        f"sf0.01 embeddings has {n} rows but ORACLE_SF_N={ORACLE_SF_N}: "
+        "update operators/ivf.py and re-verify the IVF-family oracles"
+    )
+
+
 def test_every_query_has_oracle():
     missing = sorted(k for k in QUERIES if k not in ORACLES and k not in ROWS_ONLY)
     assert not missing, f"queries without a registered oracle: {missing}"
