@@ -88,3 +88,26 @@ def test_doc_repetition_signals_well_formed(spark):
         # rounded-at-4 values only disagree with the raw flag within 5e-5
         # of the cutoff; no fixture doc sits that close
         assert r.is_repetitive == want, r
+
+
+def test_doc_repetition_plan_is_single_explode_no_selfjoin(spark):
+    """The bigram signal must stay array-side: exactly one Generate (the
+    token histogram's explode), no sort-merge self-join, and only the
+    two token-aggregation exchanges — the shape that keeps a corpus
+    pass at one shuffle-pair instead of re-shuffling an exploded token
+    table against itself."""
+    import re
+
+    from affinity_propagation_mapreduce_spark.operators.textops import (
+        q_doc_repetition,
+    )
+
+    plan = (
+        q_doc_repetition(spark, SF_T2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Generate") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
