@@ -1155,8 +1155,10 @@ best AS (
   FROM cand
   QUALIFY row_number() OVER (PARTITION BY i ORDER BY s DESC, k ASC) = 1),
 labels AS (
-  SELECT b.vec_id, coalesce(e.exemplar, b.assigned) AS exemplar
-  FROM best b LEFT JOIN ex e ON b.vec_id = e.exemplar)
+  SELECT b.vec_id, b.assigned AS exemplar
+  FROM best b ANTI JOIN ex e ON b.vec_id = e.exemplar
+  UNION ALL
+  SELECT exemplar AS vec_id, exemplar FROM ex)
 """
 
 

@@ -635,19 +635,35 @@ def partition_pruned_readback(spark, sf_dir):
     PartitionFilters — whole directories for the other types are never
     listed or read (asserted in tests/test_io.py) — which at 100 TB is
     the difference between scanning 1/5th of the corpus and all of it.
-    Layout is written once per (application, sf_dir) under /tmp."""
+    Layout is written once per (application, sf_dir) under /tmp; the
+    directory shares the application's lifetime (Spark's own /tmp scratch
+    convention — not cleaned up until the host reaps /tmp)."""
     import os
+    import shutil
+    import uuid
 
     app = spark.sparkContext.applicationId
     safe = sf_dir.strip("/").replace("/", "_")
     path = f"/tmp/spark_graft_{app}/{safe}/events_by_type"
     # _SUCCESS, not bare directory existence: a write that died mid-way
     # leaves the directory behind, and re-reading a partial layout would
-    # silently hash-diverge instead of retrying the write
+    # silently hash-diverge instead of retrying the write.  Write to a
+    # sibling temp dir and atomically rename so two concurrent callers in
+    # one application (parallel test workers sharing a session) can't race
+    # overlapping writes into the live path; the loser's rename finds the
+    # winner's complete layout and discards its own.
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         from ..sources.io import write_partitioned_parquet
 
-        write_partitioned_parquet(_ev(spark, sf_dir), path, ["event_type"])
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        write_partitioned_parquet(_ev(spark, sf_dir), tmp, ["event_type"])
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # another writer won the rename; keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            raise RuntimeError(f"partitioned layout incomplete at {path}")
     return spark.read.parquet(path).where(
         F.col("event_type").isin("purchase", "signup")
     )

@@ -40,13 +40,41 @@ from pyspark.sql import functions as F
 # at the only sf the oracle ever runs at.
 ORACLE_SF_N = 500
 
-# cached corpus row counts per (application, sf_dir, table): several IVF
-# queries need N to size nlist, and each .count() is a full-scan job
+# cached corpus row counts per (application, sf_dir, table, file
+# fingerprint): several IVF queries need N to size nlist, and each
+# .count() is a full-scan job.  The fingerprint (parquet mtime+size)
+# invalidates the cache if the testdata directory is regenerated while a
+# Spark application stays alive — otherwise nlist would be computed from
+# the stale count and the IVF-family oracles silently diverge.
 _n_cache: dict = {}
 
 
+def _dir_fingerprint(sf_dir: str, table_name: str) -> tuple:
+    import os
+
+    path = os.path.join(sf_dir, f"{table_name}.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = sorted(
+                e.path for e in os.scandir(path) if e.name.endswith(".parquet")
+            )
+            return tuple(
+                (os.path.basename(p), int(os.path.getmtime(p)), os.path.getsize(p))
+                for p in parts
+            )
+        st = os.stat(path)
+        return (int(st.st_mtime), st.st_size)
+    except OSError:
+        return ()
+
+
 def corpus_rows(spark, sf_dir: str, table_name: str = "embeddings") -> int:
-    key = (spark.sparkContext.applicationId, sf_dir, table_name)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_name,
+        _dir_fingerprint(sf_dir, table_name),
+    )
     if key not in _n_cache:
         from ..sources import table
 
