@@ -744,6 +744,92 @@ def q_stream_batch_equiv_sessionize(spark, sf_dir):
     return cmp
 
 
+def q_stream_batch_equiv_gate(spark, sf_dir):
+    """Rows-only batch≡stream gate for the five F-row twins the
+    sessionize gate doesn't cover (r5 verdict #5): win_tumbling,
+    win_sliding, late_data_watermark, dedup_stateful, resample_ffill.
+    Each streaming twin drains bounded input (availableNow trigger,
+    memory sink) and its rows are compared against the batch operator as
+    a MULTISET (exceptAll both directions — stricter than the per-user
+    rollup the sessionize gate uses).  RAISES if any twin diverges, so
+    the driver row is a real equality check; returns one summary row per
+    twin (scalar columns only)."""
+    from ..streaming import twins
+
+    src = twins.stream_events(spark, sf_dir)
+
+    def _drain(df, name, mode):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(f"{name} stream did not drain in 300s")
+        return spark.table(name)
+
+    batch_dedup = q_dedup_stateful(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.col("first_event_id").alias("event_id"),
+        F.col("first_ts").alias("ts"),
+    )
+    cases = [
+        (
+            "win_tumbling",
+            twins.tumbling_stream(src),
+            "complete",
+            q_win_tumbling(spark, sf_dir),
+            ["window_start", "event_type", "n_events", "sum_value"],
+        ),
+        (
+            "win_sliding",
+            twins.sliding_stream(src),
+            "complete",
+            q_win_sliding(spark, sf_dir),
+            ["window_start", "n_events"],
+        ),
+        (
+            "late_data_watermark",
+            twins.watermark_stream_raw(spark, sf_dir),
+            "append",
+            q_late_data_watermark(spark, sf_dir),
+            ["event_id", "user_id", "ts", "event_type"],
+        ),
+        (
+            "dedup_stateful",
+            twins.dedup_stream(src),
+            "append",
+            batch_dedup,
+            ["user_id", "event_type", "event_id", "ts"],
+        ),
+        (
+            "resample_ffill",
+            twins.resample_ffill_stream(spark, sf_dir),
+            "append",
+            q_resample_ffill(spark, sf_dir),
+            ["user_id", "hour", "value_ffill", "is_observed"],
+        ),
+    ]
+    out = []
+    for name, stream, mode, batch, cols in cases:
+        got = _drain(stream, f"gate_{name}_sink", mode).select(*cols)
+        want = batch.select(*cols)
+        n_got = got.count()
+        n_want = want.count()
+        n_div = got.exceptAll(want).count() + want.exceptAll(got).count()
+        out.append((name, n_want, n_got, n_div))
+    bad = [r for r in out if r[3]]
+    if bad:
+        raise AssertionError(f"stream/batch twins diverged: {bad}")
+    return spark.createDataFrame(
+        out, "twin string, n_batch long, n_stream long, n_diverged long"
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "attribution_window": q_attribution_window,
@@ -761,6 +847,8 @@ QUERIES = {
     "partition_prune_readback": q_partition_prune_readback,
     # rows-only: runs a real structured stream, no SQL equivalent
     "stream_batch_equiv_sessionize": q_stream_batch_equiv_sessionize,
+    # rows-only: multiset equality gate over the other five F twins
+    "stream_batch_equiv_gate": q_stream_batch_equiv_gate,
 }
 
 ORACLES = {

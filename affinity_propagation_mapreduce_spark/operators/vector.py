@@ -599,6 +599,124 @@ WHERE list_reduce(list_transform(list_zip(ea.emb, eb.emb), p -> p[1]*p[2]),
 O_ANN_LSH = _lsh_oracle_sql()
 
 
+# --- (⊕ r6) driver-visible quality gates for the approximate paths ----------
+#
+# Floors are structural-breakage detectors, far below the measured values
+# (sf0.01, round-6 testdata: ivf 0.84, trained 0.50, lsh-pairs 0.93,
+# ivf-dup 0.88) so a testdata regeneration can't flake them, but a broken
+# quantizer/banding (recall collapse toward 0) raises inside the driver's
+# correctness run instead of only in pytest.
+
+RECALL_FLOORS = {
+    "knn_cosine_ivf": 0.5,     # tests/test_ann_recall.py floor
+    "knn_cosine_ivf_trained": 0.3,  # lowid is rigged in its own favor on
+                                    # unclustered ids (see test_trained_*)
+    "ann_lsh_cosine_pairs": 0.75,
+}
+IVF_DUP_RECALL_FLOOR = 0.5
+
+
+def q_ann_recall_gate(spark, sf_dir):
+    """Rows-only ANN quality gate, driver-visible (r5 verdict #4): recall
+    of each approximate similarity path against its exact counterpart,
+    computed with distributed semi-joins (no driver-side set math beyond
+    the final per-method scalars).  RAISES below RECALL_FLOORS — so a
+    quality regression turns the driver row red — and returns one row per
+    method with scalar columns only (the driver's canonicalizer crashes
+    on arrays)."""
+    exact_knn = q_knn_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    exact_pairs = q_dedup_embed_cosine(spark, sf_dir).select("i", "k")
+    n_exact_knn = exact_knn.count()
+    n_exact_pairs = exact_pairs.count()
+    out = []
+    for method, fn in (
+        ("knn_cosine_ivf", q_knn_cosine_ivf),
+        ("knn_cosine_ivf_trained", knn_cosine_ivf_trained),
+    ):
+        hit = exact_knn.join(
+            fn(spark, sf_dir).select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        out.append((method, n_exact_knn, hit, round(hit / n_exact_knn, 4)))
+    lsh_hit = exact_pairs.join(
+        q_ann_lsh_cosine(spark, sf_dir).select("i", "k"),
+        ["i", "k"],
+        "left_semi",
+    ).count()
+    out.append(
+        (
+            "ann_lsh_cosine_pairs",
+            n_exact_pairs,
+            lsh_hit,
+            round(lsh_hit / n_exact_pairs, 4) if n_exact_pairs else 1.0,
+        )
+    )
+    for method, n_exact, n_hit, recall in out:
+        if recall < RECALL_FLOORS[method]:
+            raise AssertionError(
+                f"{method} recall {recall} below floor "
+                f"{RECALL_FLOORS[method]} ({n_hit}/{n_exact})"
+            )
+    return spark.createDataFrame(
+        out, "method string, n_exact long, n_hit long, recall double"
+    )
+
+
+def q_ivf_dup_subset_gate(spark, sf_dir):
+    """Rows-only correctness gate for the IVF dedup scale twin (r5
+    verdict #4): every pair `dedup_embed_cosine_ivf` emits must exist in
+    the exact operator's output with a BITWISE-equal cosine (both sides
+    accumulate dimension-sequentially, so `=` is exact, not tolerant),
+    and recall must clear a structural floor.  RAISES on any violation;
+    returns the one-row summary."""
+    exact = q_dedup_embed_cosine(spark, sf_dir).select(
+        "i", "k", F.col("cosine").alias("cosine_exact")
+    )
+    approx = q_dedup_embed_cosine_ivf(spark, sf_dir)
+    joined = approx.join(exact, ["i", "k"], "left_outer")
+    agg = joined.agg(
+        F.count("*").alias("n_approx"),
+        F.sum(
+            F.when(F.col("cosine_exact").isNull(), 1).otherwise(0)
+        ).alias("n_not_subset"),
+        F.sum(
+            F.when(
+                F.col("cosine_exact").isNotNull()
+                & (F.col("cosine") != F.col("cosine_exact")),
+                1,
+            ).otherwise(0)
+        ).alias("n_bitwise_mismatch"),
+    ).collect()[0]
+    n_exact = exact.count()
+    recall = agg.n_approx / n_exact if n_exact else 1.0
+    if agg.n_not_subset or agg.n_bitwise_mismatch:
+        raise AssertionError(
+            f"ivf dup twin violated subset/bitwise property: "
+            f"{agg.n_not_subset} pairs outside exact set, "
+            f"{agg.n_bitwise_mismatch} cosine mismatches"
+        )
+    if recall < IVF_DUP_RECALL_FLOOR:
+        raise AssertionError(
+            f"ivf dup recall {recall:.3f} below {IVF_DUP_RECALL_FLOOR}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_exact),
+                int(agg.n_approx),
+                int(agg.n_not_subset),
+                int(agg.n_bitwise_mismatch),
+                round(recall, 4),
+            )
+        ],
+        "n_exact long, n_approx long, n_not_subset long, "
+        "n_bitwise_mismatch long, recall double",
+    )
+
+
 QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "ann_lsh_cosine": q_ann_lsh_cosine,
@@ -609,6 +727,10 @@ QUERIES = {
     "knn_cosine_ivf_trained": knn_cosine_ivf_trained,
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,
+    # rows-only driver-visible quality gates: raise on recall collapse /
+    # subset violation, so approximation regressions go red in the gate
+    "ann_recall_gate": q_ann_recall_gate,
+    "ivf_dup_subset_gate": q_ivf_dup_subset_gate,
 }
 
 ORACLES = {
