@@ -414,7 +414,11 @@ def _sparse_nlist(n: int, nprobe: int = SPARSE_NPROBE) -> int:
 
 
 def ivf_candidate_pairs(
-    spark: SparkSession, sf_dir: str, trained: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    trained: bool = False,
+    emb: DataFrame | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Deduplicated candidate pairs (i < k, s) from an IVF coarse
     quantizer, WITHOUT materializing the dense N² kernel.
@@ -433,12 +437,19 @@ def ivf_candidate_pairs(
     Values use the same dimension-sequential float64 accumulation as the
     dense kernel, so any pair present in both is bitwise identical; the
     graph is approximate only in which pairs are *considered*
-    (rows-only contract — ap_assign_sparse)."""
+    (rows-only contract — ap_assign_sparse).
+
+    ``emb``/``n`` override the testdata source with a caller-supplied
+    (vec_id, embedding) frame and its row count — used by the measured
+    growth-law test (tests/test_growth_law.py) to drive the REAL
+    candidate generator over a synthetic N-sweep, since the driver's
+    testdata only ships two distinct corpus sizes."""
     import numpy as np
     import pandas as pd
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = _n_points(spark, sf_dir)
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        n = _n_points(spark, sf_dir)
     nlist = _sparse_nlist(n)
     if trained:
         from .ivf import TWO_LEVEL_MIN, build_two_level, train_centroids

@@ -222,8 +222,9 @@ NGRAM_JACCARD_THRESHOLD = 0.8
 # is the standard dedup representation for LLM training corpora.
 
 
-def _shingles(spark, sf_dir):
+def _shingles(spark, sf_dir, docs=None):
     """(doc_id, shingle) — the distinct word-bigram shingle set per doc.
+    ``docs`` overrides the testdata source (growth-law test).
 
     The token array is projected ONCE before the generator: referencing
     ``split(text, ' ')`` inside the transform lambda re-evaluates the
@@ -235,8 +236,10 @@ def _shingles(spark, sf_dir):
     whose 0 index would throw in ANSI ``element_at`` (same trap as
     _char_trigrams; DuckDB's range(1, 0) is empty, so the oracle needs
     no guard)."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     docs = (
-        _docs(spark, sf_dir)
+        docs
         .select("doc_id", F.split("text", " ").alias("tk"))
         .where(F.size("tk") >= 2)
     )
@@ -322,7 +325,9 @@ MINHASH_PRIME = 2147483647  # 2^31-1; (ha + 31*hb) < 2^53 stays exact int64
 _MINHASH_BROADCAST_MAX_DOCS = 1_000_000  # ≈ dimension-table broadcast cap
 
 
-def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
+def q_dedup_near_minhash(
+    spark, sf_dir, broadcast_verify: bool | None = None, docs=None
+):
     """Banded MinHash LSH over word-bigram shingle sets — the sub-N²
     twin of ``dedup_ngram_jaccard``: per-doc signature of N_HASHES
     min-hashes, split into N_BANDS bands; docs sharing any band bucket
@@ -348,8 +353,12 @@ def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
     falls back to a keyed shuffle — at 100 TB the dimension does NOT fit
     an executor, and an unconditional broadcast would OOM (round-1
     review finding).  Both branches are plan-asserted in tests.
+
+    ``docs`` overrides the testdata source with a caller-supplied
+    (doc_id, text) frame — the growth-law test drives the real LSH
+    pipeline over a synthetic corpus sweep.
     """
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir, docs=docs)
     digest = F.md5("shingle")
     hashed = sh.select(
         "doc_id",
@@ -407,9 +416,10 @@ def q_dedup_near_minhash(spark, sf_dir, broadcast_verify: bool | None = None):
     # the exploded relation
     shsets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
     if broadcast_verify is None:
-        broadcast_verify = (
-            _docs(spark, sf_dir).count() <= _MINHASH_BROADCAST_MAX_DOCS
-        )
+        n_docs = (
+            docs if docs is not None else _docs(spark, sf_dir)
+        ).count()
+        broadcast_verify = n_docs <= _MINHASH_BROADCAST_MAX_DOCS
     hint = F.broadcast if broadcast_verify else (lambda df: df)
     sa = shsets.select(F.col("doc_id").alias("doc_lo"), F.col("shs").alias("shs_lo"))
     sb = shsets.select(F.col("doc_id").alias("doc_hi"), F.col("shs").alias("shs_hi"))

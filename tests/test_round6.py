@@ -37,6 +37,32 @@ def test_ivf_dup_subset_gate_green(spark):
     assert row.recall >= vector.IVF_DUP_RECALL_FLOOR
 
 
+def test_median_fast_path_bitwise_equals_distributed(spark, monkeypatch):
+    """_FAST_MEDIAN_MAX_N silently switches the preference plan from the
+    Arrow-collected driver median to the distributed percentile at
+    N=10,001 (r5 verdict #7): the two paths must produce the BITWISE
+    identical preference, so the cliff changes cost, never results.
+    Verified both ways: fast vs distributed on the same kernel output,
+    and end-to-end cluster() with the gate forced to the fallback."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    off = ap.similarity_off_diagonal(spark, SF_SMALL)
+    fast = ap._median_preference_fast(spark, SF_SMALL, off)
+    assert fast is not None
+    dist = off.agg(F.expr("percentile(s, 0.5)").alias("p")).collect()[0].p
+    assert fast == dist  # bitwise, no tolerance
+
+    # below the gate the fast path must decline and cluster() still works
+    monkeypatch.setattr(ap, "_FAST_MEDIAN_MAX_N", 10)
+    assert ap._median_preference_fast(spark, SF_SMALL, off) is None
+    # end-to-end on the fallback plan: same labels as the fast plan
+    # (T_DEFAULT iterations — one iteration elects no exemplars yet)
+    fall = {r.vec_id: r.exemplar for r in ap.cluster(spark, SF_SMALL).collect()}
+    monkeypatch.setattr(ap, "_FAST_MEDIAN_MAX_N", 10_000)
+    fastl = {r.vec_id: r.exemplar for r in ap.cluster(spark, SF_SMALL).collect()}
+    assert fall == fastl
+
+
 def test_stream_batch_equiv_gate_raises_on_divergence(spark, monkeypatch):
     """Corrupting one batch operator must make the combined gate raise:
     proves the multiset comparison actually bites (the green path is
