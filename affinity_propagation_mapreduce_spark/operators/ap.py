@@ -913,47 +913,109 @@ def cached_smat(spark: SparkSession, sf_dir: str, pref: str = "median") -> DataF
     return _cache[key]
 
 
+def _dense(spark: SparkSession, sf_dir: str):
+    """Blocked dense engine instance (operators/ap_dense.py) for the
+    multi-iteration queries, or None above its size gate (the coordinate
+    engine below remains both the semantic reference and the large-N
+    dense fallback; the 100 TB path is ``cluster_sparse``)."""
+    key = _ckey(spark, sf_dir, "dense")
+    if key not in _cache:
+        from . import ap_dense
+
+        if _n_points(spark, sf_dir) <= ap_dense.BLOCKED_MAX_N:
+            _cache[key] = ap_dense.DenseAP(spark, sf_dir)
+        else:
+            _cache[key] = None
+    return _cache[key]
+
+
+def _dense_chain(
+    spark: SparkSession,
+    sf_dir: str,
+    pref: str = "median",
+    lam: float = DAMPING,
+    T: int = T_DEFAULT,
+    retain: bool = True,
+) -> list[DataFrame]:
+    """Blocked-state chain, cached per (pref, lam, T, retain)."""
+    key = _ckey(spark, sf_dir, "dchain", pref, lam, T, retain)
+    if key not in _cache:
+        _cache[key] = _dense(spark, sf_dir).chain(
+            T, lam=lam, pref=pref, retain=retain
+        )
+    return _cache[key]
+
+
+def _retain(spark: SparkSession, sf_dir: str) -> bool:
+    return _n_points(spark, sf_dir) <= _CHAIN_RETAIN_MAX_N
+
+
 def cached_chain(
     spark: SparkSession, sf_dir: str, pref: str = "median", T: int = T_DEFAULT
 ) -> list[DataFrame]:
     """States after iterations 1..T, each checkpointed, ALL retained
     (A9 convergence reads every step).  Only call at small N — see the
-    retention gate above."""
+    retention gate above.  Runs on the blocked engine when available
+    (coordinate views keep every consumer unchanged); the coordinate
+    loop is the gated fallback."""
     key = _ckey(spark, sf_dir, "chain", pref, T)
     if key not in _cache:
-        st = init_state(cached_smat(spark, sf_dir, pref))
-        states = []
-        for _ in range(T):
-            st = availability_pass(responsibility_pass(st)).localCheckpoint(
-                eager=False
-            )
-            states.append(st)
-        _cache[key] = states
+        d = _dense(spark, sf_dir)
+        if d is not None:
+            blocked = _dense_chain(spark, sf_dir, pref=pref, T=T, retain=True)
+            _cache[key] = [
+                d.coordinate_view(st).localCheckpoint(eager=False)
+                for st in blocked
+            ]
+        else:
+            st = init_state(cached_smat(spark, sf_dir, pref))
+            states = []
+            for _ in range(T):
+                st = availability_pass(responsibility_pass(st)).localCheckpoint(
+                    eager=False
+                )
+                states.append(st)
+            _cache[key] = states
     return _cache[key]
 
 
 def _final_state(
     spark: SparkSession, sf_dir: str, pref: str = "median"
 ) -> DataFrame:
-    """Message state after T_DEFAULT iterations, shared across queries."""
-    if _n_points(spark, sf_dir) <= _CHAIN_RETAIN_MAX_N:
+    """Message state after T_DEFAULT iterations, shared across queries
+    (coordinate format — blocked-engine states are exposed as views)."""
+    if _retain(spark, sf_dir):
         return cached_chain(spark, sf_dir, pref)[-1]
     key = _ckey(spark, sf_dir, "final", pref)
     if key not in _cache:
-        _cache[key] = iterate(
-            init_state(cached_smat(spark, sf_dir, pref)), T_DEFAULT
-        )
+        d = _dense(spark, sf_dir)
+        if d is not None:
+            st = _dense_chain(spark, sf_dir, pref=pref, retain=False)[-1]
+            _cache[key] = d.coordinate_view(st).localCheckpoint(eager=False)
+        else:
+            _cache[key] = iterate(
+                init_state(cached_smat(spark, sf_dir, pref)), T_DEFAULT
+            )
     return _cache[key]
 
 
 def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final (vec_id, exemplar) assignment, shared by A7/A8."""
+    """Final (vec_id, exemplar) assignment, shared by A7/A8.  On the
+    blocked engine the argmax runs row-local over the final state — no
+    coordinate N² relation or window is rebuilt for the assignment."""
     key = _ckey(spark, sf_dir, "labels")
     if key not in _cache:
-        ex = exemplars_from_state(_final_state(spark, sf_dir))
-        _cache[key] = assign(cached_off(spark, sf_dir), ex).localCheckpoint(
-            eager=False
-        )
+        d = _dense(spark, sf_dir)
+        if d is not None:
+            st = _dense_chain(
+                spark, sf_dir, retain=_retain(spark, sf_dir)
+            )[-1]
+            _cache[key] = d.assign(st).localCheckpoint(eager=False)
+        else:
+            ex = exemplars_from_state(_final_state(spark, sf_dir))
+            _cache[key] = assign(
+                cached_off(spark, sf_dir), ex
+            ).localCheckpoint(eager=False)
     return _cache[key]
 
 
@@ -1003,6 +1065,10 @@ def q_ap_iterate_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ap_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _dense(spark, sf_dir)
+    if d is not None:
+        st = _dense_chain(spark, sf_dir, retain=_retain(spark, sf_dir))[-1]
+        return d.exemplars(st)
     return exemplars_from_state(_final_state(spark, sf_dir))
 
 

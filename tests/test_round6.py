@@ -78,3 +78,74 @@ def test_stream_batch_equiv_gate_raises_on_divergence(spark, monkeypatch):
     monkeypatch.setattr(ev_ops, "q_win_tumbling", corrupted)
     with pytest.raises(AssertionError, match="diverged"):
         ev_ops.q_stream_batch_equiv_gate(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# Blocked dense engine (operators/ap_dense.py) — r6 verdict #3
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_first_iteration_bitwise_equals_coordinate(spark):
+    """chain[0]'s coordinate view must be BITWISE equal to one coordinate
+    responsibility+availability pass: the blocked row kernel is selection
+    arithmetic and the column-stat combine reproduces the same values, so
+    the engine swap may never move a number at iteration 1 (where the
+    driver's unrounded r hash bites)."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    view = ap.cached_chain(spark, SF_SMALL)[0]
+    coord = ap.availability_pass(
+        ap.responsibility_pass(ap.init_state(ap.cached_smat(spark, SF_SMALL)))
+    )
+    row = (
+        view.alias("b")
+        .join(coord.alias("c"), ["i", "k"])
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.abs(F.col("b.s") - F.col("c.s"))).alias("ds"),
+            F.max(F.abs(F.col("b.r") - F.col("c.r"))).alias("dr"),
+            F.max(F.abs(F.col("b.a") - F.col("c.a"))).alias("da"),
+        )
+        .collect()[0]
+    )
+    assert row.n == 500 * 500
+    assert (row.ds, row.dr, row.da) == (0.0, 0.0, 0.0)
+
+
+def test_blocked_labels_equal_coordinate_cluster(spark):
+    """End-to-end: the blocked assignment (_labels fast path) must agree
+    with the coordinate reference pipeline cluster() exactly."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    blocked = {r.vec_id: r.exemplar for r in ap._labels(spark, SF_SMALL).collect()}
+    coord = {r.vec_id: r.exemplar for r in ap.cluster(spark, SF_SMALL).collect()}
+    assert blocked == coord and len(blocked) == 500
+
+
+def test_blocked_gate_falls_back_to_coordinate(spark, monkeypatch):
+    """Forcing the size gate to 0 must route _labels through the
+    coordinate engine and produce the same labels — the cliff changes
+    cost, never results (same contract as the median gate)."""
+    from affinity_propagation_mapreduce_spark.operators import ap, ap_dense
+
+    fast = {r.vec_id: r.exemplar for r in ap._labels(spark, SF_SMALL).collect()}
+    ap.clear_cache()
+    monkeypatch.setattr(ap_dense, "BLOCKED_MAX_N", 0)
+    assert ap._dense(spark, SF_SMALL) is None
+    fall = {r.vec_id: r.exemplar for r in ap._labels(spark, SF_SMALL).collect()}
+    ap.clear_cache()  # drop coordinate-path cache entries built under the gate
+    assert fast == fall
+
+
+def test_blocked_pref_matches_oracle_formula(spark):
+    """Blocked median/min preference scalars equal the distributed
+    percentile / min over the coordinate off-diagonal (bitwise)."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    d = ap._dense(spark, SF_SMALL)
+    off = ap.cached_off(spark, SF_SMALL)
+    dist = off.agg(
+        F.expr("percentile(s, 0.5)").alias("med"), F.min("s").alias("mn")
+    ).collect()[0]
+    assert d.pref_value("median") == dist.med
+    assert d.pref_value("min") == dist.mn
