@@ -110,3 +110,30 @@ def test_minhash_candidate_growth_linear(spark):
     assert slope < 1.3, (counts, slope)
     # the synthetic dup structure was actually found (not vacuous)
     assert counts[-1] >= 0.5 * DOC_NS[-1] * 0.05, counts
+
+
+def test_blocked_dense_layout_growth():
+    """The blocked dense AP layout scales by block COUNT, not block
+    size: per-task bytes stay bounded by _TARGET_BLOCK_BYTES while the
+    number of blocks grows ~N² once the memory bound dominates the
+    parallelism floor — the property that lets the same layout run on a
+    1000-executor cluster without any task ever holding more than one
+    bounded block."""
+    from affinity_propagation_mapreduce_spark.operators import ap_dense
+
+    class _SC:
+        defaultParallelism = 32
+
+    class _Spark:
+        sparkContext = _SC()
+
+    spark = _Spark()
+    rows = {n: ap_dense._n_blocks(spark, n) for n in (2_000, 10_000, 40_000)}
+    for n, nb in rows.items():
+        per_task_rows = -(-n // nb)
+        assert per_task_rows * 3 * n * 8 <= ap_dense._TARGET_BLOCK_BYTES * 1.1
+    # parallelism floor at small N, ~N^2 block growth beyond it
+    assert rows[2_000] == 32
+    assert rows[10_000] >= 35
+    ratio = rows[40_000] / rows[10_000]
+    assert 12 <= ratio <= 20, rows  # 16 = (4x N)^2 within slack
