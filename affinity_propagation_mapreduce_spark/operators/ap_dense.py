@@ -123,6 +123,8 @@ class DenseAP:
             nd = m_b.shape[1]
             nn = len(ids_b)
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 ai = pdf["vec_id"].to_numpy(dtype="i8")
                 av = _stack(pdf["embedding"]).astype("f8")
                 acc = np.zeros((len(ai), nn), dtype="f8")
@@ -193,6 +195,8 @@ class DenseAP:
             if not frames:
                 return
             pdf = pd.concat(frames)
+            if not len(pdf):
+                return
             iv = pdf["i"].to_numpy(dtype="i8")
             order = np.argsort(iv)  # deterministic row order per block
             iv = iv[order]
@@ -247,6 +251,8 @@ class DenseAP:
             ids_b, _ = bc.value
             colsum, rkk = stats_bc.value
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 iv = pdf["i"].to_numpy(dtype="i8")
                 s = _stack(pdf["s"])
                 r = _stack(pdf["r"])
@@ -313,6 +319,8 @@ class DenseAP:
 
             ids_b, _ = bc.value
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 iv = pdf["i"].to_numpy(dtype="i8")
                 r = _stack(pdf["r"])
                 a = _stack(pdf["a"])
@@ -346,6 +354,8 @@ class DenseAP:
                 return
             e_di = np.searchsorted(ids_b, exb)
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 iv = pdf["i"].to_numpy(dtype="i8")
                 s = _stack(pdf["s"])
                 vals = s[:, e_di]
@@ -370,6 +380,8 @@ class DenseAP:
             ids_b, _ = bc.value
             nn = len(ids_b)
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 iv = pdf["i"].to_numpy(dtype="i8")
                 s = _stack(pdf["s"])
                 r = _stack(pdf["r"])
