@@ -855,7 +855,19 @@ def clear_cache() -> None:
 
 
 def _ckey(spark: SparkSession, sf_dir: str, *parts) -> tuple:
-    return (spark.sparkContext.applicationId, sf_dir) + parts
+    """Cache key: (application, sf_dir, embeddings-file fingerprint, ...).
+    The fingerprint (parquet mtime_ns+size, same scheme as
+    ivf.corpus_rows) invalidates every cached AP artifact — counts,
+    kernels, chains, the DenseAP instance — if the testdata directory is
+    regenerated while a Spark application stays alive; without it the
+    stale similarity kernel would silently hash-diverge from the oracle."""
+    from .ivf import _dir_fingerprint
+
+    return (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _dir_fingerprint(sf_dir, "embeddings"),
+    ) + parts
 
 
 def _n_points(spark: SparkSession, sf_dir: str) -> int:
@@ -937,12 +949,21 @@ def _dense_chain(
     T: int = T_DEFAULT,
     retain: bool = True,
 ) -> list[DataFrame]:
-    """Blocked-state chain, cached per (pref, lam, T, retain)."""
+    """Blocked-state chain, cached per (pref, lam, T, retain).  Callers
+    must gate on ``_dense(...) is not None`` — raise a clear error here
+    rather than an AttributeError if one forgets."""
     key = _ckey(spark, sf_dir, "dchain", pref, lam, T, retain)
     if key not in _cache:
-        _cache[key] = _dense(spark, sf_dir).chain(
-            T, lam=lam, pref=pref, retain=retain
-        )
+        d = _dense(spark, sf_dir)
+        if d is None:
+            from . import ap_dense
+
+            raise RuntimeError(
+                "blocked dense engine unavailable above "
+                f"N={ap_dense.BLOCKED_MAX_N} — use the coordinate "
+                "iterate() fallback"
+            )
+        _cache[key] = d.chain(T, lam=lam, pref=pref, retain=retain)
     return _cache[key]
 
 

@@ -103,7 +103,6 @@ class DenseAP:
         self.bc = spark.sparkContext.broadcast((self.ids, mat))
         self.nb = _n_blocks(spark, self.n)
         self._state0: DataFrame | None = None
-        self._offdiag_vals: np.ndarray | None = None
         self._prefs: dict[str, float] = {}
 
     # -- zero state ----------------------------------------------------
@@ -149,33 +148,30 @@ class DenseAP:
     # -- preference ----------------------------------------------------
 
     def _offdiag(self) -> np.ndarray:
-        if self._offdiag_vals is None:
-            pdf = self.state0().select("i", "s").toPandas()
-            iv = pdf["i"].to_numpy(dtype="i8")
-            s = _stack(pdf["s"])
-            di = np.searchsorted(self.ids, iv)
-            mask = np.ones(s.shape, dtype=bool)
-            mask[np.arange(len(iv)), di] = False
-            self._offdiag_vals = s[mask]
-        return self._offdiag_vals
+        pdf = self.state0().select("i", "s").toPandas()
+        iv = pdf["i"].to_numpy(dtype="i8")
+        s = _stack(pdf["s"])
+        di = np.searchsorted(self.ids, iv)
+        mask = np.ones(s.shape, dtype=bool)
+        mask[np.arange(len(iv)), di] = False
+        return s[mask]
 
     def pref_value(self, kind: str = "median") -> float:
         """Exact preference scalar: interpolated median (the
         ap._median_preference_fast formula — bitwise equal to
-        ``percentile(s, 0.5)``) or exact min."""
+        ``percentile(s, 0.5)``) or exact min.  Both scalars derive from
+        one collect whose O(N²) value array is dropped immediately — at
+        the gate boundary it is ~800 MB, too much to pin on the driver
+        for the engine instance's lifetime."""
         if kind not in self._prefs:
             vals = self._offdiag()
-            if kind == "min":
-                self._prefs[kind] = float(vals.min())
-            else:
-                m = vals.size
-                pos = 0.5 * (m - 1)
-                lo = int(pos)
-                part = np.partition(
-                    vals, [lo, lo + 1] if lo + 1 < m else [lo]
-                )
-                lower, upper = part[lo], part[min(lo + 1, m - 1)]
-                self._prefs[kind] = float(lower + (upper - lower) * (pos - lo))
+            self._prefs["min"] = float(vals.min())
+            m = vals.size
+            pos = 0.5 * (m - 1)
+            lo = int(pos)
+            part = np.partition(vals, [lo, lo + 1] if lo + 1 < m else [lo])
+            lower, upper = part[lo], part[min(lo + 1, m - 1)]
+            self._prefs["median"] = float(lower + (upper - lower) * (pos - lo))
         return self._prefs[kind]
 
     # -- iteration -----------------------------------------------------

@@ -657,6 +657,14 @@ def partition_pruned_readback(spark, sf_dir):
 
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         write_partitioned_parquet(_ev(spark, sf_dir), tmp, ["event_type"])
+        # a dead partial layout (directory present, no _SUCCESS) blocks
+        # the rename forever (ENOTEMPTY) — clear it first; a CONCURRENT
+        # winner that completed between the check and here re-passes the
+        # _SUCCESS test below either way
+        if os.path.isdir(path) and not os.path.isfile(
+            os.path.join(path, "_SUCCESS")
+        ):
+            shutil.rmtree(path, ignore_errors=True)
         try:
             os.rename(tmp, path)
         except OSError:

@@ -59,11 +59,11 @@ def _dir_fingerprint(sf_dir: str, table_name: str) -> tuple:
                 e.path for e in os.scandir(path) if e.name.endswith(".parquet")
             )
             return tuple(
-                (os.path.basename(p), int(os.path.getmtime(p)), os.path.getsize(p))
+                (os.path.basename(p), os.stat(p).st_mtime_ns, os.path.getsize(p))
                 for p in parts
             )
         st = os.stat(path)
-        return (int(st.st_mtime), st.st_size)
+        return (st.st_mtime_ns, st.st_size)
     except OSError:
         return ()
 
@@ -78,6 +78,10 @@ def corpus_rows(spark, sf_dir: str, table_name: str = "embeddings") -> int:
     if key not in _n_cache:
         from ..sources import table
 
+        # evict superseded fingerprints for the same table so
+        # regenerations don't accumulate dead entries
+        for old in [k for k in _n_cache if k[:3] == key[:3]]:
+            del _n_cache[old]
         _n_cache[key] = table(spark, sf_dir, table_name).count()
     return _n_cache[key]
 

@@ -624,10 +624,19 @@ def q_ann_recall_gate(spark, sf_dir):
     quality regression turns the driver row red — and returns one row per
     method with scalar columns only (the driver's canonicalizer crashes
     on arrays)."""
-    exact_knn = q_knn_cosine_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # checkpoint both exact pipelines: each feeds one count + semi-joins
+    # per method, and re-running the exact top-k / N² pair scan per
+    # action would triple the gate's cost
+    exact_knn = (
+        q_knn_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
-    exact_pairs = q_dedup_embed_cosine(spark, sf_dir).select("i", "k")
+    exact_pairs = (
+        q_dedup_embed_cosine(spark, sf_dir)
+        .select("i", "k")
+        .localCheckpoint(eager=False)
+    )
     n_exact_knn = exact_knn.count()
     n_exact_pairs = exact_pairs.count()
     out = []
@@ -640,7 +649,14 @@ def q_ann_recall_gate(spark, sf_dir):
             ["query_id", "neighbor_id"],
             "left_semi",
         ).count()
-        out.append((method, n_exact_knn, hit, round(hit / n_exact_knn, 4)))
+        out.append(
+            (
+                method,
+                n_exact_knn,
+                hit,
+                round(hit / n_exact_knn, 4) if n_exact_knn else 1.0,
+            )
+        )
     lsh_hit = exact_pairs.join(
         q_ann_lsh_cosine(spark, sf_dir).select("i", "k"),
         ["i", "k"],
@@ -672,8 +688,12 @@ def q_ivf_dup_subset_gate(spark, sf_dir):
     accumulate dimension-sequentially, so `=` is exact, not tolerant),
     and recall must clear a structural floor.  RAISES on any violation;
     returns the one-row summary."""
-    exact = q_dedup_embed_cosine(spark, sf_dir).select(
-        "i", "k", F.col("cosine").alias("cosine_exact")
+    # checkpoint: the exact N² pair scan feeds both the outer join and
+    # the trailing count
+    exact = (
+        q_dedup_embed_cosine(spark, sf_dir)
+        .select("i", "k", F.col("cosine").alias("cosine_exact"))
+        .localCheckpoint(eager=False)
     )
     approx = q_dedup_embed_cosine_ivf(spark, sf_dir)
     joined = approx.join(exact, ["i", "k"], "left_outer")

@@ -109,7 +109,14 @@ def test_blocked_first_iteration_bitwise_equals_coordinate(spark):
         .collect()[0]
     )
     assert row.n == 500 * 500
-    assert (row.ds, row.dr, row.da) == (0.0, 0.0, 0.0)
+    # s and iteration-1 r are selection arithmetic — bitwise guaranteed.
+    # a is a group sum: the blocked engine's deterministic block-order
+    # combine and the coordinate hash-agg CAN differ in summation order
+    # (observed 0.0 here, but not guaranteed across hosts/parallelism),
+    # so a gets the same ~1e-12 tolerance class the oracle rounding
+    # absorbs rather than a bitwise pin.
+    assert (row.ds, row.dr) == (0.0, 0.0)
+    assert row.da < 1e-9
 
 
 def test_blocked_labels_equal_coordinate_cluster(spark):
