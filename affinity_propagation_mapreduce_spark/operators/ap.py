@@ -402,6 +402,13 @@ def cluster(
 SPARSE_NPROBE = 4  # coarse cells probed per query point
 
 
+def _BLOCKED():
+    """Late import of the blocked engine module (avoids import cycles)."""
+    from . import ap_dense
+
+    return ap_dense
+
+
 def _sparse_nlist(n: int, nprobe: int = SPARSE_NPROBE) -> int:
     """Cost-balanced coarse-quantizer size (see operators/ivf.py):
     nlist = sqrt(nprobe·N) balances the O(N·nlist) coarse-scoring step
@@ -583,8 +590,17 @@ def cluster_sparse(
     cand = knn_candidate_pairs(spark, sf_dir, k, trained=trained).localCheckpoint(
         eager=False
     )
-    p = cand.agg(F.expr("percentile(s, 0.5)").alias("p"))
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
+    if _n_points(spark, sf_dir) <= _BLOCKED().BLOCKED_MAX_N:
+        # ragged-blocked loop (ap_dense.cluster_sparse_blocked): same
+        # semantics, two jobs per iteration instead of the coordinate
+        # loop's per-pass broadcast-agg jobs.  Gated like the dense
+        # engine — the coordinate loop below is the >gate scale path.
+        p_val = cand.agg(F.expr("percentile(s, 0.5)").alias("p")).first()[0]
+        return _BLOCKED().cluster_sparse_blocked(
+            spark, cand, ids, p_val, iterations, lam
+        )
+    p = cand.agg(F.expr("percentile(s, 0.5)").alias("p"))
     diag = ids.crossJoin(p).select(
         F.col("vec_id").alias("i"), F.col("vec_id").alias("k"), F.col("p").alias("s")
     )
@@ -1031,7 +1047,8 @@ def _labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             st = _dense_chain(
                 spark, sf_dir, retain=_retain(spark, sf_dir)
             )[-1]
-            _cache[key] = d.assign(st).localCheckpoint(eager=False)
+            hint = d.ex_hint("median", DAMPING, T_DEFAULT)
+            _cache[key] = d.assign(st, ex=hint).localCheckpoint(eager=False)
         else:
             ex = exemplars_from_state(_final_state(spark, sf_dir))
             _cache[key] = assign(
@@ -1089,7 +1106,7 @@ def q_ap_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _dense(spark, sf_dir)
     if d is not None:
         st = _dense_chain(spark, sf_dir, retain=_retain(spark, sf_dir))[-1]
-        return d.exemplars(st)
+        return d.exemplars(st, ex=d.ex_hint("median", DAMPING, T_DEFAULT))
     return exemplars_from_state(_final_state(spark, sf_dir))
 
 

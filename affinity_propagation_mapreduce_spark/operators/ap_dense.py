@@ -46,6 +46,7 @@ over — dense N² state is the small-N regime by construction.
 from __future__ import annotations
 
 import numpy as np
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,6 +85,41 @@ def _stack(col) -> np.ndarray:
     return np.stack(col.to_numpy())
 
 
+class _PartialsAcc(AccumulatorParam):
+    """Per-partition stats partials keyed by the partition's min row id.
+    Merge is key-OVERWRITE: each partition's partial is deterministic
+    (rows sorted by id inside the kernel), so a retried or speculative
+    task re-adds the identical value under the same key — the
+    accumulator stays correct without relying on Spark's
+    exactly-once-per-result-task bookkeeping."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
+def _combine_partials(parts: dict, ids: np.ndarray):
+    """Driver-side combine of accumulator partials in deterministic
+    (min_i-sorted) block order → (colsum, rkk, exemplar_ids)."""
+    keys = sorted(parts)
+    colsum = np.sum(
+        np.stack([np.asarray(parts[k][0], dtype="f8") for k in keys]), axis=0
+    )
+    rkk = np.zeros(len(ids), dtype="f8")
+    ex: list[np.ndarray] = []
+    for k in keys:
+        _, diag_i, diag_r, ex_ids = parts[k]
+        rkk[np.searchsorted(ids, np.asarray(diag_i, dtype="i8"))] = np.asarray(
+            diag_r, dtype="f8"
+        )
+        ex.append(np.asarray(ex_ids, dtype="i8"))
+    ex_all = np.sort(np.concatenate(ex)) if ex else np.array([], dtype="i8")
+    return colsum, rkk, ex_all
+
+
 class DenseAP:
     """Per-(application, sf_dir) blocked engine instance.  Owns the
     embedding broadcast, the checkpointed zero state, and the preference
@@ -104,6 +140,8 @@ class DenseAP:
         self.nb = _n_blocks(spark, self.n)
         self._state0: DataFrame | None = None
         self._prefs: dict[str, float] = {}
+        # exemplar sets accumulated by fused chains, keyed (pref, lam, T)
+        self._ex_hint: dict[tuple, np.ndarray] = {}
 
     # -- zero state ----------------------------------------------------
 
@@ -268,6 +306,58 @@ class DenseAP:
 
         return state.mapInPandas(update_kernel, schema=_STATE_SCHEMA)
 
+    def _update_fused(
+        self, state: DataFrame, stats_bc, pref: float, lam: float, acc
+    ) -> DataFrame:
+        """The fused iteration kernel: apply the (r, a) update like
+        ``_update``, AND side-channel the NEXT iteration's column-stat
+        partials (plus the exemplar candidates of the state just
+        produced) through ``acc`` — so the per-iteration stats job
+        disappears and each damped iteration is exactly ONE job.  The
+        extra ``_r_block`` call costs microseconds per block; the next
+        update job recomputes the same r bitwise from the checkpointed
+        state, so values are unchanged from the two-job path."""
+        bc = self.bc
+
+        def fused_kernel(batches):
+            import pandas as pd
+
+            ids_b, _ = bc.value
+            colsum, rkk = stats_bc.value
+            frames = [p for p in batches if len(p)]
+            if not frames:
+                return
+            pdf = pd.concat(frames)
+            iv = pdf["i"].to_numpy(dtype="i8")
+            order = np.argsort(iv)  # deterministic partial sums
+            iv = iv[order]
+            s = _stack(pdf["s"])[order]
+            r = _stack(pdf["r"])[order]
+            a = _stack(pdf["a"])[order]
+            rows = np.arange(len(iv))
+            di = np.searchsorted(ids_b, iv)
+            s[rows, di] = pref
+            r_new = _r_block(s, r, a, lam)
+            rp = np.maximum(r_new, 0.0)
+            rp[rows, di] = 0.0
+            a_hat = np.minimum(0.0, rkk[None, :] + colsum[None, :] - rp)
+            a_hat[rows, di] = colsum[di]
+            a_new = lam * a + (1 - lam) * a_hat
+            # next iteration's column stats from the state just produced
+            r_next = _r_block(s, r_new, a_new, lam)
+            diag_rn = r_next[rows, di].copy()
+            rpn = np.maximum(r_next, 0.0)
+            rpn[rows, di] = 0.0
+            ex_ids = iv[(a_new[rows, di] + r_new[rows, di]) > 0]
+            acc.add(
+                {int(iv.min()): (rpn.sum(0), iv, diag_rn, ex_ids)}
+            )
+            yield pd.DataFrame(
+                {"i": iv, "s": list(s), "r": list(r_new), "a": list(a_new)}
+            )
+
+        return state.mapInPandas(fused_kernel, schema=_STATE_SCHEMA)
+
     def chain(
         self,
         iterations: int,
@@ -276,10 +366,14 @@ class DenseAP:
         retain: bool = True,
     ) -> list[DataFrame]:
         """States after iterations 1..T.  ``retain=True`` checkpoints each
-        lazily and keeps all (A9 reads every step — small-N only);
-        ``retain=False`` keeps exactly one eager copy pinned, releasing
-        the previous iteration's blocks (the ap.iterate() discipline),
-        and returns only the final state."""
+        lazily and keeps all (A9 reads every step — small-N only), two
+        jobs per iteration.  ``retain=False`` runs the FUSED loop: after
+        the one bootstrap stats job, every iteration is a single eager
+        update job whose accumulator side-channel carries the next
+        iteration's column stats (and, on the last iteration, the
+        exemplar set — cached as a hint so the assignment needs no
+        exemplar job); the previous iteration's blocks are released (the
+        ap.iterate() discipline) and only the final state returns."""
         p = self.pref_value(pref)
         jsc = self.spark.sparkContext._jsc
 
@@ -287,27 +381,54 @@ class DenseAP:
             return df._jdf.queryExecution().analyzed().rdd().id()
 
         state = self.state0()
-        states: list[DataFrame] = []
-        prev_id: int | None = None
-        for _ in range(iterations):
-            stats_bc = self._col_stats(state, p, lam)
-            state = self._update(state, stats_bc, p, lam)
-            if retain:
-                state = state.localCheckpoint(eager=False)
+        if retain:
+            states: list[DataFrame] = []
+            for _ in range(iterations):
+                stats_bc = self._col_stats(state, p, lam)
+                state = self._update(state, stats_bc, p, lam).localCheckpoint(
+                    eager=False
+                )
                 states.append(state)
-            else:
-                state = state.localCheckpoint(eager=True)
-                if prev_id is not None:
-                    rdd = jsc.getPersistentRDDs().get(prev_id)
-                    if rdd is not None:
-                        rdd.unpersist()
-                prev_id = _ckpt_id(state)
-        return states if retain else [state]
+            return states
+
+        sc = self.spark.sparkContext
+        stats_bc = self._col_stats(state, p, lam)  # bootstrap: stats of r_1
+        prev_id: int | None = None
+        ex_hint: np.ndarray | None = None
+        for _ in range(iterations):
+            acc = sc.accumulator({}, _PartialsAcc())
+            state = self._update_fused(state, stats_bc, p, lam, acc).localCheckpoint(
+                eager=True
+            )
+            if prev_id is not None:
+                rdd = jsc.getPersistentRDDs().get(prev_id)
+                if rdd is not None:
+                    rdd.unpersist()
+            prev_id = _ckpt_id(state)
+            colsum, rkk, ex_hint = _combine_partials(acc.value, self.ids)
+            stats_bc = sc.broadcast((colsum, rkk))
+        self._ex_hint[(pref, lam, iterations)] = ex_hint
+        return [state]
 
     # -- consumers -----------------------------------------------------
 
-    def exemplars(self, state: DataFrame) -> DataFrame:
-        """{k : a(k,k) + r(k,k) > 0} as a (exemplar long) DataFrame."""
+    def ex_hint(
+        self, pref: str = "median", lam: float = DAMPING, T: int | None = None
+    ) -> np.ndarray | None:
+        """Exemplar set accumulated by a fused chain run, if any."""
+        return self._ex_hint.get((pref, lam, T))
+
+    def exemplars(
+        self, state: DataFrame, ex: np.ndarray | None = None
+    ) -> DataFrame:
+        """{k : a(k,k) + r(k,k) > 0} as a (exemplar long) DataFrame.
+        ``ex`` (a fused-chain hint) skips the scan job — the hint was
+        computed from the same diagonal comparison inside the last
+        update kernel."""
+        if ex is not None:
+            return self.spark.createDataFrame(
+                [(int(e),) for e in ex], "exemplar long"
+            )
         bc = self.bc
 
         def ex_kernel(batches):
@@ -327,17 +448,19 @@ class DenseAP:
 
         return state.mapInPandas(ex_kernel, schema="exemplar long")
 
-    def assign(self, state: DataFrame) -> DataFrame:
+    def assign(self, state: DataFrame, ex: np.ndarray | None = None) -> DataFrame:
         """label(i) = argmax over exemplars k of s(i,k), ties to lowest k,
         exemplars labeled as themselves (the ap.assign semantics).  The
-        exemplar set is collected (tiny) and broadcast into a row-local
-        kernel — no N² relation is rebuilt for the final argmax."""
-        ex = np.sort(
-            np.array(
-                [r.exemplar for r in self.exemplars(state).collect()],
-                dtype="i8",
+        exemplar set (or the fused-chain hint) is broadcast into a
+        row-local kernel — no N² relation is rebuilt for the final
+        argmax."""
+        if ex is None:
+            ex = np.sort(
+                np.array(
+                    [r.exemplar for r in self.exemplars(state).collect()],
+                    dtype="i8",
+                )
             )
-        )
         bc = self.bc
         ex_bc = self.spark.sparkContext.broadcast(ex)
 
@@ -401,3 +524,244 @@ class DenseAP:
         zero state — same values as ap.similarity_off_diagonal."""
         view = self.coordinate_view(self.state0())
         return view.where(F.col("i") != F.col("k")).select("i", "k", "s")
+
+
+# ---------------------------------------------------------------------------
+# Ragged-blocked sparse loop: the same two-job iteration applied to the
+# k-NN candidate graph (ap.cluster_sparse's small-N accelerator)
+# ---------------------------------------------------------------------------
+
+_SPARSE_SCHEMA = (
+    "i long, ks array<long>, s array<double>, "
+    "r array<double>, a array<double>"
+)
+
+
+def _sparse_r_row(s, r, a, lam):
+    """Ragged responsibility update for ONE point's candidate row —
+    mirrors the coordinate window semantics: single-entry rows get
+    excl = m1 (the coordinate m2 is NULL there), duplicated maxima get
+    m1 everywhere."""
+    asv = a + s
+    if len(s) == 1:
+        return lam * r + (1 - lam) * (s - asv)
+    arg1 = int(asv.argmax())
+    m1 = asv[arg1]
+    m2 = np.partition(asv, len(asv) - 2)[len(asv) - 2]
+    excl = np.full(len(s), m1)
+    excl[arg1] = m2
+    return lam * r + (1 - lam) * (s - excl)
+
+
+def cluster_sparse_blocked(
+    spark: SparkSession,
+    cand: DataFrame,
+    ids_df: DataFrame,
+    pref: float,
+    iterations: int,
+    lam: float = DAMPING,
+) -> DataFrame:
+    """Sparse AP over a symmetric deduped candidate graph ``cand``
+    (i, k, s) with the blocked two-job iteration: state is one ragged
+    row per point (its candidate list + the preference diagonal), the
+    responsibility update is row-local, and the availability column
+    stats are per-partition partial N-vectors combined on the driver in
+    deterministic block order — identical semantics to running
+    ``ap.responsibility_pass``/``availability_pass`` over the coordinate
+    candidate relation (the >BLOCKED_MAX_N path), at ~1/3 the
+    per-iteration job cost.
+
+    Emits (vec_id, exemplar) for EVERY point; points with no elected
+    exemplar among their candidates get -1 (the honest sparse
+    semantics, same as the coordinate ``ap.cluster_sparse``)."""
+    import pandas as pd
+
+    id_rows = ids_df.collect()
+    ids = np.sort(np.array([r[0] for r in id_rows], dtype="i8"))
+    n = len(ids)
+    ids_bc = spark.sparkContext.broadcast(ids)
+
+    ragged = ids_df.selectExpr(f"{ids_df.columns[0]} as i").join(
+        cand.groupBy("i").agg(
+            F.collect_list(F.struct("k", "s")).alias("nbrs")
+        ),
+        "i",
+        "left",
+    )
+
+    def _sparse_partial(iv, ksc, sc, rc, ac, ids_b, lam_):
+        """Deterministic per-partition column-stat partial (+ new diag r
+        and exemplar candidates) from already-updated ragged rows —
+        shared by the bootstrap build kernel and the fused update
+        kernel.  Rows are processed in ascending-i order."""
+        order = np.argsort(iv)
+        colsum = np.zeros(len(ids_b), dtype="f8")
+        diag_i, diag_r = [], []
+        for j in order:
+            ks = np.asarray(ksc[j], dtype="i8")
+            r_next = _sparse_r_row(
+                np.asarray(sc[j], dtype="f8"),
+                np.asarray(rc[j], dtype="f8"),
+                np.asarray(ac[j], dtype="f8"),
+                lam_,
+            )
+            own = ks == iv[j]
+            diag_i.append(iv[j])
+            diag_r.append(float(r_next[own][0]))
+            rp = np.maximum(r_next, 0.0)
+            rp[own] = 0.0
+            np.add.at(colsum, np.searchsorted(ids_b, ks), rp)
+        return (
+            colsum,
+            np.array(diag_i, dtype="i8"),
+            np.array(diag_r, dtype="f8"),
+        )
+
+    sc_ctx = spark.sparkContext
+    acc0 = sc_ctx.accumulator({}, _PartialsAcc())
+
+    def build_kernel(batches):
+        ids_b = ids_bc.value
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        out = {"i": [], "ks": [], "s": [], "r": [], "a": []}
+        for i_val, nbrs in zip(pdf["i"], pdf["nbrs"]):
+            if nbrs is None or len(nbrs) == 0:
+                ks = np.array([i_val], dtype="i8")
+                sv = np.array([pref], dtype="f8")
+            else:
+                kk = np.array([x["k"] for x in nbrs], dtype="i8")
+                vv = np.array([x["s"] for x in nbrs], dtype="f8")
+                order = np.argsort(kk)  # ascending k: ties → lowest k
+                pos = np.searchsorted(kk[order], i_val)
+                ks = np.insert(kk[order], pos, i_val)
+                sv = np.insert(vv[order], pos, pref)
+            z = np.zeros(len(ks), dtype="f8")
+            out["i"].append(i_val)
+            out["ks"].append(ks)
+            out["s"].append(sv)
+            out["r"].append(z)
+            out["a"].append(z)
+        iv = np.array(out["i"], dtype="i8")
+        # bootstrap: stats of r_1 ride the build job's accumulator
+        colsum, diag_i, diag_r = _sparse_partial(
+            iv, out["ks"], out["s"], out["r"], out["a"], ids_b, lam
+        )
+        acc0.add(
+            {int(iv.min()): (colsum, diag_i, diag_r, np.array([], dtype="i8"))}
+        )
+        yield pd.DataFrame(out)
+
+    # eager checkpoint runs the build job synchronously → acc0 populated
+    state = ragged.mapInPandas(build_kernel, schema=_SPARSE_SCHEMA).localCheckpoint(
+        eager=True
+    )
+
+    def _rows(pdf):
+        iv = pdf["i"].to_numpy(dtype="i8")
+        return (
+            iv,
+            pdf["ks"].to_numpy(),
+            pdf["s"].to_numpy(),
+            pdf["r"].to_numpy(),
+            pdf["a"].to_numpy(),
+        )
+
+    def update_kernel_factory(stats_bc, acc, lam_):
+        def update_kernel(batches):
+            ids_b = ids_bc.value
+            colsum, rkk = stats_bc.value
+            frames = [p for p in batches if len(p)]
+            if not frames:
+                return
+            pdf = pd.concat(frames)
+            iv, ksc, sc, rc, ac = _rows(pdf)
+            out_r, out_a = [], []
+            ex_ids = []
+            for j in range(len(iv)):
+                ks = np.asarray(ksc[j], dtype="i8")
+                sv = np.asarray(sc[j], dtype="f8")
+                rv = np.asarray(rc[j], dtype="f8")
+                av = np.asarray(ac[j], dtype="f8")
+                r_new = _sparse_r_row(sv, rv, av, lam_)
+                idx = np.searchsorted(ids_b, ks)
+                own = ks == iv[j]
+                rp = np.maximum(r_new, 0.0)
+                rp[own] = 0.0
+                a_hat = np.minimum(0.0, rkk[idx] + colsum[idx] - rp)
+                a_hat[own] = colsum[idx[own]]
+                a_new = lam_ * av + (1 - lam_) * a_hat
+                out_r.append(r_new)
+                out_a.append(a_new)
+                if (a_new[own][0] + r_new[own][0]) > 0:
+                    ex_ids.append(iv[j])
+            # next iteration's stats ride this job's accumulator
+            colsum_n, diag_i, diag_r = _sparse_partial(
+                iv, ksc, sc, out_r, out_a, ids_b, lam_
+            )
+            acc.add(
+                {
+                    int(iv.min()): (
+                        colsum_n,
+                        diag_i,
+                        diag_r,
+                        np.array(ex_ids, dtype="i8"),
+                    )
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "i": iv,
+                    "ks": list(ksc),
+                    "s": list(sc),
+                    "r": out_r,
+                    "a": out_a,
+                }
+            )
+
+        return update_kernel
+
+    jsc = spark.sparkContext._jsc
+    prev_id = None
+    colsum, rkk, ex = _combine_partials(acc0.value, ids)
+    for _ in range(iterations):
+        stats_bc = sc_ctx.broadcast((colsum, rkk))
+        acc = sc_ctx.accumulator({}, _PartialsAcc())
+        state = state.mapInPandas(
+            update_kernel_factory(stats_bc, acc, lam), schema=_SPARSE_SCHEMA
+        ).localCheckpoint(eager=True)
+        if prev_id is not None:
+            rdd = jsc.getPersistentRDDs().get(prev_id)
+            if rdd is not None:
+                rdd.unpersist()
+        prev_id = state._jdf.queryExecution().analyzed().rdd().id()
+        colsum, rkk, ex = _combine_partials(acc.value, ids)
+
+    # ``ex`` is the exemplar set of the FINAL state (accumulated by the
+    # last update job) — broadcast into the row-local assignment
+    ex_bc = sc_ctx.broadcast(ex)
+
+    def assign_kernel(batches):
+        exb = ex_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            iv, ksc, sc, _, _ = _rows(pdf)
+            lab = np.empty(len(iv), dtype="i8")
+            for j in range(len(iv)):
+                if len(exb) and iv[j] in exb:
+                    lab[j] = iv[j]
+                    continue
+                ks = np.asarray(ksc[j], dtype="i8")
+                sv = np.asarray(sc[j], dtype="f8")
+                mask = np.isin(ks, exb) & (ks != iv[j])
+                if mask.any():
+                    sub = sv[mask]
+                    lab[j] = ks[mask][int(sub.argmax())]  # ks sorted: ties → lowest
+                else:
+                    lab[j] = -1
+            yield pd.DataFrame({"vec_id": iv, "exemplar": lab})
+
+    return state.mapInPandas(assign_kernel, schema="vec_id long, exemplar long")

@@ -156,3 +156,39 @@ def test_blocked_pref_matches_oracle_formula(spark):
     ).collect()[0]
     assert d.pref_value("median") == dist.med
     assert d.pref_value("min") == dist.mn
+
+
+def test_fused_dense_loop_equals_coordinate(spark, monkeypatch):
+    """The fused single-job-per-iteration dense loop (retain=False, the
+    bench-scale path) must produce the same labels as the coordinate
+    reference pipeline, and its accumulator-carried exemplar hint must
+    equal the label set."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    ap.clear_cache()
+    monkeypatch.setattr(ap, "_CHAIN_RETAIN_MAX_N", 0)  # force fused path
+    fused = {r.vec_id: r.exemplar for r in ap._labels(spark, SF_SMALL).collect()}
+    ex_hint = {r.exemplar for r in ap.q_ap_exemplars(spark, SF_SMALL).collect()}
+    coord = {r.vec_id: r.exemplar for r in ap.cluster(spark, SF_SMALL).collect()}
+    ap.clear_cache()
+    assert fused == coord
+    assert ex_hint == set(coord.values())
+
+
+def test_blocked_sparse_loop_equals_coordinate(spark, monkeypatch):
+    """The fused ragged-blocked sparse loop must agree with the
+    coordinate sparse loop (same candidate graph, same update algebra;
+    only group-sum ORDER differs, so labels may diverge at most on
+    threshold knife-edges — none on this data)."""
+    from affinity_propagation_mapreduce_spark.operators import ap, ap_dense
+
+    blocked = {
+        r.vec_id: r.exemplar for r in ap.cluster_sparse(spark, SF_SMALL).collect()
+    }
+    monkeypatch.setattr(ap_dense, "BLOCKED_MAX_N", 0)
+    ap.clear_cache()
+    coord = {
+        r.vec_id: r.exemplar for r in ap.cluster_sparse(spark, SF_SMALL).collect()
+    }
+    ap.clear_cache()
+    assert blocked == coord and len(blocked) == 500
