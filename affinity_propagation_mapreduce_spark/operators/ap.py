@@ -592,13 +592,20 @@ def cluster_sparse(
     )
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
     if _n_points(spark, sf_dir) <= _BLOCKED().BLOCKED_MAX_N:
-        # ragged-blocked loop (ap_dense.cluster_sparse_blocked): same
-        # semantics, two jobs per iteration instead of the coordinate
-        # loop's per-pass broadcast-agg jobs.  Gated like the dense
-        # engine — the coordinate loop below is the >gate scale path.
+        # ragged-blocked fused loop (ap_dense.cluster_sparse_blocked):
+        # same semantics, ONE job per iteration (accumulator-carried
+        # column stats) instead of the coordinate loop's per-pass
+        # broadcast-agg jobs.  Gated like the dense engine — the
+        # coordinate loop below is the >gate scale path.
         p_val = cand.agg(F.expr("percentile(s, 0.5)").alias("p")).first()[0]
-        return _BLOCKED().cluster_sparse_blocked(
-            spark, cand, ids, p_val, iterations, lam
+        if p_val is not None:  # None ⟺ empty candidate graph
+            return _BLOCKED().cluster_sparse_blocked(
+                spark, cand, ids, p_val, iterations, lam
+            )
+        # degenerate corpus (no candidate pairs): nobody can elect an
+        # exemplar it has a declared similarity to
+        return ids.select(
+            F.col("vec_id"), F.lit(-1).cast("long").alias("exemplar")
         )
     p = cand.agg(F.expr("percentile(s, 0.5)").alias("p"))
     diag = ids.crossJoin(p).select(
@@ -879,11 +886,20 @@ def _ckey(spark: SparkSession, sf_dir: str, *parts) -> tuple:
     stale similarity kernel would silently hash-diverge from the oracle."""
     from .ivf import _dir_fingerprint
 
-    return (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        _dir_fingerprint(sf_dir, "embeddings"),
-    ) + parts
+    app = spark.sparkContext.applicationId
+    fp = _dir_fingerprint(sf_dir, "embeddings")
+    # evict entries keyed under a superseded fingerprint: the heavy
+    # artifacts (DenseAP broadcasts, checkpointed kernels/chains) would
+    # otherwise stay referenced forever.  Their storage blocks are
+    # reclaimed by Spark's MEMORY_AND_DISK eviction once unreferenced —
+    # a regeneration mid-application trades transient duplication for
+    # never serving stale data.
+    stale = [
+        k for k in _cache if k[:2] == (app, sf_dir) and k[2] != fp
+    ]
+    for k in stale:
+        del _cache[k]
+    return (app, sf_dir, fp) + parts
 
 
 def _n_points(spark: SparkSession, sf_dir: str) -> int:

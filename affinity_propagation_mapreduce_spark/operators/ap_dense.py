@@ -258,15 +258,12 @@ class DenseAP:
             schema="min_i long, colsum array<double>, "
             "diag_i array<long>, diag_r array<double>",
         ).collect()
-        parts.sort(key=lambda row: row.min_i)
-        colsum = np.sum(
-            np.stack([np.asarray(p.colsum, dtype="f8") for p in parts]), axis=0
+        # same combine as the fused path — one implementation to keep
+        # the bitwise guarantee between the two-job and fused loops
+        colsum, rkk, _ = _combine_partials(
+            {p.min_i: (p.colsum, p.diag_i, p.diag_r, []) for p in parts},
+            self.ids,
         )
-        rkk = np.empty(self.n, dtype="f8")
-        for p in parts:
-            rkk[np.searchsorted(self.ids, np.asarray(p.diag_i, dtype="i8"))] = (
-                np.asarray(p.diag_r, dtype="f8")
-            )
         return self.spark.sparkContext.broadcast((colsum, rkk))
 
     def _update(
@@ -562,14 +559,15 @@ def cluster_sparse_blocked(
     lam: float = DAMPING,
 ) -> DataFrame:
     """Sparse AP over a symmetric deduped candidate graph ``cand``
-    (i, k, s) with the blocked two-job iteration: state is one ragged
-    row per point (its candidate list + the preference diagonal), the
-    responsibility update is row-local, and the availability column
-    stats are per-partition partial N-vectors combined on the driver in
-    deterministic block order — identical semantics to running
-    ``ap.responsibility_pass``/``availability_pass`` over the coordinate
-    candidate relation (the >BLOCKED_MAX_N path), at ~1/3 the
-    per-iteration job cost.
+    (i, k, s) with the FUSED blocked iteration: state is one ragged row
+    per point (its candidate list + the preference diagonal), the
+    responsibility update is row-local, and each damped iteration is a
+    single update/checkpoint job whose accumulator side-channel carries
+    the next iteration's availability column stats (bootstrap stats ride
+    the build job; the final exemplar set rides the last update) —
+    identical semantics to running ``ap.responsibility_pass``/
+    ``availability_pass`` over the coordinate candidate relation (the
+    >BLOCKED_MAX_N path), at a fraction of the per-iteration job cost.
 
     Emits (vec_id, exemplar) for EVERY point; points with no elected
     exemplar among their candidates get -1 (the honest sparse
@@ -724,7 +722,10 @@ def cluster_sparse_blocked(
         return update_kernel
 
     jsc = spark.sparkContext._jsc
-    prev_id = None
+    # seed the release chain with the build checkpoint so only ONE state
+    # copy stays pinned across the loop (the ap.iterate() discipline);
+    # the final state must stay — the assignment result reads it lazily
+    prev_id = state._jdf.queryExecution().analyzed().rdd().id()
     colsum, rkk, ex = _combine_partials(acc0.value, ids)
     for _ in range(iterations):
         stats_bc = sc_ctx.broadcast((colsum, rkk))

@@ -639,7 +639,7 @@ def partition_pruned_readback(spark, sf_dir):
     directory shares the application's lifetime (Spark's own /tmp scratch
     convention — not cleaned up until the host reaps /tmp)."""
     import os
-    import shutil
+    import time
     import uuid
 
     app = spark.sparkContext.applicationId
@@ -647,29 +647,43 @@ def partition_pruned_readback(spark, sf_dir):
     path = f"/tmp/spark_graft_{app}/{safe}/events_by_type"
     # _SUCCESS, not bare directory existence: a write that died mid-way
     # leaves the directory behind, and re-reading a partial layout would
-    # silently hash-diverge instead of retrying the write.  Write to a
-    # sibling temp dir and atomically rename so two concurrent callers in
-    # one application (parallel test workers sharing a session) can't race
-    # overlapping writes into the live path; the loser's rename finds the
-    # winner's complete layout and discards its own.
+    # silently hash-diverge instead of retrying the write.  Writers
+    # serialize on an O_EXCL lock file: the holder writes to a sibling
+    # temp dir, moves any dead partial layout aside (ENOTEMPTY would
+    # block the rename forever), and atomically renames its complete
+    # layout in; losers wait for the holder's _SUCCESS instead of racing
+    # a second write — so a reader that already returned `path` can
+    # never observe the directory mid-swap.
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         from ..sources.io import write_partitioned_parquet
 
-        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-        write_partitioned_parquet(_ev(spark, sf_dir), tmp, ["event_type"])
-        # a dead partial layout (directory present, no _SUCCESS) blocks
-        # the rename forever (ENOTEMPTY) — clear it first; a CONCURRENT
-        # winner that completed between the check and here re-passes the
-        # _SUCCESS test below either way
-        if os.path.isdir(path) and not os.path.isfile(
-            os.path.join(path, "_SUCCESS")
-        ):
-            shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lock = f"{path}.lock"
         try:
-            os.rename(tmp, path)
-        except OSError:
-            # another writer won the rename; keep theirs
-            shutil.rmtree(tmp, ignore_errors=True)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            fd = None
+        if fd is None:
+            # another writer holds the lock: wait for its layout (or for
+            # a stale lock from a dead process to be cleaned by /tmp)
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                if os.path.isfile(os.path.join(path, "_SUCCESS")):
+                    break
+                time.sleep(0.2)
+        else:
+            try:
+                if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+                    write_partitioned_parquet(
+                        _ev(spark, sf_dir), tmp, ["event_type"]
+                    )
+                    if os.path.isdir(path):
+                        os.rename(path, f"{path}.dead-{uuid.uuid4().hex}")
+                    os.rename(tmp, path)
+            finally:
+                os.close(fd)
+                os.unlink(lock)
         if not os.path.isfile(os.path.join(path, "_SUCCESS")):
             raise RuntimeError(f"partitioned layout incomplete at {path}")
     return spark.read.parquet(path).where(

@@ -639,6 +639,11 @@ def q_ann_recall_gate(spark, sf_dir):
     )
     n_exact_knn = exact_knn.count()
     n_exact_pairs = exact_pairs.count()
+    if n_exact_knn == 0:
+        # the exact reference always has query rows — an empty reference
+        # is itself the structural breakage this gate exists to catch,
+        # so raise loudly instead of reporting vacuous recall
+        raise AssertionError("exact knn reference returned zero rows")
     out = []
     for method, fn in (
         ("knn_cosine_ivf", q_knn_cosine_ivf),
@@ -649,14 +654,7 @@ def q_ann_recall_gate(spark, sf_dir):
             ["query_id", "neighbor_id"],
             "left_semi",
         ).count()
-        out.append(
-            (
-                method,
-                n_exact_knn,
-                hit,
-                round(hit / n_exact_knn, 4) if n_exact_knn else 1.0,
-            )
-        )
+        out.append((method, n_exact_knn, hit, round(hit / n_exact_knn, 4)))
     lsh_hit = exact_pairs.join(
         q_ann_lsh_cosine(spark, sf_dir).select("i", "k"),
         ["i", "k"],
