@@ -192,3 +192,35 @@ def test_blocked_sparse_loop_equals_coordinate(spark, monkeypatch):
     }
     ap.clear_cache()
     assert blocked == coord and len(blocked) == 500
+
+
+def test_fused_loop_is_run_deterministic(spark, monkeypatch):
+    """Two independent fused-chain runs must agree BITWISE on the final
+    availability values: partials are keyed and combined in sorted block
+    order over id-sorted rows, so the floating-point sum order cannot
+    vary with task scheduling — the property that keeps knife-edge
+    exemplar thresholds (a+r>0) stable across reruns."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    monkeypatch.setattr(ap, "_CHAIN_RETAIN_MAX_N", 0)  # force fused path
+
+    def final_view():
+        ap.clear_cache()
+        d = ap._dense(spark, SF_SMALL)
+        st = ap._dense_chain(spark, SF_SMALL, retain=False)[-1]
+        return d.coordinate_view(st).localCheckpoint(eager=True)
+
+    v1, v2 = final_view(), final_view()
+    row = (
+        v1.alias("x")
+        .join(v2.alias("y"), ["i", "k"])
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.abs(F.col("x.r") - F.col("y.r"))).alias("dr"),
+            F.max(F.abs(F.col("x.a") - F.col("y.a"))).alias("da"),
+        )
+        .collect()[0]
+    )
+    ap.clear_cache()
+    assert row.n == 500 * 500
+    assert (row.dr, row.da) == (0.0, 0.0)
