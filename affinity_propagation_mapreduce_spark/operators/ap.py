@@ -875,6 +875,32 @@ def clear_cache() -> None:
     recomputed — its lineage is truncated — so stale cache entries would
     fail, not rebuild."""
     _cache.clear()
+    _fp_memo.clear()
+    _fp_seen.clear()
+
+
+# The filesystem fingerprint (os.scandir + per-file stat) runs several
+# times per query on the hot path; memoize it per sf_dir with a short TTL
+# so a query burst pays one directory scan, while a testdata regeneration
+# is still detected within _FP_TTL_SEC (between rounds the application
+# restarts anyway; harnesses that regenerate in-process call clear_cache).
+_fp_memo: dict[str, tuple[float, tuple]] = {}
+_fp_seen: dict[tuple, tuple] = {}  # (app, sf_dir) -> last fingerprint
+_FP_TTL_SEC = 1.0
+
+
+def _emb_fingerprint(sf_dir: str) -> tuple:
+    import time
+
+    from .ivf import _dir_fingerprint
+
+    now = time.monotonic()
+    hit = _fp_memo.get(sf_dir)
+    if hit is not None and now - hit[0] < _FP_TTL_SEC:
+        return hit[1]
+    fp = _dir_fingerprint(sf_dir, "embeddings")
+    _fp_memo[sf_dir] = (now, fp)
+    return fp
 
 
 def _ckey(spark: SparkSession, sf_dir: str, *parts) -> tuple:
@@ -884,21 +910,21 @@ def _ckey(spark: SparkSession, sf_dir: str, *parts) -> tuple:
     kernels, chains, the DenseAP instance — if the testdata directory is
     regenerated while a Spark application stays alive; without it the
     stale similarity kernel would silently hash-diverge from the oracle."""
-    from .ivf import _dir_fingerprint
-
     app = spark.sparkContext.applicationId
-    fp = _dir_fingerprint(sf_dir, "embeddings")
-    # evict entries keyed under a superseded fingerprint: the heavy
-    # artifacts (DenseAP broadcasts, checkpointed kernels/chains) would
-    # otherwise stay referenced forever.  Their storage blocks are
-    # reclaimed by Spark's MEMORY_AND_DISK eviction once unreferenced —
-    # a regeneration mid-application trades transient duplication for
-    # never serving stale data.
-    stale = [
-        k for k in _cache if k[:2] == (app, sf_dir) and k[2] != fp
-    ]
-    for k in stale:
-        del _cache[k]
+    fp = _emb_fingerprint(sf_dir)
+    # Evict entries keyed under a superseded fingerprint — but only scan
+    # the cache when the fingerprint actually changed (the common path is
+    # a dict lookup).  Evicted DenseAP instances destroy their embeddings
+    # broadcast explicitly; checkpointed kernels/chains are plain
+    # DataFrames whose storage blocks Spark's ContextCleaner reclaims once
+    # the driver references drop.
+    if _fp_seen.get((app, sf_dir)) != fp:
+        stale = [k for k in _cache if k[:2] == (app, sf_dir) and k[2] != fp]
+        for k in stale:
+            v = _cache.pop(k)
+            if hasattr(v, "destroy"):
+                v.destroy()
+        _fp_seen[(app, sf_dir)] = fp
     return (app, sf_dir, fp) + parts
 
 

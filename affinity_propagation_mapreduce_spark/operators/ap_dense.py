@@ -103,19 +103,34 @@ class _PartialsAcc(AccumulatorParam):
 
 def _combine_partials(parts: dict, ids: np.ndarray):
     """Driver-side combine of accumulator partials in deterministic
-    (min_i-sorted) block order → (colsum, rkk, exemplar_ids)."""
+    (min_i-sorted) block order → (colsum, rkk, exemplar_ids).
+
+    Completeness invariant: the diag_i ids across all partials must cover
+    every id exactly once.  The fused loop's column stats ride a task
+    side-channel; a partial that was silently dropped (a future refactor
+    yielding early, a kernel filtering all rows) would otherwise corrupt
+    every later iteration without any symptom — this one O(N) check turns
+    that into a loud failure."""
     keys = sorted(parts)
     colsum = np.sum(
         np.stack([np.asarray(parts[k][0], dtype="f8") for k in keys]), axis=0
     )
     rkk = np.zeros(len(ids), dtype="f8")
     ex: list[np.ndarray] = []
+    cover: list[np.ndarray] = []
     for k in keys:
         _, diag_i, diag_r, ex_ids = parts[k]
-        rkk[np.searchsorted(ids, np.asarray(diag_i, dtype="i8"))] = np.asarray(
-            diag_r, dtype="f8"
-        )
+        di = np.asarray(diag_i, dtype="i8")
+        cover.append(di)
+        rkk[np.searchsorted(ids, di)] = np.asarray(diag_r, dtype="f8")
         ex.append(np.asarray(ex_ids, dtype="i8"))
+    got = np.sort(np.concatenate(cover)) if cover else np.empty(0, dtype="i8")
+    if not np.array_equal(got, ids):
+        raise RuntimeError(
+            f"AP stats partials incomplete: {len(got)} diagonal ids from "
+            f"{len(keys)} blocks, expected {len(ids)} distinct points — "
+            "a partition's partial was dropped or duplicated"
+        )
     ex_all = np.sort(np.concatenate(ex)) if ex else np.array([], dtype="i8")
     return colsum, rkk, ex_all
 
@@ -142,6 +157,22 @@ class DenseAP:
         self._prefs: dict[str, float] = {}
         # exemplar sets accumulated by fused chains, keyed (pref, lam, T)
         self._ex_hint: dict[tuple, np.ndarray] = {}
+
+    def destroy(self) -> None:
+        """Release executor-side state when this instance is evicted from
+        ap._cache (testdata regenerated mid-application): the embeddings
+        broadcast blocks and the checkpointed zero state would otherwise
+        stay pinned for the application's lifetime."""
+        try:
+            self.bc.destroy()
+        except Exception:
+            pass
+        if self._state0 is not None:
+            try:
+                self._state0._jdf.queryExecution().analyzed().rdd().unpersist()
+            except Exception:
+                pass
+            self._state0 = None
 
     # -- zero state ----------------------------------------------------
 
@@ -392,18 +423,23 @@ class DenseAP:
         stats_bc = self._col_stats(state, p, lam)  # bootstrap: stats of r_1
         prev_id: int | None = None
         ex_hint: np.ndarray | None = None
-        for _ in range(iterations):
+        for it in range(iterations):
             acc = sc.accumulator({}, _PartialsAcc())
             state = self._update_fused(state, stats_bc, p, lam, acc).localCheckpoint(
                 eager=True
             )
+            # the eager job consumed the stats; the checkpoint's truncated
+            # lineage can never recompute — release the broadcast blocks
+            # now so T iterations don't pin T stats broadcasts
+            stats_bc.destroy()
             if prev_id is not None:
                 rdd = jsc.getPersistentRDDs().get(prev_id)
                 if rdd is not None:
                     rdd.unpersist()
             prev_id = _ckpt_id(state)
             colsum, rkk, ex_hint = _combine_partials(acc.value, self.ids)
-            stats_bc = sc.broadcast((colsum, rkk))
+            if it < iterations - 1:  # the final combine only feeds ex_hint
+                stats_bc = sc.broadcast((colsum, rkk))
         self._ex_hint[(pref, lam, iterations)] = ex_hint
         return [state]
 
@@ -733,6 +769,8 @@ def cluster_sparse_blocked(
         state = state.mapInPandas(
             update_kernel_factory(stats_bc, acc, lam), schema=_SPARSE_SCHEMA
         ).localCheckpoint(eager=True)
+        # consumed by the eager job; truncated lineage never recomputes
+        stats_bc.destroy()
         if prev_id is not None:
             rdd = jsc.getPersistentRDDs().get(prev_id)
             if rdd is not None:

@@ -628,6 +628,77 @@ QUALIFY row_number() OVER (PARTITION BY purchase_id
 
 # --- (⊕ r5) partition-pruned write → read-back ------------------------------
 
+# Lock-file protocol for the once-per-application layout write.  The lock
+# holder records "pid start_ts" so waiters can distinguish a live writer
+# (wait — a legitimate parquet write may exceed any fixed deadline) from a
+# dead one (steal: unlink the lock and retry acquisition).  Liveness is a
+# same-host os.kill(pid, 0) probe, valid because the lock lives on
+# host-local /tmp.  _LAYOUT_STALE_SEC only applies when the pid cannot be
+# probed (e.g. unreadable lock content); _LAYOUT_HARD_CAP_SEC bounds the
+# total wait so a pathological live-but-hung holder cannot wedge callers
+# forever.
+_LAYOUT_STALE_SEC = 300
+_LAYOUT_HARD_CAP_SEC = 1800
+
+
+def _try_layout_lock(lock):
+    """O_EXCL-acquire `lock`, stamping pid/start time; None if held."""
+    import os
+    import time
+
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return None
+    os.write(fd, f"{os.getpid()} {time.time():.3f}".encode())
+    os.fsync(fd)
+    return fd
+
+
+def _layout_lock_is_stale(lock):
+    """True if the lock's recorded owner is provably dead, or the lock is
+    older than _LAYOUT_STALE_SEC with no readable owner pid."""
+    import os
+    import time
+
+    try:
+        with open(lock, "rb") as fh:
+            parts = fh.read().decode(errors="replace").split()
+        pid = int(parts[0])
+    except (OSError, ValueError, IndexError):
+        # Unreadable/empty (a holder between open and write, or a corrupt
+        # file): fall back to mtime age.
+        try:
+            return time.time() - os.stat(lock).st_mtime > _LAYOUT_STALE_SEC
+        except OSError:
+            return False  # vanished — next acquisition attempt decides
+    try:
+        os.kill(pid, 0)
+        return False  # owner alive: never steal, however long it takes
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive under another uid
+
+
+def _clean_layout_orphans(path):
+    """Under the lock: remove dead partial layouts (.dead-*) and writer
+    temp dirs (.tmp-*) left by crashed holders, so they don't accumulate
+    in /tmp for the host's lifetime."""
+    import os
+    import shutil
+
+    parent = os.path.dirname(path)
+    base = os.path.basename(path)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if name.startswith(f"{base}.dead-") or name.startswith(f"{base}.tmp-"):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def partition_pruned_readback(spark, sf_dir):
     """The scan after the prune: events written partitioned by
     event_type (sources.io.write_partitioned_parquet), read back with a
@@ -648,43 +719,61 @@ def partition_pruned_readback(spark, sf_dir):
     # _SUCCESS, not bare directory existence: a write that died mid-way
     # leaves the directory behind, and re-reading a partial layout would
     # silently hash-diverge instead of retrying the write.  Writers
-    # serialize on an O_EXCL lock file: the holder writes to a sibling
-    # temp dir, moves any dead partial layout aside (ENOTEMPTY would
-    # block the rename forever), and atomically renames its complete
-    # layout in; losers wait for the holder's _SUCCESS instead of racing
-    # a second write — so a reader that already returned `path` can
-    # never observe the directory mid-swap.
-    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+    # serialize on an O_EXCL lock file stamped with the holder's pid: the
+    # holder reaps orphaned partials, writes to a sibling temp dir, moves
+    # any dead layout aside (ENOTEMPTY would block the rename forever),
+    # atomically renames its complete layout in, then deletes the moved
+    # corpse; losers wait for the holder's _SUCCESS while the holder pid
+    # is alive (no fixed deadline on a live writer), steal the lock of a
+    # dead holder and retry the write themselves, and only raise at a
+    # generous hard cap — so a reader that already returned `path` never
+    # observes the directory mid-swap, and a SIGKILLed holder cannot
+    # wedge later callers.
+    success = os.path.join(path, "_SUCCESS")
+    if not os.path.isfile(success):
+        import shutil
+
         from ..sources.io import write_partitioned_parquet
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
         lock = f"{path}.lock"
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            fd = None
-        if fd is None:
-            # another writer holds the lock: wait for its layout (or for
-            # a stale lock from a dead process to be cleaned by /tmp)
-            deadline = time.time() + 300
-            while time.time() < deadline:
-                if os.path.isfile(os.path.join(path, "_SUCCESS")):
-                    break
+        cap = time.time() + _LAYOUT_HARD_CAP_SEC
+        while not os.path.isfile(success):
+            if time.time() > cap:
+                raise RuntimeError(
+                    f"partitioned layout incomplete at {path} after "
+                    f"{_LAYOUT_HARD_CAP_SEC}s (lock {lock})"
+                )
+            fd = _try_layout_lock(lock)
+            if fd is None:
+                if _layout_lock_is_stale(lock):
+                    # Dead holder: steal (best-effort — a concurrent
+                    # stealer winning the unlink race is fine) and retry.
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+                    continue
                 time.sleep(0.2)
-        else:
+                continue
             try:
-                if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                if not os.path.isfile(success):
+                    _clean_layout_orphans(path)
                     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
                     write_partitioned_parquet(
                         _ev(spark, sf_dir), tmp, ["event_type"]
                     )
+                    dead = None
                     if os.path.isdir(path):
-                        os.rename(path, f"{path}.dead-{uuid.uuid4().hex}")
+                        dead = f"{path}.dead-{uuid.uuid4().hex}"
+                        os.rename(path, dead)
                     os.rename(tmp, path)
+                    if dead is not None:
+                        shutil.rmtree(dead, ignore_errors=True)
             finally:
                 os.close(fd)
                 os.unlink(lock)
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        if not os.path.isfile(success):
             raise RuntimeError(f"partitioned layout incomplete at {path}")
     return spark.read.parquet(path).where(
         F.col("event_type").isin("purchase", "signup")
