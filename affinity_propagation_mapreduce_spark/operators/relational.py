@@ -444,26 +444,71 @@ APPROX_PCT_ACCURACY = 10000  # GK sketch accuracy: rank error <= n/accuracy
 
 
 def q_agg_percentiles_approx(spark, sf_dir):
-    """Rows-only scale twin of agg_percentiles (the PLANS.md promise —
+    """Rows-only GATE twin of agg_percentiles (the PLANS.md promise —
     exact `percentile` buffers every group value in memory; at 100 TB
     the bounded Greenwald-Khanna sketch behind `approx_percentile` is
-    the only viable plan).  Emits exact and approx side by side so the
-    sketch error is inspectable; the rank-error bound
-    (<= n/accuracy ranks) is asserted in tests.  No oracle: DuckDB has
-    no GK implementation to mirror the sketch bit-for-bit."""
+    the only viable plan).  No oracle: DuckDB has no GK implementation
+    to mirror the sketch bit-for-bit — instead the query VERIFIES ITSELF
+    (the r6 gate pattern, like ann_recall_gate): a second distributed
+    pass ranks each approx value among the true group values and RAISES
+    if the GK guarantee (rank error <= n/accuracy) is violated, so a
+    broken sketch turns the driver row red instead of passing a silent
+    rows-only check."""
     orders = _t(spark, sf_dir, "orders")
     acc = APPROX_PCT_ACCURACY
-    return orders.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_exact"),
-        F.round(
-            F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})"), 2
-        ).alias("median_approx"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_exact"),
-        F.round(
-            F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})"), 2
-        ).alias("p90_approx"),
+    base = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias(
+                "median_exact"
+            ),
+            F.round(
+                F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})"), 2
+            ).alias("median_approx"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias(
+                "p90_exact"
+            ),
+            F.round(
+                F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})"), 2
+            ).alias("p90_approx"),
+        )
+        .localCheckpoint(eager=False)  # gate + returned result: one compute
     )
+    # rank check: broadcast the tiny per-group sketch values back onto the
+    # fact table; counts of (value < approx) / (value <= approx) bound the
+    # approx value's true rank without collecting any group's values
+    ranks = (
+        orders.join(F.broadcast(base), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.first("n").alias("n"),
+            *[
+                F.sum(
+                    (cmp_expr).cast("long")
+                ).alias(name)
+                for name, cmp_expr in (
+                    ("med_lo", F.col("o_totalprice") < F.col("median_approx") - 0.01),
+                    ("med_hi", F.col("o_totalprice") <= F.col("median_approx") + 0.01),
+                    ("p90_lo", F.col("o_totalprice") < F.col("p90_approx") - 0.01),
+                    ("p90_hi", F.col("o_totalprice") <= F.col("p90_approx") + 0.01),
+                )
+            ],
+        )
+        .collect()
+    )
+    eps = 1.0 / acc
+    for r in ranks:
+        slack = eps * r.n + 1.5  # +1 rank for the round-at-2 on either edge
+        for q, lo, hi in ((0.5, r.med_lo, r.med_hi), (0.9, r.p90_lo, r.p90_hi)):
+            want = q * r.n
+            if not (lo - slack <= want <= hi + slack):
+                raise AssertionError(
+                    f"approx_percentile rank error beyond GK bound: "
+                    f"status={r.o_orderstatus} q={q} true-rank∈[{lo},{hi}] "
+                    f"want≈{want} slack={slack}"
+                )
+    return base
 
 # --- B14 statistical aggregates ---------------------------------------------
 
