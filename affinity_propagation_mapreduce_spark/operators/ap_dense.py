@@ -423,15 +423,19 @@ class DenseAP:
         stats_bc = self._col_stats(state, p, lam)  # bootstrap: stats of r_1
         prev_id: int | None = None
         ex_hint: np.ndarray | None = None
+        spent: list = []  # consumed stats broadcasts, destroyed after the loop
         for it in range(iterations):
             acc = sc.accumulator({}, _PartialsAcc())
             state = self._update_fused(state, stats_bc, p, lam, acc).localCheckpoint(
                 eager=True
             )
             # the eager job consumed the stats; the checkpoint's truncated
-            # lineage can never recompute — release the broadcast blocks
-            # now so T iterations don't pin T stats broadcasts
-            stats_bc.destroy()
+            # lineage can never recompute.  Destroy AFTER the loop, not
+            # here: a mid-loop RemoveBroadcast RPC contends with the next
+            # iteration's task launches (warm A/B: ~0.3 s over T
+            # iterations), while T pinned stats broadcasts are only
+            # 2·N·8 B each — ≤160 KB at the BLOCKED_MAX_N gate.
+            spent.append(stats_bc)
             if prev_id is not None:
                 rdd = jsc.getPersistentRDDs().get(prev_id)
                 if rdd is not None:
@@ -440,6 +444,11 @@ class DenseAP:
             colsum, rkk, ex_hint = _combine_partials(acc.value, self.ids)
             if it < iterations - 1:  # the final combine only feeds ex_hint
                 stats_bc = sc.broadcast((colsum, rkk))
+        for bc in spent:
+            try:
+                bc.destroy()
+            except Exception:
+                pass
         self._ex_hint[(pref, lam, iterations)] = ex_hint
         return [state]
 
@@ -763,20 +772,29 @@ def cluster_sparse_blocked(
     # the final state must stay — the assignment result reads it lazily
     prev_id = state._jdf.queryExecution().analyzed().rdd().id()
     colsum, rkk, ex = _combine_partials(acc0.value, ids)
+    spent: list = []  # consumed stats broadcasts, destroyed after the loop
     for _ in range(iterations):
         stats_bc = sc_ctx.broadcast((colsum, rkk))
         acc = sc_ctx.accumulator({}, _PartialsAcc())
         state = state.mapInPandas(
             update_kernel_factory(stats_bc, acc, lam), schema=_SPARSE_SCHEMA
         ).localCheckpoint(eager=True)
-        # consumed by the eager job; truncated lineage never recomputes
-        stats_bc.destroy()
+        # consumed by the eager job; truncated lineage never recomputes.
+        # Destroyed after the loop — mid-loop RemoveBroadcast RPCs contend
+        # with the next iteration's task launches (warm A/B ~0.2 s), and T
+        # pinned stats broadcasts are ≤160 KB each at the gate.
+        spent.append(stats_bc)
         if prev_id is not None:
             rdd = jsc.getPersistentRDDs().get(prev_id)
             if rdd is not None:
                 rdd.unpersist()
         prev_id = state._jdf.queryExecution().analyzed().rdd().id()
         colsum, rkk, ex = _combine_partials(acc.value, ids)
+    for bc in spent:
+        try:
+            bc.destroy()
+        except Exception:
+            pass
 
     # ``ex`` is the exemplar set of the FINAL state (accumulated by the
     # last update job) — broadcast into the row-local assignment
