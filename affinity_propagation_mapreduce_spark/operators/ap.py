@@ -51,6 +51,57 @@ from ..sources import table
 DAMPING = 0.5
 T_DEFAULT = 5  # unrolled iteration count for hashed t2 results (BASELINE.md)
 
+# ---------------------------------------------------------------------------
+# Checkpoint discipline: local (fast) vs reliable (executor-loss tolerant)
+# ---------------------------------------------------------------------------
+
+_RELIABLE = [False]  # process-wide mode flag; see reliable_checkpoints()
+
+
+def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage on an iteration-chain DataFrame.
+
+    Default is ``localCheckpoint`` — blocks live only in executor
+    memory/disk, which is the fast choice but loses the chain if an
+    executor dies (a localCheckpoint cannot be recomputed: the lineage
+    is gone WITH the blocks).  Under ``reliable_checkpoints`` the same
+    sites write a reliable ``checkpoint()`` to the configured
+    fault-tolerant directory (HDFS/S3 on a real cluster), so a
+    multi-hour AP chain survives executor loss — the round-6/7 verdict's
+    "reliable-checkpoint mode for cluster runs"."""
+    if _RELIABLE[0]:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+class reliable_checkpoints:
+    """Context manager: route every AP-chain lineage truncation through
+    reliable ``checkpoint()`` files under ``checkpoint_dir``.
+
+    Usage (or pass ``checkpoint_dir=`` to :func:`cluster` /
+    :func:`cluster_sparse`, which wrap themselves in this)::
+
+        with ap.reliable_checkpoints(spark, "hdfs://nn/ap-ckpt"):
+            ap.cluster(spark, sf_dir)
+
+    Spark never auto-deletes reliable checkpoint files; callers own the
+    directory's lifecycle (set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to have
+    the ContextCleaner reap them on GC)."""
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str):
+        self.spark = spark
+        self.dir = checkpoint_dir
+
+    def __enter__(self):
+        self.spark.sparkContext.setCheckpointDir(self.dir)
+        _RELIABLE[0] = True
+        return self
+
+    def __exit__(self, *exc):
+        _RELIABLE[0] = False
+        return False
+
 
 # ---------------------------------------------------------------------------
 # Spark-side kernel
@@ -128,10 +179,11 @@ def similarity_off_diagonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # i-side is naturally partitioned and this repartition is a no-op
     # cost-wise relative to the O(N²/P) work per block)
     par = spark.sparkContext.defaultParallelism
-    half = (
-        emb.repartition(par)
-        .mapInPandas(block_kernel, schema="i long, k long, s double")
-        .localCheckpoint(eager=False)
+    half = _ckpt(
+        emb.repartition(par).mapInPandas(
+            block_kernel, schema="i long, k long, s double"
+        ),
+        eager=False,
     )
     return half.unionByName(
         half.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
@@ -166,7 +218,12 @@ def similarity_matrix(
     return off.unionByName(diag)
 
 
-_FAST_MEDIAN_MAX_N = 10_000  # ≤100M s-values Arrow-collected (~800 MB driver)
+# ≤25M s-values Arrow-collected (~200 MB driver).  Lowered from 10k in
+# round 8 (verdict #7): at the old gate edge the collect coexisted with
+# the blocked engine's O(blocks·N) accumulator payloads for ~800 MB of
+# driver pressure; the distributed percentile fallback is bitwise-equal
+# (cliff-tested) and costs negligible extra wall above 5k points.
+_FAST_MEDIAN_MAX_N = 5_000
 
 
 def _median_preference_fast(
@@ -313,7 +370,7 @@ def iterate(
         # and reverted).
         state = availability_pass(responsibility_pass(state, lam), lam)
         if checkpoint:
-            state = state.localCheckpoint(eager=True)
+            state = _ckpt(state, eager=True)
             _release(prev_id)
             prev_id = _ckpt_id(state)
     return state
@@ -366,9 +423,19 @@ def cluster(
     iterations: int = T_DEFAULT,
     lam: float = DAMPING,
     pref: str = "median",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end AP: similarity → T iterations → exemplars → assignment.
-    Returns (vec_id, exemplar)."""
+    Returns (vec_id, exemplar).
+
+    ``checkpoint_dir`` switches every lineage truncation in the chain
+    from ``localCheckpoint`` (executor-memory blocks: fast, but executor
+    loss kills a truncated chain) to reliable ``checkpoint()`` files
+    under the given fault-tolerant directory — the mode for multi-hour
+    runs on a real cluster.  See :class:`reliable_checkpoints`."""
+    if checkpoint_dir is not None:
+        with reliable_checkpoints(spark, checkpoint_dir):
+            return cluster(spark, sf_dir, iterations, lam, pref)
     # off is a cheap mirror-union over the internally checkpointed upper
     # triangle — no extra checkpoint needed; downstream re-scans reuse
     # the materialized half
@@ -383,12 +450,12 @@ def cluster(
             F.col("vec_id").alias("k"),
             F.lit(p_fast).alias("s"),
         )
-        smat = off.unionByName(diag).localCheckpoint(eager=False)
+        smat = _ckpt(off.unionByName(diag), eager=False)
     else:
         # checkpoint S so the distributed exact-median preference isn't
         # recomputed in every broadcast-agg job below
-        smat = similarity_matrix(spark, sf_dir, pref=pref, off=off).localCheckpoint(
-            eager=False
+        smat = _ckpt(
+            similarity_matrix(spark, sf_dir, pref=pref, off=off), eager=False
         )
     state = iterate(init_state(smat), iterations, lam)
     ex = exemplars_from_state(state)
@@ -574,6 +641,7 @@ def cluster_sparse(
     lam: float = DAMPING,
     k: int = 32,
     trained: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Sparse Affinity Propagation over the k-NN candidate graph.
 
@@ -586,9 +654,16 @@ def cluster_sparse(
     Points none of whose candidates became exemplars are emitted with
     exemplar = -1 (honest sparse semantics: a point can only elect an
     exemplar it has a declared similarity to).
+
+    ``checkpoint_dir`` switches the chain to reliable ``checkpoint()``
+    files (executor-loss-tolerant mode for real-cluster runs) — see
+    :class:`reliable_checkpoints` and :func:`cluster`.
     """
-    cand = knn_candidate_pairs(spark, sf_dir, k, trained=trained).localCheckpoint(
-        eager=False
+    if checkpoint_dir is not None:
+        with reliable_checkpoints(spark, checkpoint_dir):
+            return cluster_sparse(spark, sf_dir, iterations, lam, k, trained)
+    cand = _ckpt(
+        knn_candidate_pairs(spark, sf_dir, k, trained=trained), eager=False
     )
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
     if _n_points(spark, sf_dir) <= _BLOCKED().BLOCKED_MAX_N:
@@ -611,7 +686,7 @@ def cluster_sparse(
     diag = ids.crossJoin(p).select(
         F.col("vec_id").alias("i"), F.col("vec_id").alias("k"), F.col("p").alias("s")
     )
-    smat = cand.unionByName(diag).localCheckpoint(eager=False)
+    smat = _ckpt(cand.unionByName(diag), eager=False)
     # sparse state is O(N·k) rows — small enough to retain every
     # iteration's LAZY checkpoint (materializes inside the next pass's
     # first job instead of a dedicated eager job: one job per iteration
@@ -619,7 +694,7 @@ def cluster_sparse(
     state = init_state(smat)
     for _ in range(iterations):
         state = availability_pass(responsibility_pass(state, lam), lam)
-        state = state.localCheckpoint(eager=False)
+        state = _ckpt(state, eager=False)
     ex = exemplars_from_state(state)
     best = assign(cand, ex)
     return (
@@ -716,18 +791,18 @@ def q_ap_assign_sparse_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME coordinate-format passes (sparse-correct as-is), exemplars,
     assignment restricted to declared edges; unreachable points emit
     exemplar = -1."""
-    cand = sparse_candidates_checked(spark, sf_dir).localCheckpoint(eager=False)
+    cand = _ckpt(sparse_candidates_checked(spark, sf_dir), eager=False)
     p = cand.agg(F.expr("percentile(s, 0.5)").alias("p"))
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
     diag = ids.crossJoin(p).select(
         F.col("vec_id").alias("i"), F.col("vec_id").alias("k"),
         F.col("p").alias("s"),
     )
-    smat = cand.unionByName(diag).localCheckpoint(eager=False)
+    smat = _ckpt(cand.unionByName(diag), eager=False)
     state = init_state(smat)
     for _ in range(T_DEFAULT):
         state = availability_pass(responsibility_pass(state))
-        state = state.localCheckpoint(eager=False)
+        state = _ckpt(state, eager=False)
     ex = exemplars_from_state(state)
     best = assign(cand, ex)
     return (
@@ -821,15 +896,15 @@ def cluster_converged(
     set (O(#exemplars) driver traffic, never the message state).
     Returns (labels DataFrame, iterations_run)."""
     off = similarity_off_diagonal(spark, sf_dir)
-    smat = similarity_matrix(spark, sf_dir, off=off).localCheckpoint(eager=False)
+    smat = _ckpt(similarity_matrix(spark, sf_dir, off=off), eager=False)
     state = init_state(smat)
     prev: frozenset[int] | None = None
     stable = 0
     it = 0
     for it in range(1, max_iter + 1):
-        state = availability_pass(
-            responsibility_pass(state, lam), lam
-        ).localCheckpoint(eager=False)
+        state = _ckpt(
+            availability_pass(responsibility_pass(state, lam), lam), eager=False
+        )
         ex_now = frozenset(
             r.exemplar for r in exemplars_from_state(state).collect()
         )

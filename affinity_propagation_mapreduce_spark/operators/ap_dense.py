@@ -36,11 +36,14 @@ decimals on both sides (ap.py module docstring).  The median preference
 reuses the interpolation formula proven bitwise-equal to
 ``percentile(s, 0.5)`` (ap._median_preference_fast).
 
-Scale gate: the driver-side pieces are O(N²) values for the median and
-O(blocks·N) for the stats combine, so the path is gated at
-``BLOCKED_MAX_N`` (same ceiling as ap._FAST_MEDIAN_MAX_N); above it the
+Scale gate: the driver-side pieces are O(N²) values for the median
+(``pref_value``'s transient collect) and O(blocks·N) for the stats
+combine, so the path is gated at ``BLOCKED_MAX_N``; above it the
 coordinate engine and the sparse/IVF path (``ap.cluster_sparse``) take
-over — dense N² state is the small-N regime by construction.
+over — dense N² state is the small-N regime by construction.  The
+coordinate engine's separate driver-median shortcut is gated lower
+(ap._FAST_MEDIAN_MAX_N = 5k) so ITS worst-case collect never coexists
+with this engine's accumulator payloads at the 10k edge.
 """
 
 from __future__ import annotations
@@ -51,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import table
+from .ap import _ckpt
 
 DAMPING = 0.5
 BLOCKED_MAX_N = 10_000  # N² doubles must be driver-collectable for the median
@@ -207,10 +211,11 @@ class DenseAP:
         emb = table(self.spark, self.sf_dir, "embeddings").select(
             "vec_id", "embedding"
         )
-        self._state0 = (
-            emb.repartition(self.nb, "vec_id")
-            .mapInPandas(sim_kernel, schema=_STATE_SCHEMA)
-            .localCheckpoint(eager=True)
+        self._state0 = _ckpt(
+            emb.repartition(self.nb, "vec_id").mapInPandas(
+                sim_kernel, schema=_STATE_SCHEMA
+            ),
+            eager=True,
         )
         return self._state0
 
@@ -413,8 +418,8 @@ class DenseAP:
             states: list[DataFrame] = []
             for _ in range(iterations):
                 stats_bc = self._col_stats(state, p, lam)
-                state = self._update(state, stats_bc, p, lam).localCheckpoint(
-                    eager=False
+                state = _ckpt(
+                    self._update(state, stats_bc, p, lam), eager=False
                 )
                 states.append(state)
             return states
@@ -426,8 +431,8 @@ class DenseAP:
         spent: list = []  # consumed stats broadcasts, destroyed after the loop
         for it in range(iterations):
             acc = sc.accumulator({}, _PartialsAcc())
-            state = self._update_fused(state, stats_bc, p, lam, acc).localCheckpoint(
-                eager=True
+            state = _ckpt(
+                self._update_fused(state, stats_bc, p, lam, acc), eager=True
             )
             # the eager job consumed the stats; the checkpoint's truncated
             # lineage can never recompute.  Destroy AFTER the loop, not
@@ -698,8 +703,8 @@ def cluster_sparse_blocked(
         yield pd.DataFrame(out)
 
     # eager checkpoint runs the build job synchronously → acc0 populated
-    state = ragged.mapInPandas(build_kernel, schema=_SPARSE_SCHEMA).localCheckpoint(
-        eager=True
+    state = _ckpt(
+        ragged.mapInPandas(build_kernel, schema=_SPARSE_SCHEMA), eager=True
     )
 
     def _rows(pdf):
@@ -776,9 +781,12 @@ def cluster_sparse_blocked(
     for _ in range(iterations):
         stats_bc = sc_ctx.broadcast((colsum, rkk))
         acc = sc_ctx.accumulator({}, _PartialsAcc())
-        state = state.mapInPandas(
-            update_kernel_factory(stats_bc, acc, lam), schema=_SPARSE_SCHEMA
-        ).localCheckpoint(eager=True)
+        state = _ckpt(
+            state.mapInPandas(
+                update_kernel_factory(stats_bc, acc, lam), schema=_SPARSE_SCHEMA
+            ),
+            eager=True,
+        )
         # consumed by the eager job; truncated lineage never recomputes.
         # Destroyed after the loop — mid-loop RemoveBroadcast RPCs contend
         # with the next iteration's task launches (warm A/B ~0.2 s), and T

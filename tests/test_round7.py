@@ -60,73 +60,92 @@ def test_combine_partials_raises_on_duplicated_partial():
 
 
 # ---------------------------------------------------------------------------
-# Layout lock: stale-holder recovery + orphan cleanup (ADVICE r6)
+# Layout lock: flock protocol (ADVICE r8 — replaced the unlink-steal
+# protocol, whose TOCTOU window could remove a live successor's lock)
 # ---------------------------------------------------------------------------
 
-def test_layout_lock_live_holder_not_stale(tmp_path):
+def test_layout_lock_mutual_exclusion_and_kernel_release(tmp_path):
     from affinity_propagation_mapreduce_spark.operators.events import (
-        _layout_lock_is_stale,
-        _try_layout_lock,
+        _flock_layout_lock,
+        _release_layout_lock,
     )
 
     lock = str(tmp_path / "x.lock")
-    fd = _try_layout_lock(lock)
-    assert fd is not None
-    try:
-        assert _try_layout_lock(lock) is None  # held
-        assert not _layout_lock_is_stale(lock)  # our pid is alive
-    finally:
-        os.close(fd)
-        os.unlink(lock)
+    fd = _flock_layout_lock(lock, deadline=time.time() + 5)
+    # a second acquirer (same process, separate fd — flock semantics are
+    # per-open-file-description) must time out while the lock is held
+    with pytest.raises(RuntimeError, match="hard cap"):
+        _flock_layout_lock(lock, deadline=time.time() - 1)
+    _release_layout_lock(fd)
+    # after release, acquisition succeeds immediately
+    fd2 = _flock_layout_lock(lock, deadline=time.time() + 5)
+    _release_layout_lock(fd2)
 
 
-def test_layout_lock_dead_holder_is_stale(tmp_path):
-    from affinity_propagation_mapreduce_spark.operators.events import (
-        _layout_lock_is_stale,
+def test_layout_lock_released_on_sigkill(tmp_path):
+    """A SIGKILLed holder must release the flock in the kernel — the
+    property that removes the whole staleness/steal protocol."""
+    import signal
+    import subprocess
+    import sys
+
+    lock = str(tmp_path / "x.lock")
+    child = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys, time; sys.path.insert(0, %r); "
+                "from affinity_propagation_mapreduce_spark.operators.events "
+                "import _flock_layout_lock; "
+                "_flock_layout_lock(%r, time.time() + 30); "
+                "print('locked', flush=True); time.sleep(60)"
+            )
+            % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), lock),
+        ],
+        stdout=subprocess.PIPE,
     )
+    try:
+        assert child.stdout.readline().strip() == b"locked"
+        os.kill(child.pid, signal.SIGKILL)
+        child.wait(timeout=10)
+        from affinity_propagation_mapreduce_spark.operators.events import (
+            _flock_layout_lock,
+            _release_layout_lock,
+        )
 
-    lock = tmp_path / "x.lock"
-    # pick a pid that cannot be running: fork a child, reap it, reuse its pid
-    pid = os.fork()
-    if pid == 0:
-        os._exit(0)
-    os.waitpid(pid, 0)
-    lock.write_bytes(f"{pid} {time.time():.3f}".encode())
-    assert _layout_lock_is_stale(str(lock))
+        fd = _flock_layout_lock(lock, deadline=time.time() + 10)
+        _release_layout_lock(fd)
+    finally:
+        if child.poll() is None:
+            child.kill()
 
 
-def test_layout_lock_unreadable_falls_back_to_mtime(tmp_path):
+def test_layout_orphan_cleanup_age_gated(tmp_path):
     from affinity_propagation_mapreduce_spark.operators.events import (
         _LAYOUT_STALE_SEC,
-        _layout_lock_is_stale,
-    )
-
-    lock = tmp_path / "x.lock"
-    lock.write_bytes(b"")  # holder died between open and write
-    assert not _layout_lock_is_stale(str(lock))  # fresh: not yet stale
-    old = time.time() - _LAYOUT_STALE_SEC - 5
-    os.utime(lock, (old, old))
-    assert _layout_lock_is_stale(str(lock))
-
-
-def test_layout_orphan_cleanup(tmp_path):
-    from affinity_propagation_mapreduce_spark.operators.events import (
         _clean_layout_orphans,
     )
 
     path = tmp_path / "events_by_type"
     keep = tmp_path / "events_by_type_other"
+    fresh = tmp_path / "events_by_type.tmp-fresh"
     for d in (
         tmp_path / "events_by_type.dead-abc",
         tmp_path / "events_by_type.tmp-def",
         keep,
+        fresh,
     ):
         d.mkdir()
         (d / "part-0.parquet").write_bytes(b"x")
+    old = time.time() - _LAYOUT_STALE_SEC - 5
+    for d in (tmp_path / "events_by_type.dead-abc", tmp_path / "events_by_type.tmp-def"):
+        os.utime(d, (old, old))
     _clean_layout_orphans(str(path))
     assert not (tmp_path / "events_by_type.dead-abc").exists()
     assert not (tmp_path / "events_by_type.tmp-def").exists()
     assert keep.exists()  # unrelated siblings untouched
+    assert fresh.exists()  # young temp dir: possibly a live writer (age gate)
 
 
 # ---------------------------------------------------------------------------

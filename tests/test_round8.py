@@ -1,0 +1,158 @@
+"""Round-8 verdict items: reliable-checkpoint mode (#4), above-gate
+execution sanity (#1), and multi-process layout-lock stress (#6)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+import pytest
+
+from affinity_propagation_mapreduce_spark.operators import ap
+
+from .conftest import SF_SMALL
+
+
+def _labels(df) -> dict[int, int]:
+    return {r.vec_id: r.exemplar for r in df.collect()}
+
+
+class TestReliableCheckpointMode:
+    """cluster/cluster_sparse(checkpoint_dir=...) must (a) produce the
+    same labels as the localCheckpoint mode, (b) actually write reliable
+    checkpoint files (the executor-loss-tolerant artifact), and (c)
+    reset the mode flag afterwards."""
+
+    def test_cluster_reliable_equals_local(self, spark):
+        base = _labels(ap.cluster(spark, SF_SMALL))
+        ap.clear_cache()
+        with tempfile.TemporaryDirectory() as tmp:
+            rel = _labels(ap.cluster(spark, SF_SMALL, checkpoint_dir=tmp))
+            ckpt_files = [
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(tmp)
+                for f in fs
+                if not f.startswith(".")
+            ]
+            assert ckpt_files, "no reliable checkpoint files written"
+        assert rel == base
+        assert ap._RELIABLE[0] is False  # flag reset on exit
+
+    def test_cluster_sparse_reliable_equals_local(self, spark):
+        base = _labels(ap.cluster_sparse(spark, SF_SMALL))
+        ap.clear_cache()
+        with tempfile.TemporaryDirectory() as tmp:
+            rel = _labels(ap.cluster_sparse(spark, SF_SMALL, checkpoint_dir=tmp))
+            assert any(fs for _, _, fs in os.walk(tmp)), (
+                "no reliable checkpoint files written"
+            )
+        assert rel == base
+        assert ap._RELIABLE[0] is False
+
+    def test_flag_reset_on_error(self, spark):
+        with tempfile.TemporaryDirectory() as tmp:
+            with pytest.raises(RuntimeError):
+                with ap.reliable_checkpoints(spark, tmp):
+                    assert ap._RELIABLE[0] is True
+                    raise RuntimeError("boom")
+        assert ap._RELIABLE[0] is False
+
+
+class TestLayoutLockMultiprocess:
+    """Verdict r7 #6: prove the layout write-once protocol under REAL
+    concurrency — separate OS processes racing `_layout_write_once` on
+    one path, with the first lock holder SIGKILLed mid-write.  No Spark,
+    no monkeypatching: the subprocesses run the exact production code
+    with a plain-file writer."""
+
+    _WORKER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from affinity_propagation_mapreduce_spark.operators import events
+
+path = {path!r}
+ident = sys.argv[1]
+
+def write_fn(tmp):
+    os.makedirs(tmp)
+    if ident == "victim":
+        print("writing", flush=True)   # parent SIGKILLs us now
+        time.sleep(30)
+    time.sleep(0.2)                    # a non-instant write: real window
+    with open(os.path.join(tmp, "payload"), "w") as fh:
+        fh.write(ident)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        pass
+
+events._layout_write_once(path, write_fn)
+with open(os.path.join(path, "payload")) as fh:
+    print("sees", fh.read(), flush=True)
+"""
+
+    def test_racing_writers_one_sigkilled(self, tmp_path):
+        import signal
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = str(tmp_path / "layout" / "events_by_type")
+        script = self._WORKER.format(repo=repo, path=path)
+
+        victim = subprocess.Popen(
+            [sys.executable, "-c", script, "victim"], stdout=subprocess.PIPE
+        )
+        assert victim.stdout.readline().strip() == b"writing"  # holds the lock
+        racers = [
+            subprocess.Popen(
+                [sys.executable, "-c", script, f"w{i}"], stdout=subprocess.PIPE
+            )
+            for i in range(3)
+        ]
+        time.sleep(0.5)  # racers are queued on the flock
+        os.kill(victim.pid, signal.SIGKILL)
+        victim.wait(timeout=10)
+        seen = set()
+        for p in racers:
+            out, _ = p.communicate(timeout=60)
+            assert p.returncode == 0, out
+            seen.add(out.decode().strip())
+        # exactly ONE complete layout won; every racer read the same one
+        assert len(seen) == 1 and next(iter(seen)).startswith("sees w")
+        assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+        # the victim's abandoned temp dir is still age-gated (fresh), but
+        # no OTHER debris: no .dead-* corpses, exactly one .tmp-* orphan
+        parent = os.path.dirname(path)
+        debris = [n for n in os.listdir(parent) if ".dead-" in n]
+        assert debris == []
+        orphans = [n for n in os.listdir(parent) if ".tmp-" in n]
+        assert len(orphans) <= 1  # the SIGKILLed victim's, reaped at age
+
+
+@pytest.mark.slow
+class TestAboveGate:
+    """A REAL above-gate execution (N > BLOCKED_MAX_N): the coordinate
+    sparse loop — not the monkeypatched-gate small-N cliff tests.  Wall
+    ~40 s at N=12k on local[32]; the measured N=25k/50k runs live in
+    BASELINE.md §above-gate (tools/above_gate_run.py)."""
+
+    def test_sparse_above_gate_completes_with_sane_labels(self, spark):
+        from tools.above_gate_run import synth_dir
+
+        n = ap._BLOCKED().BLOCKED_MAX_N + 2_000
+        sf_dir = synth_dir(n)
+        try:
+            assert ap._n_points(spark, sf_dir) == n > ap._BLOCKED().BLOCKED_MAX_N
+            rows = ap.cluster_sparse(spark, sf_dir, iterations=2).collect()
+            labels = {r.vec_id: r.exemplar for r in rows}
+            assert len(labels) == n  # every point labeled exactly once
+            exemplars = {v for v in labels.values() if v != -1}
+            assert exemplars, "no exemplars elected"
+            # every elected exemplar labels itself
+            assert all(labels[e] == e for e in exemplars)
+            # assignment targets are real points
+            assert exemplars <= set(labels)
+        finally:
+            ap.clear_cache()
+            shutil.rmtree(sf_dir, ignore_errors=True)

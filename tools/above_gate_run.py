@@ -1,0 +1,135 @@
+"""Above-gate AP execution — round-8 verdict item #1.
+
+Every path above ``BLOCKED_MAX_N = 10_000`` (the coordinate dense engine,
+the coordinate sparse loop, the distributed exact-median preference) had
+only ever been exercised via monkeypatched gates at small N.  This runner
+synthesizes a clustered corpus at real above-gate sizes (same generator
+as tests/test_growth_law.py), writes it as a testdata-shaped sf dir, and
+runs the REAL entry points end-to-end:
+
+  python tools/above_gate_run.py sparse 25000
+  python tools/above_gate_run.py sparse 50000
+  python tools/above_gate_run.py dense 12000
+
+Prints one JSON line per run: wall seconds, label sanity (rows, exemplar
+count, unassigned count, max-cluster share) and peak persisted-state
+bytes (polled from the JVM RDD storage registry at 4 Hz).  Measured
+results are recorded in BASELINE.md §above-gate.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BASE = "/tmp/above_gate"
+
+
+def synth_dir(n: int, d: int = 16, k_true: int = 32) -> str:
+    """Clustered corpus, testdata-shaped (vec_id, embedding, label)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(BASE, f"n{n}")
+    path = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(k_true, d))
+    lab = np.arange(n) % k_true
+    pts = centers[lab] + 0.6 * rng.normal(size=(n, d))
+    perm = rng.permutation(n)  # ids uncorrelated with content (lowid regime)
+    pts, lab = pts[perm], lab[perm]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype="i8")),
+            "embedding": pa.array(
+                [row.astype("f4") for row in pts], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(lab.astype("i4")),
+        }
+    )
+    pq.write_table(tbl, path)
+    return out
+
+
+class PeakState:
+    """Polls the JVM persistent-RDD registry; tracks peak bytes in memory."""
+
+    def __init__(self, spark):
+        self.sc = spark.sparkContext
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                infos = self.sc._jsc.sc().getRDDStorageInfo()
+                cur = sum(i.memSize() + i.diskSize() for i in infos)
+                self.peak = max(self.peak, cur)
+            except Exception:
+                pass
+            time.sleep(0.25)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join(timeout=2)
+
+
+def label_sanity(rows) -> dict:
+    from collections import Counter
+
+    labels = [r.exemplar for r in rows]
+    c = Counter(labels)
+    unassigned = c.pop(-1, 0)
+    return {
+        "rows": len(rows),
+        "exemplars": len(c),
+        "unassigned": unassigned,
+        "max_cluster_share": round(max(c.values()) / len(rows), 4) if c else None,
+    }
+
+
+def main():
+    mode, n = sys.argv[1], int(sys.argv[2])
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    sf_dir = synth_dir(n)
+
+    from affinity_propagation_mapreduce_spark.operators import ap
+    from affinity_propagation_mapreduce_spark.session import get_spark
+
+    spark = get_spark(f"above-gate-{mode}-{n}")
+    assert n > ap._BLOCKED().BLOCKED_MAX_N or mode == "dense", "not above gate"
+    kwargs = {"iterations": iters} if iters else {}
+    t0 = time.monotonic()
+    with PeakState(spark) as ps:
+        if mode == "sparse":
+            rows = ap.cluster_sparse(spark, sf_dir, **kwargs).collect()
+        else:
+            rows = ap.cluster(spark, sf_dir, **kwargs).collect()
+    wall = time.monotonic() - t0
+    out = {
+        "mode": mode,
+        "n": n,
+        "iterations": iters or ap.T_DEFAULT,
+        "wall_sec": round(wall, 1),
+        "peak_state_bytes": ps.peak,
+        **label_sanity(rows),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
