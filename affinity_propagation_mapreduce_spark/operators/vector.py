@@ -268,12 +268,48 @@ def q_knn_cosine_ivf(spark, sf_dir):
 
 def knn_cosine_ivf_trained(spark, sf_dir):
     """Production-quality variant: same IVF pipeline over sampled-Lloyd
-    trained centroids.  Not a declared query (training is iterative —
-    no SQL mirror); recall vs exact is asserted in test_ann_recall."""
+    trained centroids.  No SQL mirror (training is iterative); recall vs
+    exact is asserted in test_ann_recall."""
     from .ivf import corpus_rows, cost_balanced_nlist
 
     nlist = cost_balanced_nlist(corpus_rows(spark, sf_dir), N_PROBE)
     return _ivf_knn(spark, sf_dir, _trained_coarse(spark, sf_dir, nlist))
+
+
+# the in-query recall gate runs the exact O(N²) top-k as its reference,
+# so it is size-gated to verification scale (driver runs at sf0.01,
+# N=500; tests at sf0.001) — above it the standalone ann_recall_gate and
+# the growth-law tests carry the quality contract
+_TRAINED_GATE_MAX_N = 5_000
+
+
+def q_knn_cosine_ivf_trained(spark, sf_dir):
+    """Rows-only, SELF-VERIFYING (r7 verdict #5): the declared query now
+    computes recall against the exact brute-force top-k in-query and
+    RAISES below RECALL_FLOORS['knn_cosine_ivf_trained'] — a collapsed
+    quantizer turns the driver row red instead of passing a silent
+    rows-only check.  Result rows/schema are identical to the raw
+    variant."""
+    from .ivf import corpus_rows
+
+    res = knn_cosine_ivf_trained(spark, sf_dir)
+    if corpus_rows(spark, sf_dir) <= _TRAINED_GATE_MAX_N:
+        res = res.localCheckpoint(eager=False)  # gate + result: one compute
+        exact = q_knn_cosine_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        n = exact.count()
+        hit = exact.join(
+            res.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        floor = RECALL_FLOORS["knn_cosine_ivf_trained"]
+        if n == 0 or hit / n < floor:
+            raise AssertionError(
+                f"trained IVF recall collapsed: {hit}/{n} vs floor {floor}"
+            )
+    return res
 
 
 O_KNN_IVF_NLIST = cost_balanced_nlist(ORACLE_SF_N, N_PROBE)
@@ -741,8 +777,9 @@ QUERIES = {
     "dedup_embed_cosine": q_dedup_embed_cosine,
     "dedup_embed_cosine_ivf": q_dedup_embed_cosine_ivf,  # rows-only scale twin
     "knn_cosine_ivf": q_knn_cosine_ivf,
-    # rows-only: sampled-Lloyd training is iterative, no SQL mirror
-    "knn_cosine_ivf_trained": knn_cosine_ivf_trained,
+    # rows-only (sampled-Lloyd training is iterative, no SQL mirror) but
+    # self-verifying: raises below the recall floor at verification scale
+    "knn_cosine_ivf_trained": q_knn_cosine_ivf_trained,
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,
     # rows-only driver-visible quality gates: raise on recall collapse /

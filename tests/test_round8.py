@@ -62,6 +62,29 @@ class TestReliableCheckpointMode:
         assert ap._RELIABLE[0] is False
 
 
+class TestSelfVerifyingGates:
+    """r7 verdict #5: the formerly silent rows-only keys now raise
+    in-query when the approximation breaks.  Tripping the floor proves
+    the gate is live on the driver's exact code path (the green case is
+    every parity run)."""
+
+    def test_sparse_agreement_gate_raises_below_floor(self, spark, monkeypatch):
+        monkeypatch.setattr(ap, "SPARSE_AGREEMENT_FLOOR", 1.01)
+        ap.clear_cache()
+        with pytest.raises(AssertionError, match="diverged"):
+            ap.q_ap_assign_sparse(spark, SF_SMALL).count()
+        ap.clear_cache()
+
+    def test_trained_recall_gate_raises_below_floor(self, spark, monkeypatch):
+        from affinity_propagation_mapreduce_spark.operators import vector
+
+        monkeypatch.setitem(
+            vector.RECALL_FLOORS, "knn_cosine_ivf_trained", 1.01
+        )
+        with pytest.raises(AssertionError, match="recall collapsed"):
+            vector.q_knn_cosine_ivf_trained(spark, SF_SMALL).count()
+
+
 class TestLayoutLockMultiprocess:
     """Verdict r7 #6: prove the layout write-once protocol under REAL
     concurrency — separate OS processes racing `_layout_write_once` on
