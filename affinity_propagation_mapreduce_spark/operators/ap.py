@@ -226,6 +226,90 @@ def similarity_matrix(
 _FAST_MEDIAN_MAX_N = 5_000
 
 
+# exact-median scale path: per narrowing level, the candidate band must
+# shrink below this before the final Arrow collect (~32 MB of doubles)
+_MEDIAN_COLLECT_MAX = 4_000_000
+_MEDIAN_HIST_BUCKETS = 8192
+
+
+def exact_median_distributed(df: DataFrame, col: str = "s") -> float | None:
+    """Exact interpolated median of a huge numeric column with NO
+    single-task value buffering.
+
+    Spark's exact ``percentile`` is a TypedImperativeAggregate that
+    materializes EVERY value on one reducer — the round-8 above-gate run
+    (N=12k dense → 144M s-values) OOM'd the executor heap in exactly the
+    regime the >BLOCKED_MAX_N paths exist for.  This computes the same
+    ``lower + (upper-lower)*(pos-lo)`` interpolation by distributed rank
+    narrowing instead: histogram the surviving band into
+    _MEDIAN_HIST_BUCKETS per level, keep the bucket range covering the
+    two target ranks, and only Arrow-collect once the band holds
+    ≤ _MEDIAN_COLLECT_MAX values.  Each level's filter reuses the SAME
+    bucket-index expression that produced the counts (driver-constant lo
+    and width), so float rounding can never shift a value across the
+    counted boundary between passes.  Cost: O(levels) scans of the
+    (checkpointed) column, each with full predicate pushdown — two
+    levels cover 3×10¹¹ values.
+    """
+    import numpy as np
+
+    first = df.agg(
+        F.count(col).alias("m"),
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+    ).first()
+    m = first.m
+    if m == 0:
+        return None
+    pos = 0.5 * (m - 1)
+    k_lo = int(pos)  # 0-indexed global ranks wanted
+    k_hi = min(k_lo + 1, m - 1)
+    band = df.select(F.col(col).alias("_v"))
+    rank_before = 0  # values strictly below the current band
+    in_band, band_mn, band_mx = m, first.mn, first.mx
+    while in_band > _MEDIAN_COLLECT_MAX:
+        if band_mn == band_mx:  # degenerate: every survivor identical
+            return float(band_mn)
+        width = (band_mx - band_mn) / _MEDIAN_HIST_BUCKETS
+        if not (width > 0.0):  # band narrower than float resolution:
+            break              # survivors differ by ulps — collect them
+        bexpr = F.least(
+            F.lit(_MEDIAN_HIST_BUCKETS - 1),
+            F.floor((F.col("_v") - F.lit(band_mn)) / F.lit(width)),
+        ).cast("int")
+        rows = (
+            band.groupBy(bexpr.alias("b"))
+            .agg(
+                F.count("*").alias("c"),
+                F.min("_v").alias("mn"),
+                F.max("_v").alias("mx"),
+            )
+            .collect()
+        )
+        hist = {r.b: r.c for r in rows}
+        stats = {r.b: (r.mn, r.mx) for r in rows}
+        run = rank_before
+        b_start = b_end = None
+        for b in range(_MEDIAN_HIST_BUCKETS):
+            c = hist.get(b, 0)
+            if b_start is None and run + c > k_lo:
+                b_start, rank_before = b, run
+            if b_start is not None and run + c > k_hi:
+                b_end = b
+                break
+            run += c
+        if b_start is None or b_end is None:  # counting hole: fail loud
+            raise RuntimeError("median narrowing lost the target rank")
+        band = band.where((bexpr >= b_start) & (bexpr <= b_end))
+        in_band = sum(hist.get(b, 0) for b in range(b_start, b_end + 1))
+        band_mn = min(stats[b][0] for b in range(b_start, b_end + 1) if b in stats)
+        band_mx = max(stats[b][1] for b in range(b_start, b_end + 1) if b in stats)
+    vals = np.sort(band.toPandas()["_v"].to_numpy())
+    lower = vals[k_lo - rank_before]
+    upper = vals[k_hi - rank_before]
+    return float(lower + (upper - lower) * (pos - k_lo))
+
+
 def _median_preference_fast(
     spark: SparkSession, sf_dir: str, off: DataFrame
 ) -> float | None:
@@ -440,23 +524,25 @@ def cluster(
     # triangle — no extra checkpoint needed; downstream re-scans reuse
     # the materialized half
     off = similarity_off_diagonal(spark, sf_dir)
-    p_fast = (
-        _median_preference_fast(spark, sf_dir, off) if pref == "median" else None
-    )
-    if p_fast is not None:
-        ids = table(spark, sf_dir, "embeddings").select("vec_id")
-        diag = ids.select(
-            F.col("vec_id").alias("i"),
-            F.col("vec_id").alias("k"),
-            F.lit(p_fast).alias("s"),
-        )
-        smat = _ckpt(off.unionByName(diag), eager=False)
+    if pref == "median":
+        p_scalar = _median_preference_fast(spark, sf_dir, off)
+        if p_scalar is None:
+            # above _FAST_MEDIAN_MAX_N: the rank-narrowing distributed
+            # exact median — NOT Spark's `percentile`, whose single
+            # reducer buffers all N²−N values and OOMs right at this
+            # path's scale (found by the round-8 N=12k above-gate run).
+            # `off` mirrors the internally checkpointed upper triangle,
+            # so each narrowing pass re-reads the half, not the kernel.
+            p_scalar = exact_median_distributed(off)
     else:
-        # checkpoint S so the distributed exact-median preference isn't
-        # recomputed in every broadcast-agg job below
-        smat = _ckpt(
-            similarity_matrix(spark, sf_dir, pref=pref, off=off), eager=False
-        )
+        p_scalar = off.agg(F.min("s")).first()[0]
+    ids = table(spark, sf_dir, "embeddings").select("vec_id")
+    diag = ids.select(
+        F.col("vec_id").alias("i"),
+        F.col("vec_id").alias("k"),
+        F.lit(p_scalar).alias("s"),
+    )
+    smat = _ckpt(off.unionByName(diag), eager=False)
     state = iterate(init_state(smat), iterations, lam)
     ex = exemplars_from_state(state)
     return assign(off, ex)
@@ -682,9 +768,13 @@ def cluster_sparse(
         return ids.select(
             F.col("vec_id"), F.lit(-1).cast("long").alias("exemplar")
         )
-    p = cand.agg(F.expr("percentile(s, 0.5)").alias("p"))
-    diag = ids.crossJoin(p).select(
-        F.col("vec_id").alias("i"), F.col("vec_id").alias("k"), F.col("p").alias("s")
+    # >gate scale: exact median of the O(N^1.5) candidate similarities
+    # via rank narrowing — `percentile` would buffer all of them on one
+    # reducer (~10⁹ values at N=10⁶, the OOM found by the above-gate run)
+    p_val = exact_median_distributed(cand)
+    diag = ids.select(
+        F.col("vec_id").alias("i"), F.col("vec_id").alias("k"),
+        F.lit(p_val).alias("s"),
     )
     smat = _ckpt(cand.unionByName(diag), eager=False)
     # sparse state is O(N·k) rows — small enough to retain every

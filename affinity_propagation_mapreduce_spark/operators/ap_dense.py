@@ -58,6 +58,10 @@ from .ap import _ckpt
 
 DAMPING = 0.5
 BLOCKED_MAX_N = 10_000  # N² doubles must be driver-collectable for the median
+# sparse ragged state (~n·k·24 B) small enough for ONE task: the whole
+# build + T iterations + assignment fuses into a single job (~3 MB at
+# 4k points, k=32) — see cluster_sparse_blocked's fused-small branch
+SPARSE_FUSED_MAX_N = 4_000
 _TARGET_BLOCK_BYTES = 64 << 20  # per-task state footprint bound (3 N-arrays/row)
 
 _STATE_SCHEMA = "i long, s array<double>, r array<double>, a array<double>"
@@ -663,6 +667,89 @@ def cluster_sparse_blocked(
             colsum,
             np.array(diag_i, dtype="i8"),
             np.array(diag_r, dtype="f8"),
+        )
+
+    if n <= SPARSE_FUSED_MAX_N:
+        # -- fused-small path: ONE job for build + T iterations + assign.
+        # At this size the ragged state is a single AQE-coalesced
+        # partition anyway, so the distributed loop's per-iteration
+        # accumulator is a single partial — the arithmetic below is the
+        # SAME code (row-local _sparse_r_row updates, _sparse_partial
+        # column stats in ascending-i order) on the same single block,
+        # so labels are identical while T eager-checkpoint jobs, T
+        # broadcasts, and the separate build/assign jobs collapse into
+        # one task (bench sf0.1: the blocked phase drops ~2.6 s → ~0.4 s;
+        # pinned against the coordinate engine by the same round-6
+        # equality tests that pin the distributed loop).
+        def fused_kernel(batches):
+            frames = [p for p in batches if len(p)]
+            if not frames:
+                return
+            pdf = pd.concat(frames).sort_values("i", ignore_index=True)
+            ids_b = ids
+            iv = pdf["i"].to_numpy(dtype="i8")
+            ksc, sc, rc, ac = [], [], [], []
+            for i_val, nbrs in zip(pdf["i"], pdf["nbrs"]):
+                if nbrs is None or len(nbrs) == 0:
+                    ks = np.array([i_val], dtype="i8")
+                    sv = np.array([pref], dtype="f8")
+                else:
+                    kk = np.array([x["k"] for x in nbrs], dtype="i8")
+                    vv = np.array([x["s"] for x in nbrs], dtype="f8")
+                    order = np.argsort(kk)  # ascending k: ties → lowest k
+                    pos = np.searchsorted(kk[order], i_val)
+                    ks = np.insert(kk[order], pos, i_val)
+                    sv = np.insert(vv[order], pos, pref)
+                z = np.zeros(len(ks), dtype="f8")
+                ksc.append(ks)
+                sc.append(sv)
+                rc.append(z)
+                ac.append(z)
+            # bootstrap: stats of r_1 (identical to acc0 in the loop path)
+            colsum, diag_i, diag_r = _sparse_partial(
+                iv, ksc, sc, rc, ac, ids_b, lam
+            )
+            rkk = np.zeros(len(ids_b), dtype="f8")
+            rkk[np.searchsorted(ids_b, diag_i)] = diag_r
+            ex_ids: list[int] = []
+            for _ in range(iterations):
+                ex_ids = []
+                for j in range(len(iv)):
+                    ks = ksc[j]
+                    r_new = _sparse_r_row(sc[j], rc[j], ac[j], lam)
+                    idx = np.searchsorted(ids_b, ks)
+                    own = ks == iv[j]
+                    rp = np.maximum(r_new, 0.0)
+                    rp[own] = 0.0
+                    a_hat = np.minimum(0.0, rkk[idx] + colsum[idx] - rp)
+                    a_hat[own] = colsum[idx[own]]
+                    a_new = lam * ac[j] + (1 - lam) * a_hat
+                    rc[j], ac[j] = r_new, a_new
+                    if (a_new[own][0] + r_new[own][0]) > 0:
+                        ex_ids.append(iv[j])
+                colsum, diag_i, diag_r = _sparse_partial(
+                    iv, ksc, sc, rc, ac, ids_b, lam
+                )
+                rkk = np.zeros(len(ids_b), dtype="f8")
+                rkk[np.searchsorted(ids_b, diag_i)] = diag_r
+            exb = np.sort(np.array(ex_ids, dtype="i8"))
+            lab = np.empty(len(iv), dtype="i8")
+            for j in range(len(iv)):
+                if len(exb) and iv[j] in exb:
+                    lab[j] = iv[j]
+                    continue
+                ks = ksc[j]
+                sv = sc[j]
+                mask = np.isin(ks, exb) & (ks != iv[j])
+                if mask.any():
+                    sub = sv[mask]
+                    lab[j] = ks[mask][int(sub.argmax())]  # ks sorted: ties → lowest
+                else:
+                    lab[j] = -1
+            yield pd.DataFrame({"vec_id": iv, "exemplar": lab})
+
+        return ragged.coalesce(1).mapInPandas(
+            fused_kernel, schema="vec_id long, exemplar long"
         )
 
     sc_ctx = spark.sparkContext

@@ -62,6 +62,58 @@ class TestReliableCheckpointMode:
         assert ap._RELIABLE[0] is False
 
 
+class TestExactMedianDistributed:
+    """The rank-narrowing exact median that replaced Spark's
+    single-reducer `percentile` on the >gate paths (the N=12k above-gate
+    run OOM'd the executor heap in PercentileBase.getPercentiles).  Must
+    be BITWISE equal to percentile(s, 0.5) wherever both can run."""
+
+    def test_bitwise_equals_percentile_on_similarities(self, spark):
+        from pyspark.sql import functions as F
+
+        off = ap.similarity_off_diagonal(spark, SF_SMALL)
+        want = off.agg(F.expr("percentile(s, 0.5)")).first()[0]
+        assert ap.exact_median_distributed(off) == want  # no tolerance
+
+    def test_bitwise_equal_under_forced_narrowing(self, spark, monkeypatch):
+        from pyspark.sql import functions as F
+
+        # shrink the gates so sf0.001 (249 500 values) exercises multiple
+        # histogram levels instead of the direct collect
+        monkeypatch.setattr(ap, "_MEDIAN_COLLECT_MAX", 500)
+        monkeypatch.setattr(ap, "_MEDIAN_HIST_BUCKETS", 16)
+        off = ap.similarity_off_diagonal(spark, SF_SMALL)
+        want = off.agg(F.expr("percentile(s, 0.5)")).first()[0]
+        assert ap.exact_median_distributed(off) == want
+
+    @pytest.mark.parametrize(
+        "vals",
+        [
+            [1.0],
+            [2.0, 1.0],
+            [3.0, 1.0, 2.0, 2.0],
+            [5.0] * 999 + [1.0],          # point mass: degenerate band
+            [float(x % 7) for x in range(1000)],  # heavy duplicates
+            [1e-300, 1e300, -1e300, 0.0, -0.0, 1.5],
+        ],
+        ids=["one", "two", "even-dup", "mass", "mod7", "extremes"],
+    )
+    def test_matches_percentile_on_edge_distributions(
+        self, spark, monkeypatch, vals
+    ):
+        from pyspark.sql import functions as F
+
+        monkeypatch.setattr(ap, "_MEDIAN_COLLECT_MAX", 4)
+        monkeypatch.setattr(ap, "_MEDIAN_HIST_BUCKETS", 8)
+        df = spark.createDataFrame([(v,) for v in vals], "s double")
+        want = df.agg(F.expr("percentile(s, 0.5)")).first()[0]
+        assert ap.exact_median_distributed(df) == want
+
+    def test_empty_returns_none(self, spark):
+        df = spark.createDataFrame([], "s double")
+        assert ap.exact_median_distributed(df) is None
+
+
 class TestSelfVerifyingGates:
     """r7 verdict #5: the formerly silent rows-only keys now raise
     in-query when the approximation breaks.  Tripping the floor proves
