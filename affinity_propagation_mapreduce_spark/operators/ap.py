@@ -1102,7 +1102,11 @@ def _emb_fingerprint(sf_dir: str) -> tuple:
 
     now = time.monotonic()
     hit = _fp_memo.get(sf_dir)
-    if hit is not None and now - hit[0] < _FP_TTL_SEC:
+    # never serve a memoized "directory missing/empty" fingerprint: a
+    # regeneration that just recreated the dir must be seen immediately
+    # (ADVICE r7 — the memo would otherwise mask the recreation for the
+    # TTL and serve kernels keyed to the vanished state)
+    if hit is not None and hit[1] != () and now - hit[0] < _FP_TTL_SEC:
         return hit[1]
     fp = _dir_fingerprint(sf_dir, "embeddings")
     _fp_memo[sf_dir] = (now, fp)
@@ -1115,7 +1119,14 @@ def _ckey(spark: SparkSession, sf_dir: str, *parts) -> tuple:
     ivf.corpus_rows) invalidates every cached AP artifact — counts,
     kernels, chains, the DenseAP instance — if the testdata directory is
     regenerated while a Spark application stays alive; without it the
-    stale similarity kernel would silently hash-diverge from the oracle."""
+    stale similarity kernel would silently hash-diverge from the oracle.
+
+    Caveat (ADVICE r7): the fingerprint is memoized for _FP_TTL_SEC
+    (1 s), so an in-process regeneration followed by a query inside that
+    window can still serve the pre-regeneration key — EXCEPT when the
+    memoized fingerprint is () (dir missing/empty), which is always
+    re-scanned.  Harnesses that regenerate testdata in-process should
+    call clear_cache() (which also clears the memo) for a hard cut."""
     app = spark.sparkContext.applicationId
     fp = _emb_fingerprint(sf_dir)
     # Evict entries keyed under a superseded fingerprint — but only scan
