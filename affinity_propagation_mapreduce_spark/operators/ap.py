@@ -206,14 +206,26 @@ def similarity_matrix(
 
     Pass a pre-checkpointed ``off`` to reuse one materialized kernel run
     across the S matrix, the preference aggregate, and the final
-    assignment scan (cluster() does)."""
+    assignment scan (cluster() does).
+
+    The preference is computed as a SCALAR up front — driver Arrow
+    median below _FAST_MEDIAN_MAX_N, rank-narrowing distributed median
+    above it (both bitwise-equal to ``percentile(s, 0.5)``).  Never the
+    single-reducer ``percentile`` aggregate itself: it buffers all N²−N
+    values on one task and OOM'd at N=12k (round-8 above-gate run)."""
     if off is None:
         off = similarity_off_diagonal(spark, sf_dir)  # half-checkpointed inside
-    agg = F.expr("percentile(s, 0.5)") if pref == "median" else F.min("s")
-    p = off.agg(agg.alias("p"))
+    if pref == "median":
+        p = _median_preference_fast(spark, sf_dir, off)
+        if p is None:
+            p = exact_median_distributed(off)
+    else:
+        p = off.agg(F.min("s")).first()[0]
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
-    diag = ids.crossJoin(p).select(
-        F.col("vec_id").alias("i"), F.col("vec_id").alias("k"), F.col("p").alias("s")
+    diag = ids.select(
+        F.col("vec_id").alias("i"),
+        F.col("vec_id").alias("k"),
+        F.lit(p).cast("double").alias("s"),
     )
     return off.unionByName(diag)
 
@@ -524,25 +536,7 @@ def cluster(
     # triangle — no extra checkpoint needed; downstream re-scans reuse
     # the materialized half
     off = similarity_off_diagonal(spark, sf_dir)
-    if pref == "median":
-        p_scalar = _median_preference_fast(spark, sf_dir, off)
-        if p_scalar is None:
-            # above _FAST_MEDIAN_MAX_N: the rank-narrowing distributed
-            # exact median — NOT Spark's `percentile`, whose single
-            # reducer buffers all N²−N values and OOMs right at this
-            # path's scale (found by the round-8 N=12k above-gate run).
-            # `off` mirrors the internally checkpointed upper triangle,
-            # so each narrowing pass re-reads the half, not the kernel.
-            p_scalar = exact_median_distributed(off)
-    else:
-        p_scalar = off.agg(F.min("s")).first()[0]
-    ids = table(spark, sf_dir, "embeddings").select("vec_id")
-    diag = ids.select(
-        F.col("vec_id").alias("i"),
-        F.col("vec_id").alias("k"),
-        F.lit(p_scalar).alias("s"),
-    )
-    smat = _ckpt(off.unionByName(diag), eager=False)
+    smat = _ckpt(similarity_matrix(spark, sf_dir, pref=pref, off=off), eager=False)
     state = iterate(init_state(smat), iterations, lam)
     ex = exemplars_from_state(state)
     return assign(off, ex)
@@ -1162,16 +1156,20 @@ def cached_off(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pref_scalar(spark: SparkSession, sf_dir: str, pref: str) -> float | None:
-    """Driver-side exact preference value: interpolated median (bitwise
-    equal to the distributed percentile — same values, same formula) or
-    exact min.  None above the median size gate."""
+    """Driver-side exact preference value: interpolated median (Arrow
+    collect below _FAST_MEDIAN_MAX_N, rank-narrowing distributed median
+    above — both bitwise-equal to ``percentile(s, 0.5)``) or exact min.
+    None only for an empty off-diagonal (single-point corpus)."""
     key = _ckey(spark, sf_dir, "prefval", pref)
     if key not in _cache:
         off = cached_off(spark, sf_dir)
         if pref == "min":
             _cache[key] = off.agg(F.min("s")).first()[0]
         else:
-            _cache[key] = _median_preference_fast(spark, sf_dir, off)
+            p = _median_preference_fast(spark, sf_dir, off)
+            if p is None:  # above the Arrow-collect gate: rank narrowing
+                p = exact_median_distributed(off)
+            _cache[key] = p
     return _cache[key]
 
 
@@ -1182,20 +1180,13 @@ def cached_smat(spark: SparkSession, sf_dir: str, pref: str = "median") -> DataF
         off = cached_off(spark, sf_dir)
         ids = table(spark, sf_dir, "embeddings").select("vec_id")
         p = _pref_scalar(spark, sf_dir, pref)
-        if p is not None:
-            diag = ids.select(
-                F.col("vec_id").alias("i"),
-                F.col("vec_id").alias("k"),
-                F.lit(p).alias("s"),
-            )
-        else:
-            agg = F.expr("percentile(s, 0.5)") if pref == "median" else F.min("s")
-            pd_ = off.agg(agg.alias("p"))
-            diag = ids.crossJoin(pd_).select(
-                F.col("vec_id").alias("i"),
-                F.col("vec_id").alias("k"),
-                F.col("p").alias("s"),
-            )
+        # p is None only for an empty off-diagonal (single-point corpus):
+        # the NULL diagonal mirrors percentile-over-empty semantics
+        diag = ids.select(
+            F.col("vec_id").alias("i"),
+            F.col("vec_id").alias("k"),
+            F.lit(p).cast("double").alias("s"),
+        )
         _cache[key] = off.unionByName(diag).localCheckpoint(eager=False)
     return _cache[key]
 
