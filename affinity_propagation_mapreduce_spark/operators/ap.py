@@ -285,21 +285,8 @@ def exact_median_distributed(df: DataFrame, col: str = "s") -> float | None:
         width = (band_mx - band_mn) / _MEDIAN_HIST_BUCKETS
         if not (width > 0.0):  # band narrower than float resolution:
             break              # survivors differ by ulps — collect them
-        bexpr = F.least(
-            F.lit(_MEDIAN_HIST_BUCKETS - 1),
-            F.floor((F.col("_v") - F.lit(band_mn)) / F.lit(width)),
-        ).cast("int")
-        rows = (
-            band.groupBy(bexpr.alias("b"))
-            .agg(
-                F.count("*").alias("c"),
-                F.min("_v").alias("mn"),
-                F.max("_v").alias("mx"),
-            )
-            .collect()
-        )
-        hist = {r.b: r.c for r in rows}
-        stats = {r.b: (r.mn, r.mx) for r in rows}
+        bexpr = _median_bucket_expr(band_mn, width)
+        hist, stats = _median_level_hist(band, bexpr)
         run = rank_before
         b_start = b_end = None
         for b in range(_MEDIAN_HIST_BUCKETS):
@@ -312,14 +299,86 @@ def exact_median_distributed(df: DataFrame, col: str = "s") -> float | None:
             run += c
         if b_start is None or b_end is None:  # counting hole: fail loud
             raise RuntimeError("median narrowing lost the target rank")
+        new_in_band = sum(hist.get(b, 0) for b in range(b_start, b_end + 1))
+        if new_in_band >= in_band:
+            # Joint-narrowing stall: the two target ranks straddle the
+            # band's extremes (e.g. two point masses at min and max with
+            # the median between them), so the covering bucket range IS
+            # the whole band.  Each rank alone always narrows to a single
+            # bucket, which strictly excludes at least one extreme —
+            # solve the two ranks independently (guaranteed progress).
+            lower = _kth_value_in_band(
+                band, k_lo - rank_before, in_band, band_mn, band_mx
+            )
+            upper = (
+                lower
+                if k_hi == k_lo
+                else _kth_value_in_band(
+                    band, k_hi - rank_before, in_band, band_mn, band_mx
+                )
+            )
+            return float(lower + (upper - lower) * (pos - k_lo))
         band = band.where((bexpr >= b_start) & (bexpr <= b_end))
-        in_band = sum(hist.get(b, 0) for b in range(b_start, b_end + 1))
+        in_band = new_in_band
         band_mn = min(stats[b][0] for b in range(b_start, b_end + 1) if b in stats)
         band_mx = max(stats[b][1] for b in range(b_start, b_end + 1) if b in stats)
     vals = np.sort(band.toPandas()["_v"].to_numpy())
     lower = vals[k_lo - rank_before]
     upper = vals[k_hi - rank_before]
     return float(lower + (upper - lower) * (pos - k_lo))
+
+
+def _median_bucket_expr(band_mn: float, width: float):
+    return F.least(
+        F.lit(_MEDIAN_HIST_BUCKETS - 1),
+        F.floor((F.col("_v") - F.lit(band_mn)) / F.lit(width)),
+    ).cast("int")
+
+
+def _median_level_hist(band: DataFrame, bexpr):
+    rows = (
+        band.groupBy(bexpr.alias("b"))
+        .agg(
+            F.count("*").alias("c"),
+            F.min("_v").alias("mn"),
+            F.max("_v").alias("mx"),
+        )
+        .collect()
+    )
+    return {r.b: r.c for r in rows}, {r.b: (r.mn, r.mx) for r in rows}
+
+
+def _kth_value_in_band(
+    band: DataFrame, k: int, in_band: int, band_mn: float, band_mx: float
+) -> float:
+    """Exact k-th smallest (0-indexed) within ``band`` by single-bucket
+    narrowing.  Terminates unconditionally: whenever mn < mx the min and
+    max land in different buckets, so the one selected bucket strictly
+    excludes at least one extreme value — the band always shrinks."""
+    import numpy as np
+
+    while in_band > _MEDIAN_COLLECT_MAX:
+        if band_mn == band_mx:
+            return float(band_mn)
+        width = (band_mx - band_mn) / _MEDIAN_HIST_BUCKETS
+        if not (width > 0.0):
+            break
+        bexpr = _median_bucket_expr(band_mn, width)
+        hist, stats = _median_level_hist(band, bexpr)
+        run = 0
+        for b in range(_MEDIAN_HIST_BUCKETS):
+            c = hist.get(b, 0)
+            if run + c > k:
+                band = band.where(bexpr == b)
+                k -= run
+                in_band = c
+                band_mn, band_mx = stats[b]
+                break
+            run += c
+        else:
+            raise RuntimeError("rank narrowing lost the target rank")
+    vals = np.sort(band.toPandas()["_v"].to_numpy())
+    return float(vals[k])
 
 
 def _median_preference_fast(

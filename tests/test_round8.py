@@ -95,8 +95,13 @@ class TestExactMedianDistributed:
             [5.0] * 999 + [1.0],          # point mass: degenerate band
             [float(x % 7) for x in range(1000)],  # heavy duplicates
             [1e-300, 1e300, -1e300, 0.0, -0.0, 1.5],
+            [-10.0] * 200 + [10.0] * 200,  # straddle: masses at both
+                                           # extremes, median between —
+                                           # the joint-narrowing stall
+            [-10.0] * 200 + [10.0] * 201,  # straddle, odd count
         ],
-        ids=["one", "two", "even-dup", "mass", "mod7", "extremes"],
+        ids=["one", "two", "even-dup", "mass", "mod7", "extremes",
+             "straddle-even", "straddle-odd"],
     )
     def test_matches_percentile_on_edge_distributions(
         self, spark, monkeypatch, vals
@@ -112,6 +117,32 @@ class TestExactMedianDistributed:
     def test_empty_returns_none(self, spark):
         df = spark.createDataFrame([], "s double")
         assert ap.exact_median_distributed(df) is None
+
+    def test_property_random_distributions(self, spark, monkeypatch):
+        """Hypothesis-style sweep: random mixtures (uniform, lognormal,
+        point masses, negatives) under forced narrowing must match
+        percentile bitwise on every draw."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        monkeypatch.setattr(ap, "_MEDIAN_COLLECT_MAX", 16)
+        monkeypatch.setattr(ap, "_MEDIAN_HIST_BUCKETS", 7)
+        rng = np.random.default_rng(17)
+        for trial in range(12):
+            kind = trial % 4
+            n = int(rng.integers(1, 400))
+            if kind == 0:
+                vals = rng.uniform(-1e6, 1e6, n)
+            elif kind == 1:
+                vals = rng.lognormal(0, 5, n)  # heavy skew
+            elif kind == 2:
+                vals = np.repeat(rng.uniform(-10, 10, max(1, n // 20)), 20)[:n]
+            else:
+                vals = -np.abs(rng.normal(0, 1e3, n))  # all-negative (s-like)
+            df = spark.createDataFrame([(float(v),) for v in vals], "s double")
+            want = df.agg(F.expr("percentile(s, 0.5)")).first()[0]
+            got = ap.exact_median_distributed(df)
+            assert got == want, f"trial {trial} kind {kind} n {n}: {got} != {want}"
 
 
 class TestSelfVerifyingGates:
