@@ -244,7 +244,12 @@ _MEDIAN_COLLECT_MAX = 4_000_000
 _MEDIAN_HIST_BUCKETS = 8192
 
 
-def exact_median_distributed(df: DataFrame, col: str = "s") -> float | None:
+def exact_median_distributed(
+    df: DataFrame,
+    col: str = "s",
+    collect_max: int | None = None,
+    buckets: int | None = None,
+) -> float | None:
     """Exact interpolated median of a huge numeric column with NO
     single-task value buffering.
 
@@ -265,6 +270,8 @@ def exact_median_distributed(df: DataFrame, col: str = "s") -> float | None:
     """
     import numpy as np
 
+    collect_max = collect_max or _MEDIAN_COLLECT_MAX
+    buckets = buckets or _MEDIAN_HIST_BUCKETS
     first = df.agg(
         F.count(col).alias("m"),
         F.min(col).alias("mn"),
@@ -279,17 +286,17 @@ def exact_median_distributed(df: DataFrame, col: str = "s") -> float | None:
     band = df.select(F.col(col).alias("_v"))
     rank_before = 0  # values strictly below the current band
     in_band, band_mn, band_mx = m, first.mn, first.mx
-    while in_band > _MEDIAN_COLLECT_MAX:
+    while in_band > collect_max:
         if band_mn == band_mx:  # degenerate: every survivor identical
             return float(band_mn)
-        width = (band_mx - band_mn) / _MEDIAN_HIST_BUCKETS
+        width = (band_mx - band_mn) / buckets
         if not (width > 0.0):  # band narrower than float resolution:
             break              # survivors differ by ulps — collect them
-        bexpr = _median_bucket_expr(band_mn, width)
+        bexpr = _median_bucket_expr(band_mn, width, buckets)
         hist, stats = _median_level_hist(band, bexpr)
         run = rank_before
         b_start = b_end = None
-        for b in range(_MEDIAN_HIST_BUCKETS):
+        for b in range(buckets):
             c = hist.get(b, 0)
             if b_start is None and run + c > k_lo:
                 b_start, rank_before = b, run
@@ -308,13 +315,15 @@ def exact_median_distributed(df: DataFrame, col: str = "s") -> float | None:
             # bucket, which strictly excludes at least one extreme —
             # solve the two ranks independently (guaranteed progress).
             lower = _kth_value_in_band(
-                band, k_lo - rank_before, in_band, band_mn, band_mx
+                band, k_lo - rank_before, in_band, band_mn, band_mx,
+                collect_max, buckets,
             )
             upper = (
                 lower
                 if k_hi == k_lo
                 else _kth_value_in_band(
-                    band, k_hi - rank_before, in_band, band_mn, band_mx
+                    band, k_hi - rank_before, in_band, band_mn, band_mx,
+                    collect_max, buckets,
                 )
             )
             return float(lower + (upper - lower) * (pos - k_lo))
@@ -328,9 +337,9 @@ def exact_median_distributed(df: DataFrame, col: str = "s") -> float | None:
     return float(lower + (upper - lower) * (pos - k_lo))
 
 
-def _median_bucket_expr(band_mn: float, width: float):
+def _median_bucket_expr(band_mn: float, width: float, buckets: int):
     return F.least(
-        F.lit(_MEDIAN_HIST_BUCKETS - 1),
+        F.lit(buckets - 1),
         F.floor((F.col("_v") - F.lit(band_mn)) / F.lit(width)),
     ).cast("int")
 
@@ -349,7 +358,13 @@ def _median_level_hist(band: DataFrame, bexpr):
 
 
 def _kth_value_in_band(
-    band: DataFrame, k: int, in_band: int, band_mn: float, band_mx: float
+    band: DataFrame,
+    k: int,
+    in_band: int,
+    band_mn: float,
+    band_mx: float,
+    collect_max: int,
+    buckets: int,
 ) -> float:
     """Exact k-th smallest (0-indexed) within ``band`` by single-bucket
     narrowing.  Terminates unconditionally: whenever mn < mx the min and
@@ -357,16 +372,16 @@ def _kth_value_in_band(
     excludes at least one extreme value — the band always shrinks."""
     import numpy as np
 
-    while in_band > _MEDIAN_COLLECT_MAX:
+    while in_band > collect_max:
         if band_mn == band_mx:
             return float(band_mn)
-        width = (band_mx - band_mn) / _MEDIAN_HIST_BUCKETS
+        width = (band_mx - band_mn) / buckets
         if not (width > 0.0):
             break
-        bexpr = _median_bucket_expr(band_mn, width)
+        bexpr = _median_bucket_expr(band_mn, width, buckets)
         hist, stats = _median_level_hist(band, bexpr)
         run = 0
-        for b in range(_MEDIAN_HIST_BUCKETS):
+        for b in range(buckets):
             c = hist.get(b, 0)
             if run + c > k:
                 band = band.where(bexpr == b)

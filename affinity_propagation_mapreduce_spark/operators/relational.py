@@ -510,6 +510,39 @@ def q_agg_percentiles_approx(spark, sf_dir):
                 )
     return base
 
+
+# --- ⊕ exact median at scale: rank-narrowing, hashed against DuckDB ---------
+
+def q_median_narrowing(spark, sf_dir):
+    """Hashed proof of ``ap.exact_median_distributed`` — the rank-
+    narrowing exact median that replaced the single-reducer `percentile`
+    on the >gate AP paths (round 8; the N=12k dense run OOM'd inside
+    Spark's PercentileBase).  ``collect_max=256, buckets=16`` force
+    multiple real narrowing levels at sf0.01 (~60k values), so the
+    DuckDB hash certifies the narrowing machinery itself, not the
+    direct-collect shortcut.  Bitwise: the interpolation
+    ``lower + (upper-lower)*frac`` matches both Spark's `percentile`
+    and DuckDB's `quantile_cont` with no rounding (verified at
+    sf0.001/0.01)."""
+    from .ap import exact_median_distributed
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("s")
+    )
+    n = li.count()
+    med = exact_median_distributed(li, collect_max=256, buckets=16)
+    return spark.createDataFrame(
+        [(n, med)], "n_rows long, median_extprice double"
+    )
+
+
+O_MEDIAN_NARROWING = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS median_extprice
+FROM lineitem
+"""
+
+
 # --- B14 statistical aggregates ---------------------------------------------
 
 def q_agg_stats(spark, sf_dir):
@@ -1307,6 +1340,7 @@ QUERIES = {
     "agg_percentiles": q_agg_percentiles,
     # rows-only: GK sketch has no DuckDB mirror (exact twin is hashed)
     "agg_percentiles_approx": q_agg_percentiles_approx,
+    "median_narrowing": q_median_narrowing,
     "agg_stats": q_agg_stats,
     "agg_conditional": q_agg_conditional,
     "win_rank_topk_per_group": q_win_rank_topk_per_group,
@@ -1330,6 +1364,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "median_narrowing": O_MEDIAN_NARROWING,
     "join_skew_salted": O_JOIN_SKEW_SALTED,
     "hist_equidepth": O_HIST_EQUIDEPTH,
     "scan_project_filter": O_SCAN,
