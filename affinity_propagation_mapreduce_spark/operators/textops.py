@@ -1288,6 +1288,252 @@ FROM tstat t LEFT JOIN bstat b USING (doc_id)
 """
 
 
+# --- D15 RAG chunking: overlapping token windows -----------------------------
+
+CHUNK_TOKENS = 32  # window size W
+CHUNK_STRIDE = 24  # stride S (overlap = W - S = 8 tokens)
+
+
+def q_doc_chunk(spark, sf_dir):
+    """Split every document into overlapping token-window chunks (the
+    RAG / context-window packing pre-step): starts at 0, S, 2S, ... < n,
+    each chunk = W tokens from its start (short tail kept).
+
+    Scale shape: pure per-row generate-and-explode — ``sequence`` +
+    ``slice`` stay inside whole-stage codegen, no shuffle at all; output
+    partitioning inherits the scan, so a 100 TB corpus chunks embar-
+    rassingly parallel.  Deterministic strings/ints → fully hashed."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    chunked = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start_tok"),
+    )
+    piece = F.slice(F.col("toks"), F.col("start_tok") + 1, F.lit(CHUNK_TOKENS))
+    return chunked.select(
+        "doc_id",
+        F.floor(F.col("start_tok") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+O_DOC_CHUNK = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start_tok
+      FROM t)
+SELECT doc_id,
+       CAST(start_tok // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(toks[start_tok + 1 : start_tok + {CHUNK_TOKENS}]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(toks[start_tok + 1 : start_tok + {CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM s
+"""
+
+
+# --- D16 cross-document duplicated-span detection ----------------------------
+
+SPAN_K = 8  # span width in tokens (Lee et al. use 50 BPE tokens at web scale)
+
+
+def q_span_dedup(spark, sf_dir):
+    """Substring-level dedup signal (the "Deduplicating Training Data
+    Makes Language Models Better" shape, token-window variant): an
+    8-token span is *duplicated* if the identical span occurs in >= 2
+    distinct documents; per document report how much of it is covered
+    by corpus-duplicated spans.
+
+    Scale shape: explode to (doc, span) → map-side-combinable groupBy
+    on the span for document frequency → equi-join back on the span
+    key.  No all-pairs anything; the span string is the shuffle key
+    (at 100 TB you'd key on a 128-bit span hash instead — same plan).
+    Integer counts and a scaled-integer ratio → fully hashed."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = docs.where(n >= SPAN_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (SPAN_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_K)),
+            )
+        ).alias("gram"),
+    )
+    gram_df = (
+        grams.distinct()  # (doc_id, gram) set → rows per gram = distinct docs
+        .groupBy("gram")
+        .agg(F.count("*").alias("gram_docs"))
+    )
+    return (
+        grams.join(gram_df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("gram_docs") >= 2).cast("long")).alias("n_dup_grams"),
+            F.max("gram_docs").alias("max_gram_docs"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+            F.col("max_gram_docs").cast("long").alias("max_gram_docs"),
+            F.round(F.col("n_dup_grams") / F.col("n_grams") * 10000, 0)
+            .cast("long")
+            .alias("dup_span_frac_x1e4"),
+        )
+    )
+
+
+O_SPAN_DEDUP = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - {SPAN_K - 2}),
+                               i -> array_to_string(toks[i : i + {SPAN_K - 1}],
+                                                    ' '))) AS gram
+  FROM t WHERE len(toks) >= {SPAN_K}),
+df AS (SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM g GROUP BY gram)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_grams,
+       CAST(max(gram_docs) AS BIGINT) AS max_gram_docs,
+       CAST(ROUND(sum(CASE WHEN gram_docs >= 2 THEN 1 ELSE 0 END)
+                  / count(*) * 10000, 0) AS BIGINT) AS dup_span_frac_x1e4
+FROM g JOIN df USING (gram)
+GROUP BY doc_id
+"""
+
+
+# --- D17 near-dup canonical selection: keep the best-quality survivor --------
+
+def q_dedup_keep_best(spark, sf_dir):
+    """The dedup *policy* step real pipelines run after clustering:
+    within each near-dup component (D5c), keep exactly one survivor —
+    the highest quality-score document (tie → lowest doc_id) — instead
+    of D5c's arbitrary min-id canonical.
+
+    Composition of two proven operators: component labels (iterative
+    min-label propagation) joined to the integer quality score (D8),
+    then a per-component row_number window.  The window partitions by
+    component id — components are near-cliques of duplicates, so
+    partitions are tiny and skew-free at any corpus size.  Integer
+    score + deterministic tie-break → fully hashed."""
+    comps = q_dedup_components(spark, sf_dir).select("doc_id", "comp")
+    quality = q_text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score_x1e4"
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc("quality_score_x1e4"), F.asc("doc_id")
+    )
+    return (
+        comps.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "comp",
+            "quality_score_x1e4",
+            (F.col("rn") == 1).cast("long").alias("keep"),
+        )
+    )
+
+
+O_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS inter
+  FROM dt a JOIN dt b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_lo, doc_hi
+  FROM inter
+  JOIN sizes sa ON inter.doc_lo = sa.doc_id
+  JOIN sizes sb ON inter.doc_hi = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.95),
+edges AS (SELECT doc_lo AS src, doc_hi AS dst FROM pairs
+          UNION ALL
+          SELECT doc_hi AS src, doc_lo AS dst FROM pairs),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.doc_id = e.src),
+comp AS (SELECT doc_id, min(comp) AS comp FROM reach GROUP BY doc_id),
+q AS (
+  SELECT doc_id,
+         CAST(ROUND((0.5 * (n_stop / n_toks)
+               + 0.3 * least(1.0, n_toks / 50.0)
+               + 0.2 * least(1.0, ((n_chars - n_toks + 1) / n_toks) / 8.0))
+               * 10000, 0) AS BIGINT) AS quality_score_x1e4
+  FROM (SELECT doc_id,
+               len(string_split(text, ' ')) AS n_toks,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({", ".join("'" + w + "'" for w in _STOPWORDS)})))
+                 AS n_stop,
+               length(text) AS n_chars
+        FROM documents))
+SELECT c.doc_id, c.comp, q.quality_score_x1e4,
+       CAST(row_number() OVER (PARTITION BY c.comp
+                               ORDER BY q.quality_score_x1e4 DESC,
+                                        c.doc_id ASC) = 1 AS BIGINT) AS keep
+FROM comp c JOIN q USING (doc_id)
+"""
+
+
+# --- D18 unigram LM scoring (perplexity-filter proxy) ------------------------
+
+def q_lm_unigram_score(spark, sf_dir):
+    """CCNet-style LM quality scoring with the model Spark can train
+    in-query: a corpus unigram LM (p(t) = count/total), each document
+    scored by its average negative log-likelihood (= log-perplexity
+    under the unigram model).  Real pipelines swap in a KenLM scorer at
+    this exact spot; the plan shape is identical.
+
+    Scale shape: token counts are one map-side-combinable groupBy; the
+    (tiny) vocabulary joins back via broadcast; per-doc aggregation is
+    one keyed shuffle.  Per-doc NLL sums have <= |vocab-in-doc| double
+    terms, so ROUND(·, 4) is orders of magnitude above any summation-
+    order noise → fully hashed."""
+    toks = _tokens(spark, sf_dir)
+    tot = toks.agg(F.count("*").alias("total"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    doc_tok = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    scored = (
+        doc_tok.join(F.broadcast(uni), "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("nll", -F.col("tf") * F.log(F.col("cnt") / F.col("total")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(F.sum("nll") / F.sum("tf"), 4).alias("avg_neg_logprob"),
+    )
+
+
+O_LM_UNIGRAM = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS total FROM toks),
+uni AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+dt AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       ROUND(sum(-tf * ln(cnt / total)) / sum(tf), 4) AS avg_neg_logprob
+FROM dt JOIN uni USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
     "bpe_pair_stats": q_bpe_pair_stats,
@@ -1309,6 +1555,10 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_degree_hist": q_graph_degree_hist,
+    "doc_chunk": q_doc_chunk,
+    "span_dedup": q_span_dedup,
+    "dedup_keep_best": q_dedup_keep_best,
+    "lm_unigram_score": q_lm_unigram_score,
 }
 
 ORACLES = {
@@ -1332,4 +1582,8 @@ ORACLES = {
     "doc_fingerprint": O_FINGERPRINT,
     "graph_triangle_count": O_TRIANGLE,
     "graph_degree_hist": O_DEGREE_HIST,
+    "doc_chunk": O_DOC_CHUNK,
+    "span_dedup": O_SPAN_DEDUP,
+    "dedup_keep_best": O_DEDUP_KEEP_BEST,
+    "lm_unigram_score": O_LM_UNIGRAM,
 }

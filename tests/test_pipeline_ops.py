@@ -1,0 +1,115 @@
+"""Invariant tests for the round-8 LLM-pipeline additions: chunking,
+span-level dedup, keep-best canonicalization, and unigram LM scoring.
+
+Cross-engine value parity is covered by the driver/check_parity hash gate
+(all four keys have DuckDB oracles); these tests pin the *semantic*
+invariants the hashes can't express — coverage/overlap laws, per-component
+survivor counts, and consistency with sibling operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from affinity_propagation_mapreduce_spark.operators import textops
+from tests.conftest import SF_SMALL
+
+
+def test_doc_chunk_covers_every_token_with_fixed_stride(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    chunks = textops.q_doc_chunk(spark, SF_SMALL)
+    w, s = textops.CHUNK_TOKENS, textops.CHUNK_STRIDE
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.max(F.col("start_tok") + F.col("n_chunk_tokens")).alias("covered"),
+        F.min("start_tok").alias("first_start"),
+    )
+    joined = per_doc.join(docs, "doc_id")
+    bad = joined.where(
+        (F.col("covered") != F.col("n_toks"))  # chunks end exactly at the doc end
+        | (F.col("first_start") != 0)
+        | (F.col("n_chunks") != F.ceil(F.col("n_toks") / s).cast("long"))
+    ).count()
+    assert bad == 0
+    # a chunk is shorter than W only when it abuts the end of its doc
+    short_not_tail = (
+        chunks.join(docs, "doc_id")
+        .where(
+            (F.col("n_chunk_tokens") != w)
+            & (F.col("start_tok") + F.col("n_chunk_tokens") != F.col("n_toks"))
+        )
+        .count()
+    )
+    assert short_not_tail == 0
+    assert chunks.where(F.col("n_chunk_tokens") == w).count() > 0
+
+
+def test_span_dedup_consistent_with_token_counts(spark):
+    k = textops.SPAN_K
+    res = textops.q_span_dedup(spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    # n_grams == n_toks - K + 1 for every doc long enough
+    bad = (
+        res.join(docs, "doc_id")
+        .where(F.col("n_grams") != F.col("n_toks") - (k - 1))
+        .count()
+    )
+    assert bad == 0
+    rows = res.agg(
+        F.sum((F.col("n_dup_grams") > F.col("n_grams")).cast("long")).alias("over"),
+        F.max("max_gram_docs").alias("mx"),
+        F.sum("n_dup_grams").alias("dups"),
+    ).collect()[0]
+    assert rows.over == 0  # dup grams never exceed total grams
+    assert rows.mx >= 1
+    assert rows.dups > 0  # the corpus genuinely contains cross-doc spans
+
+
+def test_dedup_keep_best_one_survivor_per_component(spark):
+    res = textops.q_dedup_keep_best(spark, SF_SMALL).cache()
+    try:
+        per_comp = res.groupBy("comp").agg(
+            F.sum("keep").alias("kept"), F.count("*").alias("sz")
+        )
+        assert per_comp.where(F.col("kept") != 1).count() == 0
+        # the survivor has the max quality score in its component
+        best = res.groupBy("comp").agg(F.max("quality_score_x1e4").alias("best"))
+        bad = (
+            res.where(F.col("keep") == 1)
+            .join(best, "comp")
+            .where(F.col("quality_score_x1e4") != F.col("best"))
+            .count()
+        )
+        assert bad == 0
+        # multi-doc components exist (the corpus has near-dups) and keep < all
+        multi = per_comp.where(F.col("sz") > 1).count()
+        assert multi > 0
+    finally:
+        res.unpersist()
+
+
+def test_lm_unigram_score_matches_token_count_and_bounds(spark):
+    res = textops.q_lm_unigram_score(spark, SF_SMALL)
+    tc = textops.q_token_count(spark, SF_SMALL).select("doc_id", "ws_tokens")
+    bad = (
+        res.join(tc, "doc_id")
+        .where(F.col("n_tokens") != F.col("ws_tokens"))
+        .count()
+    )
+    assert bad == 0
+    # NLL under a unigram LM is bounded by [0, ln(total_tokens)]
+    import math
+
+    total = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.explode(F.split("text", " ")))
+        .count()
+    )
+    row = res.agg(
+        F.min("avg_neg_logprob").alias("mn"), F.max("avg_neg_logprob").alias("mx")
+    ).collect()[0]
+    assert 0.0 < row.mn <= row.mx <= math.log(total) + 1e-9
