@@ -626,6 +626,205 @@ QUALIFY row_number() OVER (PARTITION BY purchase_id
 """
 
 
+# --- (⊕ r8) weekly retention cohorts ----------------------------------------
+
+def q_retention_cohort(spark, sf_dir):
+    """Classic cohort-retention triangle: cohort = the user's
+    first-activity week (Monday-truncated), cell (cohort, k) = distinct
+    users from that cohort active in cohort-week + k, plus the
+    scaled-integer retention ratio.
+
+    Scale shape: two map-side-combinable aggregations (first-activity
+    per user, distinct user-weeks) joined on user_id — the per-user
+    reduction happens before any join, so the shuffle carries one row
+    per user / user-week, never raw events.  All-integer output →
+    hashed."""
+    ev = _ev(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("wk")).distinct()
+    offset = (
+        F.datediff(F.to_date("wk"), F.to_date("cohort_week")) / 7
+    ).cast("long")
+    cells = (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("n_cohort")
+    )
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort") * 10000, 0)
+        .cast("long")
+        .alias("retention_x1e4"),
+    )
+
+
+O_RETENTION = """
+WITH ev AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+            FROM events),
+first AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, wk FROM ev),
+cells AS (
+  SELECT cohort_week,
+         date_diff('day', CAST(cohort_week AS DATE), CAST(wk AS DATE)) // 7
+           AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN first USING (user_id)
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS n_cohort
+          FROM first GROUP BY cohort_week)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       CAST(ROUND(n_active / n_cohort * 10000, 0) AS BIGINT) AS retention_x1e4
+FROM cells JOIN sizes USING (cohort_week)
+"""
+
+
+# --- (⊕ r8) event-transition matrix (first-order Markov statistics) ----------
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user chronological event-type bigrams → the corpus transition
+    matrix with row-normalized probabilities: the first-order sequence
+    statistic behind next-action models and funnel diagnostics.
+
+    Scale shape: ONE shuffle partitions by user_id for the lag window
+    (per-user sequences are short and skew-free), then the (from, to)
+    count aggregation is map-side combinable into a |types|² result —
+    output bounded by the type alphabet, not the event count.  Integer
+    counts + scaled-integer probabilities → hashed."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(totals) * 10000, 0)
+        .cast("long")
+        .alias("prob_x1e4"),
+    )
+
+
+O_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(n / sum(n) OVER (PARTITION BY from_type) * 10000, 0)
+            AS BIGINT) AS prob_x1e4
+FROM pairs
+"""
+
+
+# --- (⊕ r8) SCD2-style interval collapse (gaps-and-islands) ------------------
+
+SCD2_LOW_CENTS = 5_000    # daily spend tier boundaries (integer cents)
+SCD2_HIGH_CENTS = 15_000
+
+
+def q_scd2_user_tiers(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) derivation: per user per
+    active day, a spend tier (low/mid/high on exact integer cents);
+    consecutive same-tier days collapse into validity intervals
+    [valid_from, valid_to] — the gaps-and-islands pattern (island id =
+    row_number(user) − row_number(user, tier), both over day order).
+
+    The daily sum is converted to integer cents BEFORE the tier
+    comparison: ROUND(sum·100) collapses cross-engine summation-order
+    noise (~1e-12) to the same integer, so tier boundaries can never
+    flicker between engines.  Scale shape: one user-keyed shuffle for
+    the windows; intervals aggregate map-side after that.  → hashed."""
+    ev = _ev(spark, sf_dir)
+    daily = (
+        # day-truncated TIMESTAMP, not DATE: the hash comparator only
+        # canonicalizes timestamps
+        ev.groupBy(
+            "user_id",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .agg(
+            F.round(F.sum("value") * 100, 0).cast("long").alias("cents")
+        )
+        .withColumn(
+            "tier",
+            F.when(F.col("cents") < SCD2_LOW_CENTS, "low")
+            .when(F.col("cents") < SCD2_HIGH_CENTS, "mid")
+            .otherwise("high"),
+        )
+    )
+    w_all = Window.partitionBy("user_id").orderBy("day")
+    w_tier = Window.partitionBy("user_id", "tier").orderBy("day")
+    islands = daily.withColumn(
+        "island",
+        F.row_number().over(w_all) - F.row_number().over(w_tier),
+    )
+    return (
+        islands.groupBy("user_id", "tier", "island")
+        .agg(
+            F.min("day").alias("valid_from"),
+            F.max("day").alias("valid_to"),
+            F.count("*").alias("n_days"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "user_id",
+            "tier",
+            "valid_from",
+            "valid_to",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total_cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
+O_SCD2 = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+         CAST(ROUND(sum(value) * 100, 0) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+tiered AS (
+  SELECT user_id, dy, cents,
+         CASE WHEN cents < {SCD2_LOW_CENTS} THEN 'low'
+              WHEN cents < {SCD2_HIGH_CENTS} THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM daily),
+islands AS (
+  SELECT user_id, dy, cents, tier,
+         row_number() OVER (PARTITION BY user_id ORDER BY dy)
+         - row_number() OVER (PARTITION BY user_id, tier ORDER BY dy)
+           AS island
+  FROM tiered)
+SELECT user_id, tier, min(dy) AS valid_from, max(dy) AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM islands GROUP BY user_id, tier, island
+"""
+
+
 # --- (⊕ r5) partition-pruned write → read-back ------------------------------
 
 # Locking for the once-per-application layout write: an advisory
@@ -972,6 +1171,9 @@ QUERIES = {
     "rollup_timeseries": q_rollup_timeseries,
     "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "campaign_overlap": q_campaign_overlap,
+    "retention_cohort": q_retention_cohort,
+    "event_transitions": q_event_transitions,
+    "scd2_user_tiers": q_scd2_user_tiers,
     "partition_prune_readback": q_partition_prune_readback,
     # rows-only: runs a real structured stream, no SQL equivalent
     "stream_batch_equiv_sessionize": q_stream_batch_equiv_sessionize,
@@ -994,4 +1196,7 @@ ORACLES = {
     "late_data_watermark": O_WATERMARK,
     "dedup_stateful": O_DEDUP_STATEFUL,
     "topk_users_window": O_TOPK_USERS,
+    "retention_cohort": O_RETENTION,
+    "event_transitions": O_TRANSITIONS,
+    "scd2_user_tiers": O_SCD2,
 }

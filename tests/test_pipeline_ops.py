@@ -92,6 +92,78 @@ def test_dedup_keep_best_one_survivor_per_component(spark):
         res.unpersist()
 
 
+def test_retention_cohort_offset_zero_is_full(spark):
+    from affinity_propagation_mapreduce_spark.operators import events
+
+    res = events.q_retention_cohort(spark, SF_SMALL).cache()
+    try:
+        # by construction every user is active in their own cohort week
+        zero = res.where(F.col("week_offset") == 0)
+        assert zero.where(F.col("n_active") != F.col("n_cohort")).count() == 0
+        assert zero.where(F.col("retention_x1e4") != 10000).count() == 0
+        # no cell exceeds its cohort, offsets are non-negative
+        assert res.where(
+            (F.col("n_active") > F.col("n_cohort")) | (F.col("week_offset") < 0)
+        ).count() == 0
+    finally:
+        res.unpersist()
+
+
+def test_event_transitions_counts_and_row_normalization(spark):
+    from affinity_propagation_mapreduce_spark.operators import events
+
+    res = events.q_event_transitions(spark, SF_SMALL).cache()
+    try:
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        # each user's first event has no predecessor
+        total = res.agg(F.sum("n")).collect()[0][0]
+        assert total == n_events - n_users
+        sums = (
+            res.groupBy("from_type")
+            .agg(F.sum("prob_x1e4").alias("s"))
+            .collect()
+        )
+        for r in sums:  # row-normalized up to per-cell rounding
+            assert abs(r.s - 10000) <= len(sums)
+    finally:
+        res.unpersist()
+
+
+def test_scd2_intervals_partition_active_days(spark):
+    from pyspark.sql import Window
+
+    from affinity_propagation_mapreduce_spark.operators import events
+
+    res = events.q_scd2_user_tiers(spark, SF_SMALL).cache()
+    try:
+        ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        user_days = (
+            ev.select("user_id", F.date_trunc("day", "ts").alias("d"))
+            .distinct()
+            .count()
+        )
+        # intervals tile the observed user-days exactly
+        assert res.agg(F.sum("n_days")).collect()[0][0] == user_days
+        assert res.where(F.col("valid_from") > F.col("valid_to")).count() == 0
+        # consecutive intervals of one user never share a tier (else they
+        # would have been one island) and never overlap
+        w = Window.partitionBy("user_id").orderBy("valid_from")
+        lagged = res.select(
+            "user_id",
+            "tier",
+            "valid_from",
+            "valid_to",
+            F.lag("tier").over(w).alias("prev_tier"),
+            F.lag("valid_to").over(w).alias("prev_to"),
+        ).where(F.col("prev_tier").isNotNull())
+        assert lagged.where(F.col("prev_tier") == F.col("tier")).count() == 0
+        assert lagged.where(F.col("prev_to") >= F.col("valid_from")).count() == 0
+    finally:
+        res.unpersist()
+
+
 def test_lm_unigram_score_matches_token_count_and_bounds(spark):
     res = textops.q_lm_unigram_score(spark, SF_SMALL)
     tc = textops.q_token_count(spark, SF_SMALL).select("doc_id", "ws_tokens")
