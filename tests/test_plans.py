@@ -153,3 +153,35 @@ def test_pack_sharded_window_is_partitioned(spark):
     # the global (oracle-scale) formulation IS single-partition — the twin
     # exists precisely to shed that
     assert "SinglePartition" in _plan(spark, "pack_sequences")
+
+
+def test_doc_chunk_is_shuffle_free(spark):
+    plan = _plan(spark, "doc_chunk")
+    assert "Exchange" not in plan  # pure generate-and-explode, no shuffle
+    assert "Generate explode" in plan
+
+
+def test_span_dedup_no_cartesian(spark):
+    plan = _plan(spark, "span_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # document frequency joins back on the span key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_lm_unigram_vocab_joins_broadcast(spark):
+    plan = _plan(spark, "lm_unigram_score")
+    # the (tiny) unigram table and the 1-row total reach the doc-token
+    # side as broadcasts, never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_event_sequence_ops_single_user_shuffle(spark):
+    # lag/island windows partition by user_id: exactly one hash
+    # repartitioning by the user key feeds all window work
+    for name in ("event_transitions", "scd2_user_tiers"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "hashpartitioning(user_id" in plan
