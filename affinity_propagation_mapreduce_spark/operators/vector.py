@@ -771,6 +771,79 @@ def q_ivf_dup_subset_gate(spark, sf_dir):
     )
 
 
+# --- (⊕ r8) embedding drift between deterministic corpus halves -------------
+
+def q_embedding_drift(spark, sf_dir):
+    """Distribution-drift check an embedding pipeline runs before
+    trusting an index refresh: split the corpus into two deterministic
+    halves (md5 parity of vec_id — portable, seedless), compute each
+    label's per-half centroid, and report the L2 distance between the
+    half-centroids plus half sizes.  Near-zero drift = the halves are
+    exchangeable; a hot label whose halves diverge flags ingestion skew.
+
+    Scale shape: one explode → (label, half, dim) mean aggregation
+    (map-side combinable, output |labels|·|halves|·d rows) and a
+    |labels|-row join — nothing pairwise anywhere.  Centroid means are
+    group sums (engine-ordered) → round 6 on both sides, the
+    label_centroids convention."""
+    emb = _emb(spark, sf_dir)
+    half = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    x = emb.select(
+        "vec_id", "label", half.alias("half"), F.posexplode("emb")
+    ).select("vec_id", "label", "half", F.col("pos").alias("dim"),
+             F.col("col").alias("val"))
+    cent = x.groupBy("label", "half", "dim").agg(F.avg("val").alias("cval"))
+    sizes = (
+        emb.select("label", half.alias("half"))
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("half") == 0).cast("long")).alias("n_half0"),
+            F.sum((F.col("half") == 1).cast("long")).alias("n_half1"),
+        )
+    )
+    a, b = cent.where("half = 0").alias("a"), cent.where("half = 1").alias("b")
+    d2 = (F.col("a.cval") - F.col("b.cval")) * (F.col("a.cval") - F.col("b.cval"))
+    drift = (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.dim") == F.col("b.dim")))
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(F.round(F.sqrt(F.sum(d2)), 6).alias("centroid_drift"))
+    )
+    return drift.join(sizes, "label").select(
+        "label", "n_half0", "n_half1", "centroid_drift"
+    )
+
+
+_HALF_SQL = "CAST(('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS BIGINT) % 2"
+
+O_EMBED_DRIFT = f"""
+WITH e AS (
+  SELECT vec_id, label, {_HALF_SQL} AS half,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings),
+c AS (SELECT label, half, dim, avg(val) AS cval FROM e GROUP BY 1, 2, 3),
+sizes AS (
+  SELECT label,
+         CAST(sum(CASE WHEN {_HALF_SQL} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_half0,
+         CAST(sum(CASE WHEN {_HALF_SQL} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_half1
+  FROM embeddings GROUP BY label),
+drift AS (
+  SELECT a.label, ROUND(sqrt(sum((a.cval - b.cval) * (a.cval - b.cval))), 6)
+           AS centroid_drift
+  FROM c a JOIN c b ON a.label = b.label AND a.dim = b.dim
+                    AND a.half = 0 AND b.half = 1
+  GROUP BY a.label)
+SELECT label, n_half0, n_half1, centroid_drift
+FROM drift JOIN sizes USING (label)
+"""
+
+
 QUERIES = {
     "knn_cosine_topk": q_knn_cosine_topk,
     "ann_lsh_cosine": q_ann_lsh_cosine,
@@ -786,6 +859,7 @@ QUERIES = {
     # subset violation, so approximation regressions go red in the gate
     "ann_recall_gate": q_ann_recall_gate,
     "ivf_dup_subset_gate": q_ivf_dup_subset_gate,
+    "embedding_drift": q_embedding_drift,
 }
 
 ORACLES = {
@@ -795,4 +869,5 @@ ORACLES = {
     "dedup_embed_cosine": O_EMBED_DUP,
     "dist_histogram": O_DIST_HIST,
     "label_centroids": O_CENTROIDS,
+    "embedding_drift": O_EMBED_DRIFT,
 }
