@@ -288,3 +288,57 @@ def test_dedup_ivf_two_level_active_at_sf01(spark):
     for r in rows:
         assert r.i < r.k
         assert r.cosine >= vector.COSINE_DUP_TAU
+
+
+def test_coarse_assign_kernel_bitwise_equals_declarative(spark):
+    """The Arrow coarse-assignment kernel (vector._coarse_topn_cells)
+    must stay BITWISE-equal to the declarative crossJoin + fold-dot +
+    row_number formulation the DuckDB oracle mirrors — same float64
+    op sequence, same (cos DESC, cell ASC) tie-break.  Compares the
+    full end-to-end top-k row sets, doubles unrounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    from affinity_propagation_mapreduce_spark.operators.ivf import (
+        corpus_rows,
+        cost_balanced_nlist,
+    )
+
+    nlist = cost_balanced_nlist(corpus_rows(spark, sf), vector.N_PROBE)
+    emb = vector._emb(spark, sf)
+    norms = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(vector._fold_sum(F.transform("emb", lambda x: x * x))).alias(
+            "nrm"
+        ),
+    )
+    coarse = vector._lowid_coarse(spark, sf, nlist)
+    is_q = F.col("vec_id") < vector.N_QUERIES
+
+    # the pre-kernel declarative formulation, inlined verbatim
+    cos_to_cell = vector._dot(F.col("emb"), F.col("c_emb")) / (
+        F.col("nrm") * F.col("c_nrm")
+    )
+    scored = norms.crossJoin(F.broadcast(coarse)).select(
+        "vec_id", "emb", "nrm", "cell", cos_to_cell.alias("cell_cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    declarative = (
+        scored.withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") <= vector.N_PROBE)
+        .select("vec_id", "cell", "cell_cos", "crn")
+    )
+    kernel = vector._coarse_topn_cells(norms, coarse, vector.N_PROBE).select(
+        "vec_id", "cell", "cell_cos", "crn"
+    )
+    a = sorted(map(tuple, declarative.collect()))
+    b = sorted(map(tuple, kernel.collect()))
+    assert a == b and len(a) > 0
+
+    # and end-to-end: the full pipeline result is unchanged
+    full = sorted(
+        map(tuple, vector._ivf_knn_frames(norms, coarse, is_q).collect())
+    )
+    assert len(full) == vector.N_QUERIES * vector.TOP_K
