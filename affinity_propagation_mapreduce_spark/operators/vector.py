@@ -213,32 +213,38 @@ def _coarse_topn_cells(norms, coarse, n_probe):
         "cell long, cell_cos double, crn int"
     )
 
+    # bound the (chunk × nlist) score matrix to ~128 MB of doubles per
+    # task regardless of quantizer size — at nlist = 20k (N ≈ 10⁸) an
+    # unchunked 10k-row Arrow batch would allocate 1.6 GB per task
+    chunk_rows = max(256, 16_000_000 // max(1, len(cells)))
+
     def kernel(batches):
         import pandas as pd
 
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.array([list(e) for e in pdf["emb"]], dtype="f8")
-            nrm = pdf["nrm"].to_numpy(dtype="f8")
-            acc = np.zeros((len(pdf), len(cells)), dtype="f8")
-            for j in range(x.shape[1]):  # sequential over dims = the fold
-                acc = acc + x[:, j : j + 1] * cmat[:, j]
-            cos = acc / (nrm[:, None] * cnrm[None, :])
-            idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-            b = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy().repeat(k),
-                    "emb": [e for e in pdf["emb"] for _ in range(k)],
-                    "nrm": nrm.repeat(k),
-                    "cell": cells[idx].reshape(b * k),
-                    "cell_cos": np.take_along_axis(cos, idx, axis=1).reshape(
-                        b * k
-                    ),
-                    "crn": np.tile(np.arange(1, k + 1, dtype="i4"), b),
-                }
-            )
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo : lo + chunk_rows]
+                if len(part) == 0:
+                    continue
+                x = np.array([list(e) for e in part["emb"]], dtype="f8")
+                nrm = part["nrm"].to_numpy(dtype="f8")
+                acc = np.zeros((len(part), len(cells)), dtype="f8")
+                for j in range(x.shape[1]):  # sequential over dims = the fold
+                    acc = acc + x[:, j : j + 1] * cmat[:, j]
+                cos = acc / (nrm[:, None] * cnrm[None, :])
+                idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+                b = len(part)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": part["vec_id"].to_numpy().repeat(k),
+                        "emb": [e for e in part["emb"] for _ in range(k)],
+                        "nrm": nrm.repeat(k),
+                        "cell": cells[idx].reshape(b * k),
+                        "cell_cos": np.take_along_axis(cos, idx, axis=1)
+                        .reshape(b * k),
+                        "crn": np.tile(np.arange(1, k + 1, dtype="i4"), b),
+                    }
+                )
 
     return norms.select("vec_id", "emb", "nrm").mapInPandas(kernel, schema)
 
