@@ -234,22 +234,60 @@ class DenseAP:
         mask[np.arange(len(iv)), di] = False
         return s[mask]
 
+    def _offdiag_df(self) -> DataFrame:
+        """The N²−N off-diagonal s values as a DISTRIBUTED one-column
+        relation (``v``): posexplode each state row's s array and drop
+        the diagonal position via a broadcast (id → column index) map.
+        Reads the checkpointed zero state; nothing is collected."""
+        idx = self.spark.createDataFrame(
+            [(int(i), int(j)) for j, i in enumerate(self.ids)],
+            "i long, di int",
+        )
+        return (
+            self.state0()
+            .select("i", F.posexplode("s"))
+            .withColumnRenamed("col", "v")
+            .join(F.broadcast(idx), "i")
+            .where(F.col("pos") != F.col("di"))
+            .select("v")
+        )
+
     def pref_value(self, kind: str = "median") -> float:
-        """Exact preference scalar: interpolated median (the
-        ap._median_preference_fast formula — bitwise equal to
-        ``percentile(s, 0.5)``) or exact min.  Both scalars derive from
-        one collect whose O(N²) value array is dropped immediately — at
-        the gate boundary it is ~800 MB, too much to pin on the driver
-        for the engine instance's lifetime."""
+        """Exact preference scalar: interpolated median — bitwise equal
+        to ``percentile(s, 0.5)`` — or exact min.
+
+        Below ap._FAST_MEDIAN_MAX_N both derive from one driver collect
+        whose value array is dropped immediately (~200 MB at the 5k
+        gate).  Above it the driver never sees the N² values at all:
+        min is a plain aggregate and the median runs
+        ``ap.exact_median_distributed`` (rank-narrowing histogram,
+        bounded collect, bitwise-equal — the same routing every other
+        large-N preference uses since round 8).  This removed the last
+        O(N²) driver allocation in the engine; BLOCKED_MAX_N is now
+        bounded by executor state size + O(blocks·N) accumulator
+        payloads, not driver memory."""
         if kind not in self._prefs:
-            vals = self._offdiag()
-            self._prefs["min"] = float(vals.min())
-            m = vals.size
-            pos = 0.5 * (m - 1)
-            lo = int(pos)
-            part = np.partition(vals, [lo, lo + 1] if lo + 1 < m else [lo])
-            lower, upper = part[lo], part[min(lo + 1, m - 1)]
-            self._prefs["median"] = float(lower + (upper - lower) * (pos - lo))
+            from .ap import _FAST_MEDIAN_MAX_N, exact_median_distributed
+
+            if self.n <= _FAST_MEDIAN_MAX_N:
+                vals = self._offdiag()
+                self._prefs["min"] = float(vals.min())
+                m = vals.size
+                pos = 0.5 * (m - 1)
+                lo = int(pos)
+                part = np.partition(
+                    vals, [lo, lo + 1] if lo + 1 < m else [lo]
+                )
+                lower, upper = part[lo], part[min(lo + 1, m - 1)]
+                self._prefs["median"] = float(
+                    lower + (upper - lower) * (pos - lo)
+                )
+            else:
+                off = self._offdiag_df()
+                self._prefs["min"] = float(off.agg(F.min("v")).first()[0])
+                self._prefs["median"] = float(
+                    exact_median_distributed(off, col="v")
+                )
         return self._prefs[kind]
 
     # -- iteration -----------------------------------------------------

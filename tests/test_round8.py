@@ -262,3 +262,36 @@ class TestAboveGate:
         finally:
             ap.clear_cache()
             shutil.rmtree(sf_dir, ignore_errors=True)
+
+
+class TestBlockedPrefDistributed:
+    """The blocked engine's preference above _FAST_MEDIAN_MAX_N never
+    collects the N² off-diagonal array: min is a plain aggregate and the
+    median routes through ap.exact_median_distributed over the exploded
+    state — bitwise-equal to the numpy interpolation across the cliff."""
+
+    def test_blocked_pref_distributed_equals_numpy(self, spark, monkeypatch):
+        import inspect
+
+        from affinity_propagation_mapreduce_spark.operators import ap_dense
+
+        cls = [
+            o
+            for _, o in vars(ap_dense).items()
+            if inspect.isclass(o) and hasattr(o, "pref_value")
+        ][0]
+        e_np = cls(spark, SF_SMALL)
+        try:
+            med_np = e_np.pref_value("median")
+            min_np = e_np.pref_value("min")
+            e_d = cls(spark, SF_SMALL)
+            monkeypatch.setattr(ap, "_FAST_MEDIAN_MAX_N", 0)
+            try:
+                med_d = e_d.pref_value("median")
+                min_d = e_d.pref_value("min")
+            finally:
+                e_d.destroy()
+            assert med_d == med_np  # bitwise, no tolerance
+            assert min_d == min_np
+        finally:
+            e_np.destroy()
