@@ -36,14 +36,15 @@ decimals on both sides (ap.py module docstring).  The median preference
 reuses the interpolation formula proven bitwise-equal to
 ``percentile(s, 0.5)`` (ap._median_preference_fast).
 
-Scale gate: the driver-side pieces are O(N²) values for the median
-(``pref_value``'s transient collect) and O(blocks·N) for the stats
-combine, so the path is gated at ``BLOCKED_MAX_N``; above it the
-coordinate engine and the sparse/IVF path (``ap.cluster_sparse``) take
-over — dense N² state is the small-N regime by construction.  The
-coordinate engine's separate driver-median shortcut is gated lower
-(ap._FAST_MEDIAN_MAX_N = 5k) so ITS worst-case collect never coexists
-with this engine's accumulator payloads at the 10k edge.
+Scale gate: ``BLOCKED_MAX_N`` bounds the dense N² regime.  Since round
+8's continuation the gate is NOT driver-memory-bound — above
+ap._FAST_MEDIAN_MAX_N the preference is a distributed aggregate /
+rank-narrowing median and the driver only ever sees O(blocks·N)
+accumulator payloads.  The binding costs are the N² kernel work per
+iteration and the two resident 3·N²·8 B checkpointed states (measured:
+N=12k blocked exceeds 10 min while the coordinate loop takes 661 s —
+PLANS.md "blocked-gate probe"); above the gate the coordinate engine
+and the sparse/IVF path (``ap.cluster_sparse``) take over.
 """
 
 from __future__ import annotations
@@ -57,7 +58,7 @@ from ..sources import table
 from .ap import _ckpt
 
 DAMPING = 0.5
-BLOCKED_MAX_N = 10_000  # N² doubles must be driver-collectable for the median
+BLOCKED_MAX_N = 10_000  # N² kernel work + 2 resident N² states bound this
 # sparse ragged state (~n·k·24 B) small enough for ONE task: the whole
 # build + T iterations + assignment fuses into a single job (~3 MB at
 # 4k points, k=32) — see cluster_sparse_blocked's fused-small branch
@@ -282,11 +283,15 @@ class DenseAP:
                 self._prefs["median"] = float(
                     lower + (upper - lower) * (pos - lo)
                 )
+            elif kind == "min":
+                # only the requested scalar: a min chain never pays the
+                # multi-pass median narrowing (review finding r8)
+                self._prefs["min"] = float(
+                    self._offdiag_df().agg(F.min("v")).first()[0]
+                )
             else:
-                off = self._offdiag_df()
-                self._prefs["min"] = float(off.agg(F.min("v")).first()[0])
                 self._prefs["median"] = float(
-                    exact_median_distributed(off, col="v")
+                    exact_median_distributed(self._offdiag_df(), col="v")
                 )
         return self._prefs[kind]
 

@@ -1367,7 +1367,7 @@ def q_span_dedup(spark, sf_dir):
                 lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_K)),
             )
         ).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)  # one explode feeds DF agg + join probe
     gram_df = (
         grams.distinct()  # (doc_id, gram) set → rows per gram = distinct docs
         .groupBy("gram")
@@ -1493,6 +1493,9 @@ FROM comp c JOIN q USING (doc_id)
 
 # --- D18 unigram LM scoring (perplexity-filter proxy) ------------------------
 
+_LM_BROADCAST_MAX_DOCS = 1_000_000  # vocab broadcast cap (Heaps'-law proxy)
+
+
 def q_lm_unigram_score(spark, sf_dir):
     """CCNet-style LM quality scoring with the model Spark can train
     in-query: a corpus unigram LM (p(t) = count/total), each document
@@ -1501,16 +1504,25 @@ def q_lm_unigram_score(spark, sf_dir):
     this exact spot; the plan shape is identical.
 
     Scale shape: token counts are one map-side-combinable groupBy; the
-    (tiny) vocabulary joins back via broadcast; per-doc aggregation is
-    one keyed shuffle.  Per-doc NLL sums have <= |vocab-in-doc| double
-    terms, so ROUND(·, 4) is orders of magnitude above any summation-
-    order noise → fully hashed."""
+    vocabulary joins back via broadcast only while the corpus is
+    broadcast-sized (vocabulary grows with corpus size by Heaps' law, so
+    an unconditional broadcast would OOM at web scale — same gate
+    convention as _MINHASH_BROADCAST_MAX_DOCS); past the gate it is a
+    keyed shuffle join on the token.  Per-doc NLL sums have
+    <= |vocab-in-doc| double terms, so ROUND(·, 4) is orders of
+    magnitude above any summation-order noise → fully hashed."""
+    docs = _docs(spark, sf_dir)
     toks = _tokens(spark, sf_dir)
     tot = toks.agg(F.count("*").alias("total"))
     uni = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    hint = (
+        F.broadcast
+        if docs.count() <= _LM_BROADCAST_MAX_DOCS
+        else (lambda df: df)
+    )
     doc_tok = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     scored = (
-        doc_tok.join(F.broadcast(uni), "token")
+        doc_tok.join(hint(uni), "token")
         .crossJoin(F.broadcast(tot))
         .withColumn("nll", -F.col("tf") * F.log(F.col("cnt") / F.col("total")))
     )

@@ -213,10 +213,13 @@ def _coarse_topn_cells(norms, coarse, n_probe):
         "cell long, cell_cos double, crn int"
     )
 
-    # bound the (chunk × nlist) score matrix to ~128 MB of doubles per
-    # task regardless of quantizer size — at nlist = 20k (N ≈ 10⁸) an
-    # unchunked 10k-row Arrow batch would allocate 1.6 GB per task
-    chunk_rows = max(256, 16_000_000 // max(1, len(cells)))
+    # bound per-task transient memory regardless of quantizer size:
+    # three (chunk × nlist) matrices coexist at peak (the score matrix
+    # reused in place for cos, its negation for the stable argsort, and
+    # argsort's int64 index matrix) — 8M doubles each ⇒ ~192 MB.  At
+    # nlist = 20k (N ≈ 10⁸) an unchunked 10k-row Arrow batch would
+    # instead allocate multiple 1.6 GB matrices per task.
+    chunk_rows = max(256, 8_000_000 // max(1, len(cells)))
 
     def kernel(batches):
         import pandas as pd
@@ -230,9 +233,11 @@ def _coarse_topn_cells(norms, coarse, n_probe):
                 nrm = part["nrm"].to_numpy(dtype="f8")
                 acc = np.zeros((len(part), len(cells)), dtype="f8")
                 for j in range(x.shape[1]):  # sequential over dims = the fold
-                    acc = acc + x[:, j : j + 1] * cmat[:, j]
-                cos = acc / (nrm[:, None] * cnrm[None, :])
-                idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+                    acc += x[:, j : j + 1] * cmat[:, j]
+                cos = np.divide(acc, nrm[:, None] * cnrm[None, :], out=acc)
+                neg = np.negative(cos)
+                idx = np.argsort(neg, axis=1, kind="stable")[:, :k]
+                del neg
                 b = len(part)
                 yield pd.DataFrame(
                     {

@@ -337,8 +337,47 @@ def test_coarse_assign_kernel_bitwise_equals_declarative(spark):
     b = sorted(map(tuple, kernel.collect()))
     assert a == b and len(a) > 0
 
-    # and end-to-end: the full pipeline result is unchanged
+    # and end-to-end: the full pipeline equals the declarative fine
+    # stage built from the declarative coarse assignment (value-level,
+    # doubles unrounded — not just a row count)
+    ranked_d = scored.withColumn("crn", F.row_number().over(w))
+    assignment_d = ranked_d.where(F.col("crn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        "cell",
+    )
+    probes_d = ranked_d.where(
+        (F.col("crn") <= vector.N_PROBE) & is_q
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cell",
+    )
+    cosine = vector._dot(F.col("q_emb"), F.col("n_emb")) / (
+        F.col("q_nrm") * F.col("n_nrm")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    declarative_full = (
+        probes_d.join(assignment_d, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= vector.TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
     full = sorted(
         map(tuple, vector._ivf_knn_frames(norms, coarse, is_q).collect())
     )
+    expect = sorted(map(tuple, declarative_full.collect()))
+    assert full == expect
     assert len(full) == vector.N_QUERIES * vector.TOP_K
