@@ -1344,7 +1344,7 @@ FROM s
 SPAN_K = 8  # span width in tokens (Lee et al. use 50 BPE tokens at web scale)
 
 
-def q_span_dedup(spark, sf_dir):
+def q_span_dedup(spark, sf_dir, docs=None):
     """Substring-level dedup signal (the "Deduplicating Training Data
     Makes Language Models Better" shape, token-window variant): an
     8-token span is *duplicated* if the identical span occurs in >= 2
@@ -1355,8 +1355,13 @@ def q_span_dedup(spark, sf_dir):
     on the span for document frequency → equi-join back on the span
     key.  No all-pairs anything; the span string is the shuffle key
     (at 100 TB you'd key on a 128-bit span hash instead — same plan).
-    Integer counts and a scaled-integer ratio → fully hashed."""
-    docs = _docs(spark, sf_dir)
+    Integer counts and a scaled-integer ratio → fully hashed.
+
+    ``docs`` overrides the testdata source with a caller-supplied
+    (doc_id, text) frame (tools/text_scale_run.py drives the real
+    pipeline at 500k synthesized docs)."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     n = F.size(toks)
     grams = docs.where(n >= SPAN_K).select(

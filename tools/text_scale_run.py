@@ -64,6 +64,20 @@ def main() -> int:
     spark = get_spark("text-scale")
     spark.sparkContext.setLogLevel("ERROR")
     docs = synth_docs(spark, n).localCheckpoint(eager=True)  # exclude synth cost
+    t0 = time.time()
+    span_rows = textops.q_span_dedup(spark, sf_dir=None, docs=docs).count()
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "op": "span_dedup",
+                "n_docs": n,
+                "wall_sec": round(wall, 1),
+                "rows": span_rows,
+                "docs_per_sec": round(n / wall),
+            }
+        )
+    )
     for branch, bv in (("broadcast_verify", True), ("shuffle_verify", False)):
         t0 = time.time()
         pairs = textops.q_dedup_near_minhash(
