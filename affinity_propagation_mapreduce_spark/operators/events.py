@@ -1072,9 +1072,10 @@ def q_stream_batch_equiv_sessionize(spark, sf_dir):
 
 
 def q_stream_batch_equiv_gate(spark, sf_dir):
-    """Rows-only batch≡stream gate for the five F-row twins the
-    sessionize gate doesn't cover (r5 verdict #5): win_tumbling,
-    win_sliding, late_data_watermark, dedup_stateful, resample_ffill.
+    """Rows-only batch≡stream gate for the six twins the sessionize
+    gate doesn't cover (r5 verdict #5): win_tumbling, win_sliding,
+    late_data_watermark, dedup_stateful, resample_ffill, and (r8) the
+    stateful-lag event_transitions twin.
     Each streaming twin drains bounded input (availableNow trigger,
     memory sink) and its rows are compared against the batch operator as
     a MULTISET (exceptAll both directions — stricter than the per-user
@@ -1140,6 +1141,24 @@ def q_stream_batch_equiv_gate(spark, sf_dir):
             q_resample_ffill(spark, sf_dir),
             ["user_id", "hour", "value_ffill", "is_observed"],
         ),
+        (
+            # per-transition rows: the stateful-lag twin vs the batch
+            # lag window, compared BEFORE aggregation (stricter than
+            # comparing the counted matrix)
+            "event_transitions",
+            twins.transitions_stream_raw(spark, sf_dir),
+            "append",
+            _ev(spark, sf_dir)
+            .select(
+                "user_id",
+                F.lag("event_type")
+                .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+                .alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+            .where(F.col("from_type").isNotNull()),
+            ["user_id", "from_type", "to_type"],
+        ),
     ]
     out = []
     for name, stream, mode, batch, cols in cases:
@@ -1177,7 +1196,7 @@ QUERIES = {
     "partition_prune_readback": q_partition_prune_readback,
     # rows-only: runs a real structured stream, no SQL equivalent
     "stream_batch_equiv_sessionize": q_stream_batch_equiv_sessionize,
-    # rows-only: multiset equality gate over the other five F twins
+    # rows-only: multiset equality gate over the other six twins
     "stream_batch_equiv_gate": q_stream_batch_equiv_gate,
 }
 

@@ -410,3 +410,77 @@ def attribution_stream(ev: DataFrame) -> DataFrame:
         ),
         "inner",
     ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+
+
+_TRANS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+_TRANS_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def transitions_stream_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_event_transitions' per-user lag: each user's
+    LAST event rides keyed state across micro-batches
+    (applyInPandasWithState), and every batch emits one row per
+    consecutive (prev → next) event-type pair in (ts, event_id) order —
+    the cross-batch boundary pair comes from the carried state.
+    Aggregating the emitted pairs reproduces the batch transition matrix
+    exactly on bounded input (tested, and checked by
+    q_stream_batch_equiv_gate).  Append caveat (inherent): per-user
+    batches must arrive time-ordered; the single-trigger bounded source
+    guarantees it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = _staged_events_stream(spark, sf_dir)
+
+    def _update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_type = state.get[2] if state.exists else None
+        pdf = pd.concat(list(pdfs))
+        if len(pdf) == 0:
+            yield pd.DataFrame(
+                {"user_id": [], "from_type": [], "to_type": []}
+            )
+            return
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        types = list(pdf["event_type"])
+        out_from, out_to = [], []
+        prev = last_type
+        for t in types:
+            if prev is not None:
+                out_from.append(prev)
+                out_to.append(t)
+            prev = t
+        state.update(
+            (
+                int(pdf["ts"].iloc[-1]),
+                int(pdf["event_id"].iloc[-1]),
+                types[-1],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_from),
+                "from_type": out_from,
+                "to_type": out_to,
+            }
+        )
+
+    return raw.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_TRANS_OUTPUT,
+        stateStructType=_TRANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

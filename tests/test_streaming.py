@@ -224,3 +224,38 @@ def test_attribution_stream_stream_join_equals_batch_pairs(spark):
     got_pairs = {(r.purchase_id, r.view_id) for r in got.collect()}
     want_pairs = {(r.purchase_id, r.view_id) for r in want.collect()}
     assert got_pairs == want_pairs
+
+
+def test_transitions_twin_equals_batch_pairs(spark):
+    """The stateful-lag twin's per-transition rows equal the batch lag
+    window's, as a multiset — and aggregating them reproduces the
+    declared transition-matrix counts exactly."""
+    from pyspark.sql import Window
+
+    got = _run_stream(
+        spark,
+        twins.transitions_stream_raw(spark, SF_SMALL),
+        "transitions_sink",
+        "append",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+    )
+    cols = ["user_id", "from_type", "to_type"]
+    assert _rows(got, cols) == _rows(want, cols)
+    got_counts = _rows(
+        got.groupBy("from_type", "to_type").agg(F.count("*").alias("n")),
+        ["from_type", "to_type", "n"],
+    )
+    batch_counts = _rows(
+        ev_ops.q_event_transitions(spark, SF_SMALL),
+        ["from_type", "to_type", "n"],
+    )
+    assert got_counts == batch_counts
