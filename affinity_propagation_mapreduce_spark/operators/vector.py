@@ -471,6 +471,88 @@ WHERE list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]),
 """
 
 
+# --- (⊕ r8) embed-dedup canonicalization: pairs → components → survivor -----
+
+def q_dedup_embed_components(spark, sf_dir):
+    """The canonicalization step of the EMBEDDING dedup pipeline (the
+    vector mirror of textops D5c): connected components over the cosine
+    >= tau pair graph, component id = min vec_id, survivor = the vector
+    equal to its component id.  Iterative min-label propagation —
+    symmetrized checkpointed edges, per-vertex min per round,
+    O(component diameter) rounds (near-dup components are near-cliques);
+    at 100 TB the identical loop runs over the IVF twin's pair output
+    instead of the all-pairs oracle form.  Deterministic (min) → hashed
+    against a DuckDB recursive-CTE oracle."""
+    pairs = q_dedup_embed_cosine(spark, sf_dir).select("i", "k")
+    ids = _emb(spark, sf_dir).select("vec_id")
+    edges = (
+        pairs.select(F.col("i").alias("src"), F.col("k").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("k").alias("src"), F.col("i").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = ids.select("vec_id", F.col("vec_id").alias("comp"))
+    while True:
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["vec_id"])
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "old_comp"), "vec_id"
+            )
+            .where(F.col("comp") != F.col("old_comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "vec_id",
+        "comp",
+        (F.col("vec_id") == F.col("comp")).cast("long").alias("is_canonical"),
+    )
+
+
+# the oracle replays the same pair predicate, then closes components
+# with a recursive CTE — structure mirrors textops.O_DEDUP_COMPONENTS
+O_EMBED_COMPONENTS = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> x*x),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS i, b.vec_id AS k
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.emb, b.emb), p -> p[1]*p[2]),
+                    (x, y) -> x + y) / (a.nrm * b.nrm) >= {COSINE_DUP_TAU}),
+edges AS (SELECT i AS src, k AS dst FROM pairs
+          UNION ALL
+          SELECT k AS src, i AS dst FROM pairs),
+reach(vec_id, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT ed.dst, r.comp FROM reach r JOIN edges ed ON r.vec_id = ed.src)
+SELECT vec_id, min(comp) AS comp,
+       CAST(vec_id = min(comp) AS BIGINT) AS is_canonical
+FROM reach GROUP BY vec_id
+"""
+
+
 # --- E5b IVF-bucketed embed-cosine near-dup (the 100 TB path) ---------------
 
 DUP_NPROBE = 8  # near-threshold pairs are loosely clustered → probe wide
@@ -929,6 +1011,7 @@ QUERIES = {
     "ann_recall_gate": q_ann_recall_gate,
     "ivf_dup_subset_gate": q_ivf_dup_subset_gate,
     "embedding_drift": q_embedding_drift,
+    "dedup_embed_components": q_dedup_embed_components,
 }
 
 ORACLES = {
@@ -939,4 +1022,5 @@ ORACLES = {
     "dist_histogram": O_DIST_HIST,
     "label_centroids": O_CENTROIDS,
     "embedding_drift": O_EMBED_DRIFT,
+    "dedup_embed_components": O_EMBED_COMPONENTS,
 }
