@@ -1551,8 +1551,95 @@ GROUP BY doc_id
 """
 
 
+# --- (⊕ r8) BM25 retrieval scoring ------------------------------------------
+
+BM25_K1 = 1.2          # standard Robertson parameters
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "filter")  # fixed query term set
+BM25_TOP_N = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-N retrieval for a fixed query term set — the classic
+    lexical ranking used to mine/score training documents against a
+    probe query (quality filtering, dedup-against-eval, retrieval
+    baselines).  idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    Robertson/Lucene non-negative variant), tf component
+    tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)).
+
+    Scale shape: per-doc length (dl) is one map-side-combinable groupBy
+    over the token stream; the query-term postings are FILTERED to the
+    |q|=3 terms BEFORE their (doc_id, token) aggregation, so the scored
+    relation is bounded by the query's posting lists, never the corpus
+    vocabulary.  N/avgdl are a 1-row broadcast crossJoin.  Ranking is a
+    TakeOrderedAndProject top-N (no global sort materialized).  Scores
+    are summed over ≤3 terms then ROUND(·, 4); ranking uses the rounded
+    score with doc_id tie-break, so order is engine-stable → hashed."""
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.where(F.col("token").isin(*BM25_QUERY))
+    tf = qtoks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = qtoks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score", idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 4).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(BM25_TOP_N)
+    )
+
+
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+O_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM toks WHERE token IN ({_BM25_Q_SQL})),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
+dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({BM25_K1} + 1.0)
+           / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+           AS term_score
+  FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id, ROUND(sum(term_score), 4) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP_N}
+"""
+
+
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
+    "bm25_topk": q_bm25_topk,
     "bpe_pair_stats": q_bpe_pair_stats,
     "dedup_report": q_dedup_report,
     "dedup_simhash": q_dedup_simhash,
@@ -1580,6 +1667,7 @@ QUERIES = {
 
 ORACLES = {
     "tok_wordcount": O_WORDCOUNT,
+    "bm25_topk": O_BM25,
     "bpe_pair_stats": O_BPE_PAIRS,
     "dedup_report": O_DEDUP_REPORT,
     "dedup_simhash": O_SIMHASH,

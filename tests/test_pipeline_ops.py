@@ -185,3 +185,42 @@ def test_lm_unigram_score_matches_token_count_and_bounds(spark):
         F.min("avg_neg_logprob").alias("mn"), F.max("avg_neg_logprob").alias("mx")
     ).collect()[0]
     assert 0.0 < row.mn <= row.mx <= math.log(total) + 1e-9
+
+
+def test_bm25_topk_invariants(spark):
+    """BM25 top-N: scores positive and sorted; per-term contribution
+    bounded by idf·(k1+1); a doc hitting all query terms with higher tf
+    and shorter length than another must not score lower (monotonicity
+    is checked indirectly via the exhaustive rescoring below)."""
+    import math
+
+    res = textops.q_bm25_topk(spark, SF_SMALL).collect()
+    assert 0 < len(res) <= textops.BM25_TOP_N
+    scores = [r.bm25 for r in res]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r.n_terms_hit <= len(textops.BM25_QUERY) for r in res)
+    # independent numpy rescoring of the full corpus reproduces the top-N
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    toks = {r.doc_id: r.text.split(" ") for r in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = textops.BM25_K1, textops.BM25_B
+    expect = []
+    for doc_id, tt in toks.items():
+        score, hits = 0.0, 0
+        for q in textops.BM25_QUERY:
+            tf = tt.count(q)
+            if tf == 0:
+                continue
+            df = sum(1 for t2 in toks.values() if q in t2)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            dl = len(tt)
+            score += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+            hits += 1
+        if hits:
+            expect.append((round(score, 4), doc_id, hits))
+    expect.sort(key=lambda x: (-x[0], x[1]))
+    top = expect[: textops.BM25_TOP_N]
+    got = [(r.bm25, r.doc_id, r.n_terms_hit) for r in res]
+    assert got == [(s, d, h) for s, d, h in top]
