@@ -185,3 +185,11 @@ def test_event_sequence_ops_single_user_shuffle(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "hashpartitioning(user_id" in plan
+
+
+def test_bm25_topk_plan_is_topn_not_global_sort(spark):
+    plan = _plan(spark, "bm25_topk")
+    # the final ranking is a streaming top-N, not a materialized global sort
+    assert "TakeOrderedAndProject" in plan
+    # df/stats sides reach the postings as broadcasts, never a shuffled join
+    assert "SortMergeJoin" not in plan
