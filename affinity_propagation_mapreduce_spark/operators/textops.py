@@ -325,6 +325,49 @@ MINHASH_PRIME = 2147483647  # 2^31-1; (ha + 31*hb) < 2^53 stays exact int64
 _MINHASH_BROADCAST_MAX_DOCS = 1_000_000  # ≈ dimension-table broadcast cap
 
 
+def _minhash_band_buckets(sh):
+    """(doc_id, band, bucket) — banded MinHash buckets from a
+    (doc_id, shingle) relation.  All N_HASHES minhashes come from ONE
+    hash aggregation (32 ``min()`` columns over the shingle rows — the
+    seeded-explode formulation shuffles 32× the rows for the same
+    signatures); the Carter–Wegman double-hash family (one md5 split
+    into two 48-bit halves) keeps every value exact int64, so DuckDB
+    replays the identical banding."""
+    digest = F.md5("shingle")
+    hashed = sh.select(
+        "doc_id",
+        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long").alias("ha"),
+        F.conv(F.substring(digest, 13, 12), 16, 10).cast("long").alias("hb"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("ha") + s * F.col("hb")) % MINHASH_PRIME).alias(f"h{s}")
+            for s in range(N_HASHES)
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{band * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("bucket"),
+                )
+                for band in range(N_BANDS)
+            ])
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def q_dedup_near_minhash(
     spark, sf_dir, broadcast_verify: bool | None = None, docs=None
 ):
@@ -359,43 +402,9 @@ def q_dedup_near_minhash(
     pipeline over a synthetic corpus sweep.
     """
     sh = _shingles(spark, sf_dir, docs=docs)
-    digest = F.md5("shingle")
-    hashed = sh.select(
-        "doc_id",
-        F.conv(F.substring(digest, 1, 12), 16, 10).cast("long").alias("ha"),
-        F.conv(F.substring(digest, 13, 12), 16, 10).cast("long").alias("hb"),
-    )
-    # all N_HASHES minhashes from ONE hash aggregation (32 min() columns
-    # over the shingle rows) — the seeded-explode formulation shuffles
-    # 32× the rows for the same signatures
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("ha") + s * F.col("hb")) % MINHASH_PRIME).alias(f"h{s}")
-            for s in range(N_HASHES)
-        ]
-    )
-    rows_per_band = N_HASHES // N_BANDS
-    buckets = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(band).alias("band"),
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{band * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ).alias("bucket"),
-                )
-                for band in range(N_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # checkpoint before the self-join: both join sides reuse ONE
     # materialization instead of recomputing the signature subplan twice
-    buckets = buckets.localCheckpoint(eager=False)
+    buckets = _minhash_band_buckets(sh).localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -478,6 +487,115 @@ JOIN sets sa ON cand.doc_lo = sa.doc_id
 JOIN sets sb ON cand.doc_hi = sb.doc_id
 WHERE len(list_intersect(sa.shs, sb.shs)) /
       (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+      >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# --- (⊕ r8) incremental dedup: new batch vs existing corpus index -----------
+
+INCR_NEW_BUCKETS = 100  # md5 bucket < 100 of 1000 → ~10% "new batch"
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup — the production daily-crawl shape: match a
+    NEW document batch against the EXISTING corpus without re-deduping
+    the corpus against itself.  The split is the deterministic md5
+    bucket (sampling.py convention): bucket < INCR_NEW_BUCKETS = the new
+    batch (~10%), the rest = the indexed corpus.  Candidates come from
+    the banded-MinHash bucket equi-join of batch signatures against
+    index signatures (the same portable Carter–Wegman banding as
+    ``dedup_near_minhash``); verification is exact shingle Jaccard.
+
+    Scale shape: the index side pays one signature build (amortized in
+    production — signatures persist); the batch side is small BY
+    CONSTRUCTION, so its band buckets AND its shingle sets broadcast,
+    and the only big-side work is the broadcast-probe of the index
+    relations — no index self-join ever happens.  The verify join
+    against the index's shingle sets is keyed by doc_id (the index
+    dimension can never broadcast at 100 TB).  → hashed."""
+    from .sampling import _bucket
+
+    docs = _docs(spark, sf_dir)
+    is_new = _bucket(F.col("doc_id")) < INCR_NEW_BUCKETS
+    sh_new = _shingles(spark, sf_dir, docs=docs.where(is_new))
+    sh_old = _shingles(spark, sf_dir, docs=docs.where(~is_new))
+    sh_new = sh_new.localCheckpoint(eager=False)  # buckets + sets: one build
+    bn = _minhash_band_buckets(sh_new).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "bucket"
+    )
+    bo = _minhash_band_buckets(sh_old).select(
+        F.col("doc_id").alias("old_doc_id"), "band", "bucket"
+    )
+    cand = (
+        bo.join(F.broadcast(bn), ["band", "bucket"])
+        .select("new_doc_id", "old_doc_id")
+        .distinct()
+    )
+    sets_new = sh_new.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shs_new")
+    ).select(F.col("doc_id").alias("new_doc_id"), "shs_new")
+    sets_old = sh_old.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("shs_old")
+    ).select(F.col("doc_id").alias("old_doc_id"), "shs_old")
+    inter = F.size(F.array_intersect("shs_new", "shs_old"))
+    union = F.size("shs_new") + F.size("shs_old") - inter
+    jac = inter / union
+    return (
+        cand.join(sets_old, "old_doc_id")
+        .join(F.broadcast(sets_new), "new_doc_id")
+        .where(jac >= NGRAM_JACCARD_THRESHOLD)
+        .select(
+            "new_doc_id",
+            "old_doc_id",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+_INCR_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS BIGINT)"
+    " % 1000"
+)
+
+O_DEDUP_INCREMENTAL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         ({_INCR_BUCKET_SQL}) < {INCR_NEW_BUCKETS} AS is_new
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, is_new,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS shingle
+  FROM t),
+hashed AS (
+  SELECT doc_id, is_new,
+         ('0x' || substring(md5(shingle), 1, 12))::BIGINT AS ha,
+         ('0x' || substring(md5(shingle), 13, 12))::BIGINT AS hb
+  FROM sh),
+hs AS (
+  SELECT doc_id, is_new, seeds.s,
+         min((ha + seeds.s * hb) % {MINHASH_PRIME}) AS mh
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, {N_HASHES})) AS s) seeds
+  GROUP BY doc_id, is_new, seeds.s),
+sig AS (
+  SELECT doc_id, is_new, s // {N_HASHES // N_BANDS} AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY s) AS bucket
+  FROM hs GROUP BY doc_id, is_new, s // {N_HASHES // N_BANDS}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, o.doc_id AS old_doc_id
+  FROM sig n JOIN sig o
+    ON n.band = o.band AND n.bucket = o.bucket
+  WHERE n.is_new AND NOT o.is_new),
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS shs FROM sh GROUP BY doc_id)
+SELECT new_doc_id, old_doc_id,
+       ROUND(len(list_intersect(sn.shs, so.shs)) /
+             (len(sn.shs) + len(so.shs) - len(list_intersect(sn.shs, so.shs))),
+             6) AS jaccard
+FROM cand
+JOIN sets sn ON cand.new_doc_id = sn.doc_id
+JOIN sets so ON cand.old_doc_id = so.doc_id
+WHERE len(list_intersect(sn.shs, so.shs)) /
+      (len(sn.shs) + len(so.shs) - len(list_intersect(sn.shs, so.shs)))
       >= {NGRAM_JACCARD_THRESHOLD}
 """
 
@@ -1640,6 +1758,7 @@ LIMIT {BM25_TOP_N}
 QUERIES = {
     "tok_wordcount": q_tok_wordcount,
     "bm25_topk": q_bm25_topk,
+    "dedup_incremental": q_dedup_incremental,
     "bpe_pair_stats": q_bpe_pair_stats,
     "dedup_report": q_dedup_report,
     "dedup_simhash": q_dedup_simhash,
@@ -1668,6 +1787,7 @@ QUERIES = {
 ORACLES = {
     "tok_wordcount": O_WORDCOUNT,
     "bm25_topk": O_BM25,
+    "dedup_incremental": O_DEDUP_INCREMENTAL,
     "bpe_pair_stats": O_BPE_PAIRS,
     "dedup_report": O_DEDUP_REPORT,
     "dedup_simhash": O_SIMHASH,

@@ -224,3 +224,29 @@ def test_bm25_topk_invariants(spark):
     top = expect[: textops.BM25_TOP_N]
     got = [(r.bm25, r.doc_id, r.n_terms_hit) for r in res]
     assert got == [(s, d, h) for s, d, h in top]
+
+
+def test_dedup_incremental_subset_and_split_law(spark):
+    """Incremental pairs must (a) be cross-split (new batch × index),
+    (b) be a subset of the exact ngram-Jaccard pair relation with
+    identical jaccard values, and (c) never pair two new docs."""
+    from affinity_propagation_mapreduce_spark.operators.sampling import _bucket
+
+    res = textops.q_dedup_incremental(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    buckets = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id", _bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    exact = {
+        (r.doc_lo, r.doc_hi): r.jaccard
+        for r in textops.q_dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    }
+    for r in res:
+        assert buckets[r.new_doc_id] < textops.INCR_NEW_BUCKETS
+        assert buckets[r.old_doc_id] >= textops.INCR_NEW_BUCKETS
+        key = (min(r.new_doc_id, r.old_doc_id), max(r.new_doc_id, r.old_doc_id))
+        assert key in exact
+        assert abs(exact[key] - r.jaccard) < 1e-9

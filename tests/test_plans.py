@@ -193,3 +193,12 @@ def test_bm25_topk_plan_is_topn_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     # df/stats sides reach the postings as broadcasts, never a shuffled join
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_incremental_broadcast_probe_no_self_join(spark):
+    plan = _plan(spark, "dedup_incremental")
+    # the new-batch side (band buckets + shingle sets) probes the index
+    # via broadcast joins; the index is never self-joined or sort-merged
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
