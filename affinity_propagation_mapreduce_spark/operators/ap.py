@@ -647,6 +647,7 @@ def ivf_candidate_pairs(
     trained: bool = False,
     emb: DataFrame | None = None,
     n: int | None = None,
+    per_point_topk: int | None = None,
 ) -> DataFrame:
     """Deduplicated candidate pairs (i < k, s) from an IVF coarse
     quantizer, WITHOUT materializing the dense N² kernel.
@@ -671,7 +672,22 @@ def ivf_candidate_pairs(
     (vec_id, embedding) frame and its row count — used by the measured
     growth-law test (tests/test_growth_law.py) to drive the REAL
     candidate generator over a synthetic N-sweep, since the driver's
-    testdata only ships two distinct corpus sizes."""
+    testdata only ships two distinct corpus sizes.
+
+    ``per_point_topk``: when set, each cell task emits only the DIRECTED
+    per-endpoint top-k rows (i, k, s) under the (s DESC, k ASC) order —
+    both orientations, across-cell duplicates NOT yet removed — instead
+    of the canonical all-pairs relation.  Any candidate in a point's
+    GLOBAL top-k ranks ≤ k within every cell that contains it (within-
+    cell rank over a subset can only be lower), so downstream
+    dedup + per-i top-k over this reduced relation is provably identical
+    to running it over the full pair set — while the shuffled candidate
+    volume drops from O(N·nprobe·cell_size) = O(N^1.5) rows to
+    O(N·nprobe·k).  At N=1M the full relation is ~2×10⁹ rows (~100 GB
+    spill — it filled this host's disk); the top-k relation is ~128M.
+    Below cell_size ≈ k the mode emits the same rows as the all-pairs
+    path (nothing to truncate), so small-N plans are unchanged.
+    Bitwise equivalence is pinned in tests/test_round8.py."""
     import numpy as np
     import pandas as pd
 
@@ -759,6 +775,33 @@ def ivf_candidate_pairs(
         # within-cell dedup (probe×member emits both orientations)
         return out.drop_duplicates(["i", "k"])
 
+    def cell_topk_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cell_kernel(pdf)
+        if not len(out):
+            return out
+        lo = out["i"].to_numpy(dtype="i8")
+        hi = out["k"].to_numpy(dtype="i8")
+        s = out["s"].to_numpy(dtype="f8")
+        # both directed orientations of the deduped canonical pairs
+        ep = np.concatenate([lo, hi])
+        other = np.concatenate([hi, lo])
+        ss = np.concatenate([s, s])
+        # per-endpoint rank under (s DESC, other ASC) — the window
+        # comparator downstream; lexsort keys are last-key-primary
+        order = np.lexsort((other, -ss, ep))
+        ep, other, ss = ep[order], other[order], ss[order]
+        idx = np.arange(len(ep))
+        grp_start = np.where(np.r_[True, ep[1:] != ep[:-1]], idx, 0)
+        rank = idx - np.maximum.accumulate(grp_start)
+        keep = rank < per_point_topk
+        return pd.DataFrame({"i": ep[keep], "k": other[keep], "s": ss[keep]})
+
+    if per_point_topk is not None:
+        # directed, per-cell-truncated; caller dedups across cells
+        return roles.groupBy("cell").applyInPandas(
+            cell_topk_kernel, schema="i long, k long, s double"
+        )
+
     return (
         roles.groupBy("cell")
         .applyInPandas(cell_kernel, schema="i long, k long, s double")
@@ -770,12 +813,17 @@ def knn_candidate_pairs(
     spark: SparkSession, sf_dir: str, k: int = 32, trained: bool = False
 ) -> DataFrame:
     """Symmetric k-NN candidate graph (i, k, s): per-point top-k over the
-    IVF candidate pairs, symmetrized.  All window/top-k work runs over
-    the O(N·nprobe·cell_size) candidate rows — never N² rows."""
-    pairs = ivf_candidate_pairs(spark, sf_dir, trained=trained)
-    sym = pairs.unionByName(
-        pairs.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
+    IVF candidates, symmetrized.  The cell kernels emit per-endpoint
+    top-k directly (``per_point_topk`` — provably the same survivors,
+    see ivf_candidate_pairs), so the shuffled relation is O(N·nprobe·k)
+    rows, never the O(N^1.5) all-pairs set; the window then reduces the
+    ≤ nprobe·k rows per point to the global top-k."""
+    pairs = ivf_candidate_pairs(
+        spark, sf_dir, trained=trained, per_point_topk=k
     )
+    # already directed (both orientations); dedup pairs that met in
+    # several cells — duplicate rows carry bitwise-equal s
+    sym = pairs.dropDuplicates(["i", "k"])
     w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
     topk = (
         sym.withColumn("rn", F.row_number().over(w))

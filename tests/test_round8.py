@@ -295,3 +295,62 @@ class TestBlockedPrefDistributed:
             assert min_d == min_np
         finally:
             e_np.destroy()
+
+
+class TestPerCellTopkCandidates:
+    """The fused per-endpoint top-k cell kernel (``per_point_topk``)
+    must reproduce the all-pairs formulation BITWISE: any global top-k
+    candidate ranks <= k within its own cell, so per-cell truncation
+    cannot change the survivors.  Checked where truncation is inactive
+    (testdata: cell_size < k) AND on a synthetic corpus where cells are
+    ~2x larger than k (truncation live)."""
+
+    @staticmethod
+    def _topk_chain(pairs_directed, k):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
+        topk = (
+            pairs_directed.dropDuplicates(["i", "k"])
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("i", "k", "s")
+        )
+        back = topk.unionByName(
+            topk.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
+        )
+        return back.dropDuplicates(["i", "k"])
+
+    def _assert_equal(self, spark, k, **src):
+        from pyspark.sql import functions as F
+
+        full = ap.ivf_candidate_pairs(spark, **src)
+        sym = full.unionByName(
+            full.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
+        )
+        old = self._topk_chain(sym, k)
+        new = self._topk_chain(
+            ap.ivf_candidate_pairs(spark, per_point_topk=k, **src), k
+        )
+        o = sorted((r.i, r.k, r.s) for r in old.collect())
+        n = sorted((r.i, r.k, r.s) for r in new.collect())
+        assert o == n  # bitwise: s compared by float equality
+
+    def test_equal_on_testdata(self, spark):
+        self._assert_equal(spark, 32, sf_dir=SF_SMALL)
+
+    def test_equal_with_live_truncation(self, spark):
+        import numpy as np
+
+        n, d = 6000, 8
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(24, d))
+        pts = centers[np.arange(n) % 24] + 0.5 * rng.normal(size=(n, d))
+        emb = spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        # cost-balanced nlist = sqrt(4*6000) ~ 155 -> cell_size ~ 39 > 8:
+        # per-cell truncation is live at k=8
+        self._assert_equal(spark, 8, sf_dir=SF_SMALL, emb=emb, n=n)
