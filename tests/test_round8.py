@@ -354,3 +354,86 @@ class TestPerCellTopkCandidates:
         # cost-balanced nlist = sqrt(4*6000) ~ 155 -> cell_size ~ 39 > 8:
         # per-cell truncation is live at k=8
         self._assert_equal(spark, 8, sf_dir=SF_SMALL, emb=emb, n=n)
+
+
+class TestPQ:
+    """knn_cosine_pq (ADC shortlist + exact re-rank): the distributed
+    pipeline must reproduce a single-process numpy reference of the SAME
+    recipe exactly (codebooks are deterministic, per-partition shortlist
+    truncation is provably survivor-safe), and the in-query recall gate
+    must be live."""
+
+    def test_pq_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        rows = (
+            table(spark, SF_SMALL, "embeddings")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        rows.sort(key=lambda r: r.vec_id)
+        ids = np.array([r.vec_id for r in rows], dtype="i8")
+        x = np.array([list(r.embedding) for r in rows], dtype="f8")
+        nrm = np.sqrt((x * x).sum(axis=1))
+
+        books = V._pq_train_codebooks(spark, SF_SMALL)
+        m_, k_, dsub = books.shape
+        xs = x.reshape(len(x), m_, dsub)
+        codes = np.empty((len(x), m_), dtype="i8")
+        for m in range(m_):
+            d2 = (
+                (xs[:, m] * xs[:, m]).sum(axis=1, keepdims=True)
+                - 2.0 * xs[:, m] @ books[m].T
+                + (books[m] * books[m]).sum(axis=1)[None, :]
+            )
+            codes[:, m] = d2.argmin(axis=1)
+
+        got = {
+            (r.query_id, r.rn): r.neighbor_id
+            for r in V.knn_cosine_pq(spark, SF_SMALL).collect()
+        }
+        for q in range(V.N_QUERIES):
+            qi = int(np.where(ids == q)[0][0])
+            lut = np.einsum(
+                "md,mcd->mc", xs[qi], books
+            )  # (M, KSUB) query table
+            adc = np.zeros(len(x), dtype="f8")
+            for m in range(m_):
+                adc += lut[m, codes[:, m]]
+            adc = adc / (nrm[qi] * nrm)
+            mask = ids != q
+            cand_ids, cand = ids[mask], adc[mask]
+            short = cand_ids[np.lexsort((cand_ids, -cand))[: V.PQ_SHORTLIST]]
+            # exact re-rank of the shortlist
+            sel = np.isin(ids, short)
+            exact = (x[sel] @ x[qi]) / (nrm[sel] * nrm[qi])
+            eids = ids[sel]
+            order = np.lexsort((eids, -exact))[: V.TOP_K]
+            for rank, j in enumerate(order, start=1):
+                assert got[(q, rank)] == eids[j], (q, rank)
+
+    def test_pq_recall_gate_raises_below_floor(self, spark, monkeypatch):
+        from affinity_propagation_mapreduce_spark.operators import vector
+
+        monkeypatch.setitem(vector.RECALL_FLOORS, "knn_cosine_pq", 1.01)
+        with pytest.raises(AssertionError, match="PQ recall collapsed"):
+            vector.q_knn_cosine_pq(spark, SF_SMALL).count()
+
+    def test_pq_recall_high_at_test_scale(self, spark):
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+
+        exact = V.q_knn_cosine_topk(spark, SF_SMALL).select(
+            "query_id", "neighbor_id"
+        )
+        n = exact.count()
+        hit = exact.join(
+            V.knn_cosine_pq(spark, SF_SMALL).select(
+                "query_id", "neighbor_id"
+            ),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        assert n > 0 and hit / n >= 0.9  # measured 0.98
