@@ -1316,6 +1316,196 @@ GROUP BY band
 """
 
 
+# --- (⊕ r8) bucketed co-located join ----------------------------------------
+
+JOIN_BUCKETS = 8
+
+
+def _bucketed_layout(spark, sf_dir):
+    """Write orders+lineitem hash-bucketed on the join key ONCE per
+    (application, sf_dir) and return the catalog table names.  The
+    layout lives under the application's /tmp scratch (same convention
+    as events.partition_pruned_readback); catalog existence is the
+    reuse guard — the catalog is per-application, so racing apps write
+    to disjoint app-scoped paths."""
+    import os
+
+    from ..sources.io import write_bucketed_table
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    suffix = safe.replace(".", "_")
+    t_orders, t_li = f"bkt_orders_{suffix}", f"bkt_lineitem_{suffix}"
+    base = f"/tmp/spark_graft_{app}/{safe}"
+    if not spark.catalog.tableExists(t_orders):
+        os.makedirs(base, exist_ok=True)
+        write_bucketed_table(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            t_orders,
+            f"{base}/bkt_orders",
+            "o_orderkey",
+            JOIN_BUCKETS,
+        )
+        write_bucketed_table(
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                "l_extendedprice",
+                "l_discount",
+            ),
+            t_li,
+            f"{base}/bkt_lineitem",
+            "o_orderkey",
+            JOIN_BUCKETS,
+        )
+    return t_orders, t_li
+
+
+def q_join_bucketed(spark, sf_dir):
+    """Zero-Exchange co-located fact⋈fact join over hash-bucketed
+    layouts — THE 100 TB repeated-join pattern: both tables are written
+    bucketed (and sorted) on the join key, so the sort-merge join needs
+    no shuffle on EITHER side — each task merges bucket i of orders with
+    bucket i of lineitem straight off the scan.  At 100 TB this turns
+    every recurring key-join against the layout from a full network
+    re-shuffle of the fact table into a local merge.
+
+    SELF-VERIFYING: the query asserts in-plan that the join contains no
+    Exchange (broadcast is ruled out with a merge-join hint, so the
+    assert can't be satisfied vacuously) and RAISES otherwise — the
+    driver row goes red if bucket pruning of the shuffle ever breaks.
+    The hashed result is the revenue rollup, which the oracle computes
+    from the plain (unbucketed) join — proving the layout round-trips
+    values exactly; integer-cents rounding keeps the sums
+    order-independent."""
+    t_orders, t_li = _bucketed_layout(spark, sf_dir)
+    bo = spark.table(t_orders)
+    bl = spark.table(t_li)
+    joined = bo.hint("merge").join(bl, "o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" not in plan or "Exchange" in plan:
+        raise AssertionError(
+            f"bucketed join plan regressed (expected shuffle-free SMJ):\n{plan}"
+        )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(cents) / 100, 2).alias("revenue"),
+    )
+
+
+O_JOIN_BUCKETED = """
+SELECT o_orderpriority, count(*) AS n_items,
+       ROUND(sum(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)) / 100, 2)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --- (⊕ r8) CDC MERGE / upsert ----------------------------------------------
+
+MERGE_DELETE_PCT = 10   # md5 bucket < 10  → delete the customer
+MERGE_INSERT_PCT = 10   # md5 bucket >= 90 → change targets a brand-new key
+MERGE_NEW_KEY_OFFSET = 1_000_000
+
+
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (the Delta/Iceberg upsert shape) built from
+    primitives: a deterministic change feed derived from ``orders`` is
+    reduced to its LATEST change per key (event-time window — the CDC
+    compaction step), then applied to the ``customer`` snapshot with one
+    full outer join: matched+D deletes, matched+U updates, unmatched
+    change inserts, untouched target rows pass through.
+
+    The change feed is synthesized in-query so the oracle can mirror it:
+    per order, op = 'D' when md5(orderkey) bucket < 10 else 'U'; buckets
+    >= 90 retarget the change at custkey+1e6 (a key absent from the
+    snapshot, exercising the insert branch — FIXTURES.md: every o_custkey
+    exists in customer, so inserts never happen without this).
+
+    100 TB story: this is two hash shuffles on the merge key (change
+    compaction window + the outer join) — both co-located if the target
+    is bucketed by key (sources.io.write_bucketed_table); change volume,
+    not snapshot volume, drives the second shuffle's probe side, and
+    per-key skew is bounded by changes-per-key.  New values pass through
+    per-row (no re-aggregation), so floats stay bitwise."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    changes = orders.select(
+        F.when(
+            bucket >= 100 - MERGE_INSERT_PCT,
+            F.col("o_custkey") + MERGE_NEW_KEY_OFFSET,
+        ).otherwise(F.col("o_custkey")).alias("key"),
+        F.when(bucket < MERGE_DELETE_PCT, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("o_totalprice").alias("new_bal"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "op", "new_bal")
+    )
+    merged = cust.join(
+        latest, cust.c_custkey == latest.key, "full_outer"
+    )
+    return (
+        merged.where(
+            ~((F.col("op") == "D") & F.col("c_custkey").isNotNull())
+            | F.col("op").isNull()
+        )
+        .select(
+            F.coalesce("c_custkey", "key").alias("custkey"),
+            F.coalesce(
+                "c_name",
+                F.concat(F.lit("new-"), F.col("key").cast("string")),
+            ).alias("name"),
+            F.coalesce("c_mktsegment", F.lit("NEW")).alias("mktsegment"),
+            F.when(F.col("op") == "U", F.col("new_bal"))
+            .otherwise(F.col("c_acctbal")).alias("acctbal"),
+            F.when(F.col("op").isNull(), F.lit("kept"))
+            .when(F.col("c_custkey").isNull(), F.lit("inserted"))
+            .otherwise(F.lit("updated")).alias("src"),
+        )
+    )
+
+
+O_MERGE_UPSERT = f"""
+WITH changes AS (
+  SELECT CASE WHEN b >= {100 - MERGE_INSERT_PCT}
+              THEN o_custkey + {MERGE_NEW_KEY_OFFSET} ELSE o_custkey END AS key,
+         CASE WHEN b < {MERGE_DELETE_PCT} THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS new_bal, o_orderdate, o_orderkey
+  FROM (SELECT *,
+          CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+               AS BIGINT) % 100 AS b
+        FROM orders)),
+latest AS (
+  SELECT key, op, new_bal FROM changes
+  QUALIFY row_number() OVER (PARTITION BY key
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+SELECT COALESCE(c_custkey, key) AS custkey,
+       COALESCE(c_name, 'new-' || key::VARCHAR) AS name,
+       COALESCE(c_mktsegment, 'NEW') AS mktsegment,
+       CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END AS acctbal,
+       CASE WHEN op IS NULL THEN 'kept'
+            WHEN c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS src
+FROM customer FULL OUTER JOIN latest ON c_custkey = key
+WHERE NOT (op = 'D' AND c_custkey IS NOT NULL) OR op IS NULL
+"""
+
+
 QUERIES = {
     "scan_project_filter": q_scan_project_filter,
     "pivot_status": q_pivot_status,
@@ -1332,6 +1522,8 @@ QUERIES = {
     "join_asof": q_join_asof,
     "join_cross_small": q_join_cross_small,
     "join_full_outer": q_join_full_outer,
+    "merge_upsert": q_merge_upsert,
+    "join_bucketed": q_join_bucketed,
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,
     "agg_distinct_kmv": q_agg_distinct_kmv,
@@ -1380,6 +1572,8 @@ ORACLES = {
     "join_asof": O_JOIN_ASOF,
     "join_cross_small": O_JOIN_CROSS,
     "join_full_outer": O_JOIN_FULL_OUTER,
+    "merge_upsert": O_MERGE_UPSERT,
+    "join_bucketed": O_JOIN_BUCKETED,
     "agg_distinct": O_AGG_DISTINCT,
     "agg_distinct_approx": O_AGG_DISTINCT_APPROX,
     "agg_distinct_kmv": O_AGG_DISTINCT_KMV,

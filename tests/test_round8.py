@@ -11,6 +11,7 @@ import tempfile
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from affinity_propagation_mapreduce_spark.operators import ap
 
@@ -437,3 +438,71 @@ class TestPQ:
             "left_semi",
         ).count()
         assert n > 0 and hit / n >= 0.9  # measured 0.98
+
+
+class TestMergeAndBucketedJoin:
+    """r8c3 additions: MERGE upsert semantics invariants and liveness of
+    the join_bucketed in-plan zero-Exchange gate (the green path is every
+    parity run — hashed vs the plain-join oracle)."""
+
+    def test_merge_upsert_branches(self, spark):
+        from affinity_propagation_mapreduce_spark.operators import relational as R
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        out = R.q_merge_upsert(spark, SF_SMALL)
+        by_src = {r.src: r.n for r in
+                  out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        n_cust = table(spark, SF_SMALL, "customer").count()
+        # every insert targets a key above the offset, and vice versa
+        n_off = out.where(F.col("custkey") >= R.MERGE_NEW_KEY_OFFSET).count()
+        assert by_src.get("inserted", 0) == n_off and n_off > 0
+        assert by_src.get("updated", 0) > 0
+        # kept + updated + deleted partitions the original snapshot
+        deleted = n_cust - by_src.get("kept", 0) - by_src.get("updated", 0)
+        assert deleted > 0
+        # deleted keys are really gone
+        assert out.count() == n_cust - deleted + n_off
+
+    def test_join_bucketed_gate_raises_on_shuffled_plan(self, spark, monkeypatch):
+        from affinity_propagation_mapreduce_spark.operators import relational as R
+
+        def unbucketed(spark_, sf_dir):
+            R._t(spark_, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ).createOrReplaceTempView("ub_orders")
+            R._t(spark_, sf_dir, "lineitem").select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                "l_extendedprice",
+                "l_discount",
+            ).createOrReplaceTempView("ub_lineitem")
+            return "ub_orders", "ub_lineitem"
+
+        monkeypatch.setattr(R, "_bucketed_layout", unbucketed)
+        with pytest.raises(AssertionError, match="bucketed join plan"):
+            R.q_join_bucketed(spark, SF_SMALL)
+
+    def test_join_bucketed_zero_exchange_and_values(self, spark):
+        from affinity_propagation_mapreduce_spark.operators import relational as R
+
+        got = {
+            r.o_orderpriority: (r.n_items, r.revenue)
+            for r in R.q_join_bucketed(spark, SF_SMALL).collect()
+        }
+        li = R._t(spark, SF_SMALL, "lineitem")
+        orders = R._t(spark, SF_SMALL, "orders")
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        want = {
+            r.o_orderpriority: (r.n_items, r.revenue)
+            for r in li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum(cents) / 100, 2).alias("revenue"),
+            )
+            .collect()
+        }
+        assert got == want
