@@ -423,10 +423,14 @@ QUALIFY row_number() OVER w <= {TOP_K}
 
 # --- (⊕ r8) E6 product-quantized ANN (PQ + ADC: the memory-compression path) -
 
-PQ_M = 16       # subspaces over d=64 → 4 dims per sub-quantizer
-PQ_KSUB = 32    # codewords per subspace (5 bits/code)
-PQ_TRAIN_SAMPLE = 2048
-PQ_SHORTLIST = 50  # ADC survivors per query fed to exact re-ranking
+PQ_M = 16        # subspaces over d=64 → 4 dims per sub-quantizer
+PQ_KSUB = 256    # codewords per subspace (8 bits/code — the standard PQ byte)
+PQ_TRAIN_SAMPLE = 4096
+PQ_SHORTLIST = 50       # ADC survivors per query fed to exact re-ranking ...
+PQ_SHORTLIST_FRAC = 2500  # ... grown to N/2500 at scale: the shortlist must
+                          # out-resolve ADC ties inside dense clusters
+                          # (measured on the 500k synth corpus: recall@5
+                          # 0.24 at shortlist=50 vs 0.96 at 200)
 _PQ_GATE_MAX_N = 5_000
 
 
@@ -448,10 +452,17 @@ def _pq_train_codebooks(spark, sf_dir):
     rows.sort(key=lambda r: r.vec_id)
     pts = np.array([list(r.embedding) for r in rows], dtype="f8")
     d = pts.shape[1]
-    dsub = d // PQ_M
+    # adapt the subspace count to the dimension: PQ_M when it divides d
+    # with >=2 dims per subspace (d=64 -> 16x4), else the largest such
+    # divisor (scale corpora are d=16 -> 8x2; the earlier >=4 rule gave
+    # them only 4 subspaces and recall collapsed to 0.08 at N=500k)
+    m_eff = PQ_M
+    while m_eff > 1 and (d % m_eff != 0 or d // m_eff < 2):
+        m_eff //= 2
+    dsub = d // m_eff
     k = min(PQ_KSUB, len(pts))
-    books = np.empty((PQ_M, k, dsub), dtype="f8")
-    for m in range(PQ_M):
+    books = np.empty((m_eff, k, dsub), dtype="f8")
+    for m in range(m_eff):
         sub = pts[:, m * dsub : (m + 1) * dsub]
         cent = sub[:k].copy()
         for _ in range(4):
@@ -472,12 +483,14 @@ def _pq_train_codebooks(spark, sf_dir):
 def knn_cosine_pq(spark, sf_dir):
     """PQ/ADC shortlist + exact re-rank top-k (the Jégou et al. 2011
     search recipe): every corpus vector is compressed to PQ_M
-    sub-quantizer codes plus its true norm (16×5 bits + 8 B ≈ 18 B vs
-    512 B of float64 — a ~28× memory cut), each query scores the WHOLE
-    corpus through an (M × KSUB) lookup table of query-sub × codeword
-    dot products (asymmetric distance computation — no decompression,
-    no candidate join), and only the PQ_SHORTLIST ADC survivors per
-    query are re-ranked with the exact fold cosine.
+    sub-quantizer byte codes plus its true norm (16 + 8 B vs 512 B of
+    float64 — a ~21× memory cut), each query scores the WHOLE corpus
+    through an (M × KSUB) lookup table of query-sub × codeword dot
+    products (asymmetric distance computation — no decompression, no
+    candidate join), and only the per-query ADC shortlist
+    (max(PQ_SHORTLIST, N/PQ_SHORTLIST_FRAC) survivors — sized to
+    out-resolve ADC ties inside dense clusters) is re-ranked with the
+    exact fold cosine.
 
     100 TB story: this is the path when even the IVF cells don't fit —
     the compressed scan is embarrassingly parallel over code partitions,
@@ -495,6 +508,9 @@ def knn_cosine_pq(spark, sf_dir):
     and ann_recall_gate."""
     import numpy as np
 
+    from .ivf import corpus_rows
+
+    shortlist = max(PQ_SHORTLIST, corpus_rows(spark, sf_dir) // PQ_SHORTLIST_FRAC)
     books = _pq_train_codebooks(spark, sf_dir)  # (M, k, dsub)
     emb = _emb(spark, sf_dir)
     norms = emb.select(
@@ -549,7 +565,7 @@ def knn_cosine_pq(spark, sf_dir):
                 # (cos DESC, id ASC) order — the global window keeps
                 # exactly these survivors (same truncation-safety
                 # argument as ivf_candidate_pairs(per_point_topk))
-                order = np.lexsort((cand_ids, -cand))[:PQ_SHORTLIST]
+                order = np.lexsort((cand_ids, -cand))[:shortlist]
                 out_q.append(np.full(len(order), qids[qi], dtype="i8"))
                 out_n.append(cand_ids[order])
                 out_s.append(cand[order])
@@ -565,9 +581,9 @@ def knn_cosine_pq(spark, sf_dir):
     w_adc = Window.partitionBy("query_id").orderBy(
         F.desc("pq_cosine"), F.asc("neighbor_id")
     )
-    shortlist = (
+    shortlist_df = (
         scored.withColumn("prn", F.row_number().over(w_adc))
-        .where(F.col("prn") <= PQ_SHORTLIST)
+        .where(F.col("prn") <= shortlist)
         .select("query_id", "neighbor_id")
     )
     # exact re-rank: only the shortlist rows touch full-precision vectors
@@ -577,7 +593,7 @@ def knn_cosine_pq(spark, sf_dir):
         "query_id long, q_emb array<double>, q_nrm double",
     )
     cand = (
-        shortlist.join(
+        shortlist_df.join(
             norms.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("emb").alias("n_emb"),

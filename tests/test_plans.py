@@ -202,3 +202,25 @@ def test_dedup_incremental_broadcast_probe_no_self_join(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_change_compaction_rank_pushdown(spark):
+    """The CDC latest-change window must carry WindowGroupLimit (top-1
+    per key partial before the exchange — shuffle volume is 1 row/key/
+    mapper, not the whole change feed), and the snapshot must never be
+    re-aggregated (values pass through per-row)."""
+    plan = _plan(spark, "merge_upsert")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_bucketed_plan_is_shuffle_free_smj(spark):
+    """The co-located join must sort-merge with ZERO Exchange before the
+    aggregate (the in-query gate raises otherwise; this pins the plan
+    from the test suite too).  The only exchange in the whole query is
+    the one the 5-group rollup needs."""
+    plan = _plan(spark, "join_bucketed")
+    join_part = plan.split("HashAggregate")[-1]  # below the aggregates
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in join_part

@@ -111,6 +111,39 @@ def main():
     from affinity_propagation_mapreduce_spark.session import get_spark
 
     spark = get_spark(f"above-gate-{mode}-{n}")
+
+    if mode == "knn_pq":
+        # PQ/ADC shortlist + exact re-rank at scale, with measured recall
+        # against the exact top-k (|Q|·N JVM fold — affordable even at 1M)
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+
+        t0 = time.monotonic()
+        res = V.knn_cosine_pq(spark, sf_dir).localCheckpoint(eager=True)
+        n_res = res.count()
+        wall = time.monotonic() - t0
+        exact = V.q_knn_cosine_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        n_exact = exact.count()
+        hit = exact.join(
+            res.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        print(
+            json.dumps(
+                {
+                    "mode": mode,
+                    "n": n,
+                    "wall_sec": round(wall, 1),
+                    "rows": n_res,
+                    "recall_vs_exact": round(hit / n_exact, 4),
+                }
+            ),
+            flush=True,
+        )
+        return
+
     assert n > ap._BLOCKED().BLOCKED_MAX_N or mode == "dense", "not above gate"
     kwargs = {"iterations": iters} if iters else {}
     t0 = time.monotonic()
