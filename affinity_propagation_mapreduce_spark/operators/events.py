@@ -1019,6 +1019,83 @@ GROUP BY 1, 2
 """
 
 
+# --- (⊕ r8) small-file compaction round-trip ---------------------------------
+
+COMPACT_FRAGMENT_FILES = 64
+
+
+def q_layout_compaction(spark, sf_dir):
+    """Small-file compaction proven end-to-end: events are first written
+    as a deliberately fragmented layout (COMPACT_FRAGMENT_FILES tiny
+    files — the shape a streaming sink or incremental merge leaves
+    behind), then compacted by sources.io.compact_small_files into
+    ~target-sized files.  SELF-VERIFYING: raises unless (a) the exact
+    row count survives both rewrites and (b) the compacted layout has
+    strictly fewer files than the fragmented one.  The hashed result is
+    a per-type rollup computed FROM the compacted read-back, oracled
+    against the original table — value-level proof the two rewrites are
+    lossless.
+
+    100 TB story: compaction is the recurring maintenance pass of any
+    long-lived table (file-open + footer + listing overhead of tiny
+    files eventually dominates scan cost); it is a pure scan →
+    round-robin repartition → write with parallelism = output file
+    count, no shuffle key, safely re-runnable (write-once guarded)."""
+    import os
+
+    from ..sources.io import compact_small_files
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}"
+    frag, compacted = f"{base}/events_fragmented", f"{base}/events_compacted"
+    if not os.path.isfile(os.path.join(frag, "_SUCCESS")):
+        _layout_write_once(
+            frag,
+            lambda tmp: _ev(spark, sf_dir)
+            .repartition(COMPACT_FRAGMENT_FILES)
+            .write.mode("overwrite")
+            .parquet(tmp),
+        )
+    if not os.path.isfile(os.path.join(compacted, "_SUCCESS")):
+        _layout_write_once(
+            compacted,
+            lambda tmp: compact_small_files(spark, frag, tmp),
+        )
+
+    def _n_files(p):
+        return sum(
+            1
+            for root, _d, fs in os.walk(p)
+            for f in fs
+            if f.startswith("part-")
+        )
+
+    n_src = _ev(spark, sf_dir).count()
+    back = spark.read.parquet(compacted)
+    n_back = back.count()
+    nf_frag, nf_comp = _n_files(frag), _n_files(compacted)
+    if n_back != n_src or nf_comp >= nf_frag:
+        raise AssertionError(
+            f"compaction round-trip broke: rows {n_src}->{n_back}, "
+            f"files {nf_frag}->{nf_comp}"
+        )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+O_LAYOUT_COMPACTION = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       ROUND(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 # --- (⊕ r5) driver-visible streaming equality check -------------------------
 
 def q_stream_batch_equiv_sessionize(spark, sf_dir):
@@ -1194,6 +1271,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "scd2_user_tiers": q_scd2_user_tiers,
     "partition_prune_readback": q_partition_prune_readback,
+    "layout_compaction": q_layout_compaction,
     # rows-only: runs a real structured stream, no SQL equivalent
     "stream_batch_equiv_sessionize": q_stream_batch_equiv_sessionize,
     # rows-only: multiset equality gate over the other six twins
@@ -1206,6 +1284,7 @@ ORACLES = {
     "anomaly_zscore_daily": O_ANOMALY_Z,
     "campaign_overlap": O_CAMPAIGN_OVERLAP,
     "partition_prune_readback": O_PARTITION_PRUNE,
+    "layout_compaction": O_LAYOUT_COMPACTION,
     "funnel_conversion": O_FUNNEL,
     "ewma_smooth": O_EWMA,
     "resample_ffill": O_RESAMPLE_FFILL,

@@ -123,3 +123,48 @@ def write_bucketed_table(
         .option("path", path)
         .saveAsTable(name)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the layout-maintenance pass every
+    long-lived 100 TB table needs: streaming sinks, incremental CDC
+    merges, and per-task writers accumulate thousands of tiny files
+    whose per-file open/footer/driver-listing overhead eventually
+    dominates scan cost.  Rewrites ``path`` into
+    ``ceil(input_bytes / target_bytes)`` files at ``out_path`` (one
+    ~row-group-aligned file per target chunk) and returns before/after
+    metrics.
+
+    The rewrite is a plain scan → repartition(n) → write: no shuffle
+    key, so Spark uses round-robin partitioning — rows move once and
+    the write parallelism is exactly the output file count.  Row
+    preservation is the caller's gate (see q_layout_compaction, which
+    RAISES on any count drift)."""
+    import math
+    import os
+
+    def _layout_stats(p: str) -> tuple[int, int]:
+        n_files = total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith((".parquet", ".orc")) or f.startswith("part-"):
+                    n_files += 1
+                    total += os.path.getsize(os.path.join(root, f))
+        return n_files, total
+
+    files_before, bytes_before = _layout_stats(path)
+    n_out = max(1, math.ceil(bytes_before / target_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_path)
+    files_after, bytes_after = _layout_stats(out_path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_before": bytes_before,
+        "bytes_after": bytes_after,
+    }

@@ -183,3 +183,53 @@ def test_range_partitioned_files_are_disjoint(spark):
         assert len(spans) > 1
         for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
             assert hi_prev <= lo_next, "file key spans overlap"
+
+
+def test_compact_small_files_reduces_files_preserves_rows(spark):
+    import os
+    import tempfile
+
+    from affinity_propagation_mapreduce_spark.sources import io as eio
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    ev = table(spark, SF_SMALL, "events")
+    with tempfile.TemporaryDirectory() as d:
+        frag = f"{d}/frag"
+        ev.repartition(32).write.parquet(frag)
+        stats = eio.compact_small_files(spark, frag, f"{d}/out")
+        assert stats["files_before"] == 32
+        assert stats["files_after"] < stats["files_before"]
+        assert spark.read.parquet(f"{d}/out").count() == ev.count()
+
+
+def test_layout_compaction_gate_raises_on_row_drift(spark, monkeypatch):
+    """The self-check must be live: losing rows in the compacted layout
+    turns the query into a raise, not a silently different hash."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from affinity_propagation_mapreduce_spark.operators import events as E
+    from affinity_propagation_mapreduce_spark.sources import io as eio
+
+    def lossy(spark_, path, out_path, target_bytes=128 * 1024 * 1024):
+        df = spark_.read.parquet(path)
+        df.limit(df.count() - 7).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+        return {}
+
+    monkeypatch.setattr(eio, "compact_small_files", lossy)
+    app = spark.sparkContext.applicationId
+    safe = SF_SMALL.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}"
+    compacted = f"{base}/events_compacted"
+    # force the (lossy) compaction to actually run, and clean the
+    # poisoned layout up afterwards so later green calls rewrite it
+    shutil.rmtree(compacted, ignore_errors=True)
+    try:
+        with _pytest.raises(AssertionError, match="compaction round-trip"):
+            E.q_layout_compaction(spark, SF_SMALL).count()
+    finally:
+        shutil.rmtree(compacted, ignore_errors=True)
