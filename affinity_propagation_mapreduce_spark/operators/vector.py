@@ -426,6 +426,7 @@ QUALIFY row_number() OVER w <= {TOP_K}
 PQ_M = 16        # subspaces over d=64 → 4 dims per sub-quantizer
 PQ_KSUB = 256    # codewords per subspace (8 bits/code — the standard PQ byte)
 PQ_TRAIN_SAMPLE = 4096
+IVFPQ_QUERY_PROBE = 8   # query-side cells probed by knn_cosine_ivfpq
 PQ_SHORTLIST = 50       # ADC survivors per query fed to exact re-ranking ...
 PQ_SHORTLIST_FRAC = 2500  # ... grown to N/2500 at scale: the shortlist must
                           # out-resolve ADC ties inside dense clusters
@@ -586,7 +587,14 @@ def knn_cosine_pq(spark, sf_dir):
         .where(F.col("prn") <= shortlist)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank: only the shortlist rows touch full-precision vectors
+    return _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm)
+
+
+def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm):
+    """Exact top-k over an ADC shortlist: only the shortlist rows touch
+    full-precision vectors (a key-join against the corpus), cosine is
+    the JVM fold (bitwise = the declared exact queries), final top-k by
+    (cosine DESC, id ASC)."""
     qdf = spark.createDataFrame(
         [(int(i), list(map(float, e)), float(n)) for i, e, n in
          zip(qids, qmat, qnrm)],
@@ -620,6 +628,182 @@ def knn_cosine_pq(spark, sf_dir):
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def knn_cosine_ivfpq(spark, sf_dir):
+    """IVF-PQ (the FAISS IVFPQ search shape): trained coarse cells
+    prune WHICH vectors each query scores, PQ/ADC compresses HOW each
+    surviving vector is scored, and the exact re-rank polishes the
+    shortlist.  Composition of this engine's two ANN quantizers:
+
+    * coarse stage — sampled-Lloyd centroids (ivf.train_centroids) with
+      the cost-balanced nlist = sqrt(nprobe·N); each corpus vector gets
+      its HOME cell via the two-level quantizer (O(sqrt(nlist)) per
+      point past 64 cells), each query probes its N_PROBE nearest
+      cells.  A vector is ADC-scored ONLY against the queries probing
+      its home cell — the scan work drops from |Q|·N (flat PQ) by the
+      probed fraction.
+    * fine stage — the same PQ codebooks/LUT arithmetic as
+      knn_cosine_pq, computed batch-locally in ONE mapInPandas pass:
+      no corpus shuffle at all (the cell id never has to become a
+      shuffle key because per-batch per-query top-shortlist truncation
+      is survivor-safe under the global (score DESC, id ASC) window).
+    * exact re-rank of the per-query shortlist (shared _exact_rerank).
+
+    100 TB: one compressed corpus scan with O(partitions·|Q|·shortlist)
+    emitted rows, centroid + codebook + LUT broadcasts of O(sqrt(N)·d)
+    bytes.  Rows-only (both quantizers train iteratively); recall floor
+    enforced in-query at verification scale."""
+    import numpy as np
+
+    from .ivf import (
+        TWO_LEVEL_MIN,
+        build_two_level,
+        corpus_rows,
+        cost_balanced_nlist,
+        train_centroids,
+    )
+
+    n_corpus = corpus_rows(spark, sf_dir)
+    shortlist = max(PQ_SHORTLIST, n_corpus // PQ_SHORTLIST_FRAC)
+    nlist = cost_balanced_nlist(n_corpus, N_PROBE)
+    emb_raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_mat = train_centroids(emb_raw, nlist)
+    sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
+    books = _pq_train_codebooks(spark, sf_dir)
+    m_, k_, dsub = books.shape
+
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+    )
+    qrows = (
+        norms.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "emb", "nrm")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], dtype="i8")
+    qmat = np.array([list(r.emb) for r in qrows], dtype="f8")
+    qnrm = np.array([r.nrm for r in qrows], dtype="f8")
+    lut = np.einsum("qmd,mcd->qmc", qmat.reshape(len(qids), m_, dsub), books)
+
+    # driver-side probe map (|Q| x nprobe — tiny): which queries probe
+    # each cell.  Same L2 geometry as the corpus home-cell assignment.
+    # Query-side probing is O(|Q|) driver work, so it widens cheaply:
+    # 2x the corpus-side N_PROBE buys back most of the recall the
+    # home-cell pruning costs (the FAISS nprobe knob).
+    d2q = (
+        (qmat * qmat).sum(axis=1, keepdims=True)
+        - 2.0 * qmat @ cent_mat.T
+        + (cent_mat * cent_mat).sum(axis=1)[None, :]
+    )
+    n_probe = min(IVFPQ_QUERY_PROBE, len(cent_mat))
+    probe_order = np.argsort(d2q, axis=1, kind="stable")[:, :n_probe]
+    cell_to_q: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for c in probe_order[qi]:
+            cell_to_q.setdefault(int(c), []).append(qi)
+    bc = spark.sparkContext.broadcast((cent_mat, sup_ch, books, lut, cell_to_q))
+    schema = "query_id long, neighbor_id long, pq_cosine double"
+
+    def kernel(batches):
+        import pandas as pd
+
+        c_mat, sc, bks, lut_, c2q = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([list(e) for e in pdf["emb"]], dtype="f8")
+            nrm = pdf["nrm"].to_numpy(dtype="f8")
+            ids = pdf["vec_id"].to_numpy(dtype="i8")
+            if sc is not None:
+                from .ivf import two_level_cells
+
+                order, _pd2, _ = two_level_cells(x, c_mat, sc[0], sc[1], 1)
+                home = order[:, 0]
+            else:
+                d2 = (
+                    (x * x).sum(axis=1, keepdims=True)
+                    - 2.0 * x @ c_mat.T
+                    + (c_mat * c_mat).sum(axis=1)[None, :]
+                )
+                home = d2.argmin(axis=1)
+            xs = x.reshape(len(x), m_, dsub)
+            codes = np.empty((len(x), m_), dtype="i8")
+            for m in range(m_):
+                d2c = (
+                    (xs[:, m] * xs[:, m]).sum(axis=1, keepdims=True)
+                    - 2.0 * xs[:, m] @ bks[m].T
+                    + (bks[m] * bks[m]).sum(axis=1)[None, :]
+                )
+                codes[:, m] = d2c.argmin(axis=1)
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(home):
+                probing = c2q.get(int(c))
+                if not probing:
+                    continue
+                sel = home == c
+                c_ids, c_codes, c_nrm = ids[sel], codes[sel], nrm[sel]
+                for qi in probing:
+                    adc = np.zeros(len(c_ids), dtype="f8")
+                    for m in range(m_):
+                        adc += lut_[qi, m, c_codes[:, m]]
+                    adc = adc / (qnrm[qi] * c_nrm)
+                    mask = c_ids != qids[qi]
+                    cand_ids, cand = c_ids[mask], adc[mask]
+                    keep = np.lexsort((cand_ids, -cand))[:shortlist]
+                    out_q.append(np.full(len(keep), qids[qi], dtype="i8"))
+                    out_n.append(cand_ids[keep])
+                    out_s.append(cand[keep])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "pq_cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = norms.select("vec_id", "emb", "nrm").mapInPandas(kernel, schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_cosine"), F.asc("neighbor_id")
+    )
+    shortlist_df = (
+        scored.withColumn("prn", F.row_number().over(w_adc))
+        .where(F.col("prn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm)
+
+
+def q_knn_cosine_ivfpq(spark, sf_dir):
+    """Rows-only, SELF-VERIFYING: recall vs the exact top-k enforced
+    in-query at verification scale (cell pruning AND codebook collapse
+    both trip it)."""
+    from .ivf import corpus_rows
+
+    res = knn_cosine_ivfpq(spark, sf_dir)
+    if corpus_rows(spark, sf_dir) <= _PQ_GATE_MAX_N:
+        res = res.localCheckpoint(eager=False)
+        exact = q_knn_cosine_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        n = exact.count()
+        hit = exact.join(
+            res.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        floor = RECALL_FLOORS["knn_cosine_ivfpq"]
+        if n == 0 or hit / n < floor:
+            raise AssertionError(
+                f"IVF-PQ recall collapsed: {hit}/{n} vs floor {floor}"
+            )
+    return res
 
 
 def q_knn_cosine_pq(spark, sf_dir):
@@ -1030,6 +1214,8 @@ RECALL_FLOORS = {
     "ann_lsh_cosine_pairs": 0.75,
     "knn_cosine_pq": 0.5,  # measured 0.98 at sf0.001/sf0.01 (ADC
                            # shortlist=50 + exact re-rank)
+    "knn_cosine_ivfpq": 0.3,  # cell pruning stacks on PQ error; floor
+                              # is the structural-collapse detector
 }
 IVF_DUP_RECALL_FLOOR = 0.5
 
@@ -1237,6 +1423,7 @@ QUERIES = {
     # self-verifying: raises below the recall floor at verification scale
     "knn_cosine_ivf_trained": q_knn_cosine_ivf_trained,
     "knn_cosine_pq": q_knn_cosine_pq,
+    "knn_cosine_ivfpq": q_knn_cosine_ivfpq,
     "dist_histogram": q_dist_histogram,
     "label_centroids": q_label_centroids,
     # rows-only driver-visible quality gates: raise on recall collapse /

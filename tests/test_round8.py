@@ -506,3 +506,75 @@ class TestMergeAndBucketedJoin:
             .collect()
         }
         assert got == want
+
+
+class TestIVFPQ:
+    """knn_cosine_ivfpq (coarse-cell pruning x PQ/ADC x exact re-rank):
+    candidate containment, gate liveness, and the probe contract."""
+
+    def test_ivfpq_results_subset_of_probed_cells(self, spark):
+        """Every returned neighbor's home cell must be one the query
+        probes — the structural claim of the coarse stage."""
+        import numpy as np
+
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+        from affinity_propagation_mapreduce_spark.operators.ivf import (
+            corpus_rows,
+            cost_balanced_nlist,
+            train_centroids,
+        )
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        emb_raw = table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        nlist = cost_balanced_nlist(corpus_rows(spark, SF_SMALL), V.N_PROBE)
+        cent = train_centroids(emb_raw, nlist)
+        rows = emb_raw.collect()
+        rows.sort(key=lambda r: r.vec_id)
+        ids = np.array([r.vec_id for r in rows], dtype="i8")
+        x = np.array([list(r.embedding) for r in rows], dtype="f8")
+
+        def d2_to_cells(p):
+            return (
+                (p * p).sum(axis=1, keepdims=True)
+                - 2.0 * p @ cent.T
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+
+        home = {int(i): int(c) for i, c in zip(ids, d2_to_cells(x).argmin(1))}
+        res = V.knn_cosine_ivfpq(spark, SF_SMALL).collect()
+        assert len(res) == V.N_QUERIES * V.TOP_K
+        n_probe = min(V.IVFPQ_QUERY_PROBE, len(cent))
+        for r in res:
+            qx = x[np.where(ids == r.query_id)[0][0]][None, :]
+            probed = set(
+                np.argsort(d2_to_cells(qx)[0], kind="stable")[:n_probe]
+            )
+            assert home[r.neighbor_id] in probed, r
+
+    def test_ivfpq_recall_gate_raises_below_floor(self, spark, monkeypatch):
+        from affinity_propagation_mapreduce_spark.operators import vector
+
+        monkeypatch.setitem(vector.RECALL_FLOORS, "knn_cosine_ivfpq", 1.01)
+        with pytest.raises(AssertionError, match="IVF-PQ recall collapsed"):
+            vector.q_knn_cosine_ivfpq(spark, SF_SMALL).count()
+
+    def test_ivfpq_recall_above_floor(self, spark):
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+
+        exact = V.q_knn_cosine_topk(spark, SF_SMALL).select(
+            "query_id", "neighbor_id"
+        )
+        n = exact.count()
+        hit = exact.join(
+            V.knn_cosine_ivfpq(spark, SF_SMALL).select(
+                "query_id", "neighbor_id"
+            ),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        # near-random test embeddings are the adversarial case for cell
+        # pruning: measured 0.74 at sf0.001 (clustered scale corpora
+        # measure far higher — BASELINE.md)
+        assert n > 0 and hit / n >= 0.5
