@@ -1253,6 +1253,7 @@ def q_ann_recall_gate(spark, sf_dir):
         ("knn_cosine_ivf", q_knn_cosine_ivf),
         ("knn_cosine_ivf_trained", knn_cosine_ivf_trained),
         ("knn_cosine_pq", knn_cosine_pq),
+        ("knn_cosine_ivfpq", knn_cosine_ivfpq),
     ):
         hit = exact_knn.join(
             fn(spark, sf_dir).select("query_id", "neighbor_id"),
