@@ -731,6 +731,13 @@ def knn_cosine_ivfpq(spark, sf_dir):
                     + (c_mat * c_mat).sum(axis=1)[None, :]
                 )
                 home = d2.argmin(axis=1)
+            # encode ONLY the rows that live in a probed cell — the
+            # others can never be scored, and the probed fraction is
+            # ~nprobe·|Q|/nlist of the batch at scale
+            probed = np.isin(home, np.fromiter(c2q, dtype="i8"))
+            if not probed.any():
+                continue
+            x, nrm, ids, home = x[probed], nrm[probed], ids[probed], home[probed]
             xs = x.reshape(len(x), m_, dsub)
             codes = np.empty((len(x), m_), dtype="i8")
             for m in range(m_):
