@@ -112,13 +112,15 @@ def main():
 
     spark = get_spark(f"above-gate-{mode}-{n}")
 
-    if mode == "knn_pq":
-        # PQ/ADC shortlist + exact re-rank at scale, with measured recall
-        # against the exact top-k (|Q|·N JVM fold — affordable even at 1M)
+    if mode in ("knn_pq", "knn_ivfpq"):
+        # PQ/ADC (flat or IVF-composed) shortlist + exact re-rank at
+        # scale, with measured recall against the exact top-k
+        # (|Q|·N JVM fold — affordable even at 1M)
         from affinity_propagation_mapreduce_spark.operators import vector as V
 
+        fn = V.knn_cosine_pq if mode == "knn_pq" else V.knn_cosine_ivfpq
         t0 = time.monotonic()
-        res = V.knn_cosine_pq(spark, sf_dir).localCheckpoint(eager=True)
+        res = fn(spark, sf_dir).localCheckpoint(eager=True)
         n_res = res.count()
         wall = time.monotonic() - t0
         exact = V.q_knn_cosine_topk(spark, sf_dir).select(
