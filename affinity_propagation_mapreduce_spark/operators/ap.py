@@ -621,6 +621,8 @@ def cluster(
 # ---------------------------------------------------------------------------
 
 SPARSE_NPROBE = 4  # coarse cells probed per query point
+SUBCELL_CAP = 4096       # bipartite tile edge: kernel task work <= cap^2
+_SUBCELL_MIN_N = 100_000  # below this, skip the occupancy-count job
 
 
 def _BLOCKED():
@@ -648,6 +650,7 @@ def ivf_candidate_pairs(
     emb: DataFrame | None = None,
     n: int | None = None,
     per_point_topk: int | None = None,
+    subcell_cap: int | None | str = "auto",
 ) -> DataFrame:
     """Deduplicated candidate pairs (i < k, s) from an IVF coarse
     quantizer, WITHOUT materializing the dense N² kernel.
@@ -687,13 +690,36 @@ def ivf_candidate_pairs(
     spill — it filled this host's disk); the top-k relation is ~128M.
     Below cell_size ≈ k the mode emits the same rows as the all-pairs
     path (nothing to truncate), so small-N plans are unchanged.
-    Bitwise equivalence is pinned in tests/test_round8.py."""
+    Bitwise equivalence is pinned in tests/test_round8.py.
+
+    ``subcell_cap``: adaptive skew mitigation (motivated by the measured
+    N=2M straggler — one over-full cell ran ~12 min past its 31 peers;
+    per-cell kernel cost is occupancy² and AQE cannot split an
+    `applyInPandas` group).  When set, cell occupancies are counted
+    (one extra pass over the checkpointed role relation) and any cell
+    whose member/probe count exceeds the cap is tiled bipartitely:
+    members hash into ``ceil(members/cap)`` md5-style buckets, probes
+    into ``ceil(probes/cap)`` buckets, and every (member-bucket,
+    probe-bucket) tile becomes its own task — each row is replicated
+    across the opposite dimension, so the UNION of tile outputs is
+    exactly the unsplit cell's pair set (members partition, probes
+    partition, every member×probe combination lands in exactly one
+    tile; duplicate emissions carry bitwise-equal s and are deduped
+    downstream — and per-tile top-k truncation keeps a superset of the
+    per-cell top-k, by the same rank-over-subset argument).  Task work
+    is bounded by cap² regardless of how skewed the quantizer cells
+    are.  Cells under the cap keep 1×1 tiles: plans and outputs are
+    byte-identical to subcell_cap=None there.  The default "auto"
+    resolves to SUBCELL_CAP above _SUBCELL_MIN_N points and None below
+    (the counting pass isn't worth a job at bench scale)."""
     import numpy as np
     import pandas as pd
 
     if emb is None:
         emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         n = _n_points(spark, sf_dir)
+    if subcell_cap == "auto":
+        subcell_cap = SUBCELL_CAP if n > _SUBCELL_MIN_N else None
     nlist = _sparse_nlist(n)
     if trained:
         from .ivf import TWO_LEVEL_MIN, build_two_level, train_centroids
@@ -752,6 +778,61 @@ def ivf_candidate_pairs(
         schema="cell long, vec_id long, is_home boolean, embedding array<float>",
     )
 
+    group_keys = ["cell"]
+    if subcell_cap is not None:
+        # one assignment compute feeds both the occupancy count and the
+        # kernel scan
+        roles = roles.localCheckpoint(eager=False)
+        stats = (
+            roles.groupBy("cell")
+            .agg(
+                F.count("*").alias("n_probes"),
+                F.sum(F.col("is_home").cast("long")).alias("n_members"),
+            )
+            .collect()
+        )
+        tiles = [
+            (
+                int(r.cell),
+                -(-int(r.n_members) // subcell_cap) or 1,
+                -(-int(r.n_probes) // subcell_cap) or 1,
+            )
+            for r in stats
+            if r.n_members > subcell_cap or r.n_probes > subcell_cap
+        ]
+        if tiles:
+            nsub_df = F.broadcast(
+                spark.createDataFrame(
+                    tiles, "cell long, nmsub int, npsub int"
+                )
+            )
+            r = roles.join(nsub_df, "cell", "left").na.fill(
+                {"nmsub": 1, "npsub": 1}
+            )
+            msub_id = F.pmod(F.xxhash64("vec_id"), F.col("nmsub")).cast("int")
+            psub_id = F.pmod(F.xxhash64("vec_id"), F.col("npsub")).cast("int")
+            base_cols = ["cell", "vec_id", "is_home", "embedding"]
+            as_probe = (
+                r.withColumn("is_home", F.lit(False))
+                .withColumn(
+                    "msub",
+                    F.explode(F.sequence(F.lit(0), F.col("nmsub") - 1)),
+                )
+                .withColumn("psub", psub_id)
+                .select(*base_cols, "msub", "psub")
+            )
+            as_member = (
+                r.where(F.col("is_home"))
+                .withColumn("msub", msub_id)
+                .withColumn(
+                    "psub",
+                    F.explode(F.sequence(F.lit(0), F.col("npsub") - 1)),
+                )
+                .select(*base_cols, "msub", "psub")
+            )
+            roles = as_probe.unionByName(as_member)
+            group_keys = ["cell", "msub", "psub"]
+
     def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         mem = pdf[pdf["is_home"]]
         if not len(mem) or not len(pdf):
@@ -798,12 +879,12 @@ def ivf_candidate_pairs(
 
     if per_point_topk is not None:
         # directed, per-cell-truncated; caller dedups across cells
-        return roles.groupBy("cell").applyInPandas(
+        return roles.groupBy(*group_keys).applyInPandas(
             cell_topk_kernel, schema="i long, k long, s double"
         )
 
     return (
-        roles.groupBy("cell")
+        roles.groupBy(*group_keys)
         .applyInPandas(cell_kernel, schema="i long, k long, s double")
         .dropDuplicates(["i", "k"])  # a pair may meet in several cells
     )

@@ -578,3 +578,75 @@ class TestIVFPQ:
         # pruning: measured 0.74 at sf0.001 (clustered scale corpora
         # measure far higher — BASELINE.md)
         assert n > 0 and hit / n >= 0.5
+
+
+class TestSubcellTiling:
+    """Adaptive bipartite sub-cell tiling (the 2M skew-straggler fix):
+    tiled output must equal the untiled pair relation EXACTLY — same
+    pairs, bitwise-same s — on a corpus engineered so several cells
+    exceed the cap, in both emission modes."""
+
+    @staticmethod
+    def _skewed_emb(spark, n=3000, d=8):
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        # 2/3 of all points pile into one tight blob -> one giant cell
+        blob = rng.normal(size=(1, d))
+        pts = np.where(
+            (np.arange(n) % 3 < 2)[:, None],
+            blob + 0.01 * rng.normal(size=(n, d)),
+            rng.normal(size=(n, d)),
+        )
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def _pairs(self, spark, emb, n, cap, topk=None):
+        df = ap.ivf_candidate_pairs(
+            spark,
+            SF_SMALL,
+            emb=emb,
+            n=n,
+            per_point_topk=topk,
+            subcell_cap=cap,
+        )
+        if topk is not None:
+            df = df.dropDuplicates(["i", "k"])
+        return sorted((r.i, r.k, r.s) for r in df.collect())
+
+    def test_tiled_equals_untiled_all_pairs(self, spark):
+        n = 3000
+        emb = self._skewed_emb(spark, n)
+        base = self._pairs(spark, emb, n, cap=None)
+        tiled = self._pairs(spark, emb, n, cap=200)  # far below blob size
+        assert tiled == base  # bitwise: float equality on s
+
+    def test_tiled_topk_same_survivors(self, spark):
+        from pyspark.sql import Window
+
+        n = 3000
+        emb = self._skewed_emb(spark, n)
+
+        def survivors(cap):
+            pairs = ap.ivf_candidate_pairs(
+                spark, SF_SMALL, emb=emb, n=n,
+                per_point_topk=8, subcell_cap=cap,
+            ).dropDuplicates(["i", "k"])
+            w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
+            top = (
+                pairs.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= 8)
+                .select("i", "k", "s")
+            )
+            return sorted((r.i, r.k, r.s) for r in top.collect())
+
+        assert survivors(200) == survivors(None)
+
+    def test_auto_gate_off_at_small_n(self, spark):
+        """The declared sparse queries at sf scale must not pay the
+        occupancy job: auto resolves to None below _SUBCELL_MIN_N."""
+        import affinity_propagation_mapreduce_spark.operators.ap as apm
+
+        assert apm._SUBCELL_MIN_N > 10_000  # sf0.1 corpus is far below
