@@ -28,6 +28,8 @@ ROWS_ONLY = {
     "agg_percentiles_approx",  # GK sketch: no DuckDB mirror
     "stream_batch_equiv_sessionize",  # runs a real structured stream
     "knn_cosine_ivf_trained",  # iterative centroid training: no SQL mirror
+    "knn_cosine_pq",           # Lloyd-trained PQ codebooks: no SQL mirror
+    "knn_cosine_ivfpq",        # composed trained quantizers: no SQL mirror
     "ann_recall_gate",         # recall floor gate over approximate paths
     "ivf_dup_subset_gate",     # bitwise subset gate, raises on violation
     "stream_batch_equiv_gate",  # runs the five remaining streaming twins
