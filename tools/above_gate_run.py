@@ -112,13 +112,17 @@ def main():
 
     spark = get_spark(f"above-gate-{mode}-{n}")
 
-    if mode in ("knn_pq", "knn_ivfpq"):
-        # PQ/ADC (flat or IVF-composed) shortlist + exact re-rank at
-        # scale, with measured recall against the exact top-k
+    if mode in ("knn_pq", "knn_ivfpq", "knn_ivf"):
+        # ANN scale path (PQ/ADC flat, IVF-composed, or plain IVF)
+        # shortlist/top-k with measured recall against the exact top-k
         # (|Q|·N JVM fold — affordable even at 1M)
         from affinity_propagation_mapreduce_spark.operators import vector as V
 
-        fn = V.knn_cosine_pq if mode == "knn_pq" else V.knn_cosine_ivfpq
+        fn = {
+            "knn_pq": V.knn_cosine_pq,
+            "knn_ivfpq": V.knn_cosine_ivfpq,
+            "knn_ivf": V.q_knn_cosine_ivf,
+        }[mode]
         t0 = time.monotonic()
         res = fn(spark, sf_dir).localCheckpoint(eager=True)
         n_res = res.count()
