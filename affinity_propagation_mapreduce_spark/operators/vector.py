@@ -1223,6 +1223,8 @@ RECALL_FLOORS = {
                            # shortlist=50 + exact re-rank)
     "knn_cosine_ivfpq": 0.3,  # cell pruning stacks on PQ error; floor
                               # is the structural-collapse detector
+    "knn_cosine_served": 0.3,  # persisted-index serving path shares the
+                               # IVF-PQ error model (operators/ann_index.py)
 }
 IVF_DUP_RECALL_FLOOR = 0.5
 

@@ -1,0 +1,108 @@
+"""Persisted ANN index (operators/ann_index.py): build/serve split.
+
+The serving claim is structural — search must not retrain or re-encode —
+so these tests pin (a) layout integrity and idempotent builds, (b) the
+serving result's quality vs the exact reference, (c) that the flat-PQ
+and IVF serving paths share one persisted artifact, and (d) that the
+probed scan actually prunes partitions (the physical IVF claim)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+from affinity_propagation_mapreduce_spark.operators.vector import (
+    N_QUERIES,
+    TOP_K,
+    q_knn_cosine_topk,
+)
+
+from .conftest import SF_SMALL, SF_T2
+
+
+def _recall(exact_rows, approx_rows) -> float:
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    return len(exact & approx) / len(exact)
+
+
+def test_build_idempotent_and_complete(spark):
+    p1 = ai.build_ann_index(spark, SF_SMALL)
+    p2 = ai.build_ann_index(spark, SF_SMALL)
+    assert p1 == p2
+    for part in ("_SUCCESS", "meta.json", "codes.parquet",
+                 "centroids.parquet", "codebooks.parquet"):
+        assert os.path.exists(os.path.join(p1, part)), part
+
+
+def test_index_path_is_content_addressed():
+    assert ai.ann_index_path(SF_SMALL) != ai.ann_index_path(SF_T2)
+
+
+def test_index_stats_gate_green(spark):
+    row = ai.q_ann_index_stats(spark, SF_SMALL).first()
+    assert row.n_vectors == 500
+    assert row.bytes_per_vector == row.pq_m + 8
+    assert 0 < row.n_cells_used <= row.nlist
+
+
+def test_served_schema_and_recall(spark):
+    res = ai.q_knn_cosine_served(spark, SF_SMALL)
+    assert res.columns == ["query_id", "neighbor_id", "cosine", "rn"]
+    rows = res.collect()
+    assert len(rows) == N_QUERIES * TOP_K
+    exact = q_knn_cosine_topk(spark, SF_SMALL).collect()
+    # in-query floor is 0.3 (structural); the measured value on this
+    # corpus should be comfortably above it
+    assert _recall(exact, rows) >= 0.5
+
+
+def test_flat_pq_shares_artifact_and_beats_floor(spark):
+    path = ai.build_ann_index(spark, SF_SMALL)
+    qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+    shortlist = ai.search_flat_pq(spark, path, qids, qmat, qnrm)
+    res = ai._exact_rerank(
+        spark, ai._norms(spark, SF_SMALL), shortlist, qids, qmat, qnrm
+    ).collect()
+    exact = q_knn_cosine_topk(spark, SF_SMALL).collect()
+    # flat scan prunes nothing, so its recall dominates the IVF path's
+    assert _recall(exact, res) >= 0.5
+    assert len(res) == N_QUERIES * TOP_K
+
+
+def test_served_scan_is_partition_pruned(spark):
+    """The physical IVF claim: the serving scan must carry the probed
+    cells as PartitionFilters — unprobed cell directories are never
+    read.  Asserted on the plan of the pruned codes scan itself."""
+    path = ai.build_ann_index(spark, SF_T2)
+    qids, qmat, qnrm = ai._query_rows(spark, SF_T2)
+    meta, cent_mat, _books = ai.load_ann_model(spark, path)
+    cell_to_q = ai._probe_map(cent_mat, qmat, ai.IVFPQ_QUERY_PROBE)
+    from pyspark.sql import functions as F
+
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet")).where(
+        F.col("cell").isin([int(c) for c in cell_to_q])
+    )
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # probing 10 queries x 8 cells can touch at most 80 distinct cells
+    n_cells = codes.select("cell").distinct().count()
+    assert n_cells <= min(len(cell_to_q), meta["nlist"])
+    assert len(cell_to_q) <= N_QUERIES * ai.IVFPQ_QUERY_PROBE
+
+
+def test_probe_map_covers_every_query():
+    rng = np.random.default_rng(3)
+    cent = rng.normal(size=(16, 4))
+    q = rng.normal(size=(7, 4))
+    c2q = ai._probe_map(cent, q, 3)
+    seen = sorted({p for lst in c2q.values() for p in lst})
+    assert seen == list(range(7))
+    counts = {}
+    for lst in c2q.values():
+        for p in lst:
+            counts[p] = counts.get(p, 0) + 1
+    assert all(v == 3 for v in counts.values())

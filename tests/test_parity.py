@@ -30,6 +30,8 @@ ROWS_ONLY = {
     "knn_cosine_ivf_trained",  # iterative centroid training: no SQL mirror
     "knn_cosine_pq",           # Lloyd-trained PQ codebooks: no SQL mirror
     "knn_cosine_ivfpq",        # composed trained quantizers: no SQL mirror
+    "knn_cosine_served",       # persisted-index serving: trained quantizers
+    "ann_index_stats",         # build-integrity gate over the same layout
     "ann_recall_gate",         # recall floor gate over approximate paths
     "ivf_dup_subset_gate",     # bitwise subset gate, raises on violation
     "stream_batch_equiv_gate",  # runs the five remaining streaming twins
