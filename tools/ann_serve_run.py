@@ -1,0 +1,96 @@
+"""Persisted-ANN serving measurements — round-9 verdict items #2/#3.
+
+Separates index BUILD from SEARCH on a 1M-scale clustered corpus (same
+generator as tools/above_gate_run.py) and measures the large-|Q|
+crossover between the cell-pruned IVF serving scan and the flat ADC scan
+over the SAME persisted codes:
+
+  python tools/ann_serve_run.py build 1000000
+  python tools/ann_serve_run.py serve 1000000 10
+  python tools/ann_serve_run.py serve 1000000 10000
+  python tools/ann_serve_run.py flat  1000000 10000
+
+Prints one JSON line per run: wall seconds, result rows, and recall@k of
+the first 10 queries vs the exact brute-force top-k (|Q|-independent
+cost, so the quality check stays affordable at any batch size).
+Results recorded in BASELINE.md §ann-serving.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from above_gate_run import synth_dir  # noqa: E402
+
+
+def _recall_first10(spark, sf_dir, res):
+    """Recall of result rows for query ids 0..9 vs the exact top-k."""
+    from affinity_propagation_mapreduce_spark.operators import vector as V
+
+    exact = V.q_knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    hit = exact.join(
+        res.select("query_id", "neighbor_id").where(res.query_id < 10),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    return round(hit / n_exact, 4) if n_exact else None
+
+
+def main():
+    mode, n = sys.argv[1], int(sys.argv[2])
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    sf_dir = synth_dir(n)
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+    from affinity_propagation_mapreduce_spark.session import get_spark
+
+    spark = get_spark(f"ann-serve-{mode}-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"mode": mode, "n": n}
+
+    if mode == "build":
+        path = ai.ann_index_path(sf_dir)
+        if os.path.isdir(path):  # timed builds are cold builds
+            shutil.rmtree(path)
+            try:
+                os.remove(f"{path}.lock")
+            except OSError:
+                pass
+        t0 = time.monotonic()
+        path = ai.build_ann_index(spark, sf_dir)
+        out["wall_sec"] = round(time.monotonic() - t0, 1)
+        meta, cent, _books = ai.load_ann_model(spark, path)
+        sz = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+        )
+        out.update(nlist=meta["nlist"], pq_m=meta["m"], index_bytes=sz)
+    else:
+        path = ai.ann_index_path(sf_dir)
+        assert os.path.isfile(os.path.join(path, "_SUCCESS")), "build first"
+        t0 = time.monotonic()
+        qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=n_q)
+        search = ai.search_ann_index if mode == "serve" else ai.search_flat_pq
+        shortlist = search(spark, path, qids, qmat, qnrm)
+        res = ai._exact_rerank(
+            spark, ai._norms(spark, sf_dir), shortlist, qids, qmat, qnrm
+        ).localCheckpoint(eager=True)
+        rows = res.count()
+        out.update(
+            n_queries=n_q,
+            wall_sec=round(time.monotonic() - t0, 1),
+            rows=rows,
+            recall_first10=_recall_first10(spark, sf_dir, res),
+        )
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
