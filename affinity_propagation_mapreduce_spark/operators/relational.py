@@ -1578,6 +1578,130 @@ WHERE NOT (op = 'D' AND c_custkey IS NOT NULL) OR op IS NULL
 """
 
 
+# --- (⊕ r9) multi-batch CDC MERGE chain --------------------------------------
+
+MERGE_CHAIN_BATCHES = 3
+
+
+def _merge_changes(spark, sf_dir):
+    """The deterministic change feed of q_merge_upsert plus a batch id
+    from an INDEPENDENT md5 substring (chars 9-16, decorrelated from the
+    op bucket in chars 1-8), so each batch mixes D/U/insert ops."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    batch = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 9, 8), 16, 10)
+        .cast("long") % MERGE_CHAIN_BATCHES
+    )
+    return orders.select(
+        F.when(
+            bucket >= 100 - MERGE_INSERT_PCT,
+            F.col("o_custkey") + MERGE_NEW_KEY_OFFSET,
+        ).otherwise(F.col("o_custkey")).alias("key"),
+        F.when(bucket < MERGE_DELETE_PCT, F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.col("o_totalprice").alias("new_bal"),
+        "o_orderdate",
+        "o_orderkey",
+        batch.alias("batch"),
+    )
+
+
+def _merge_apply(state, feed):
+    """One MERGE application: compact ``feed`` to its latest change per
+    key, full-outer join against ``state``, and keep exactly the
+    classic MERGE branches — matched+D deletes (joined row dropped),
+    matched+U updates, unmatched+U inserts, unmatched+D is a NO-OP
+    (this case never arises in the single-shot query because every
+    change key exists or is brand-new, but in a CHAIN a batch can
+    delete a key an earlier batch already deleted), untouched state
+    rows pass through.  New balances pass through per-row — no float
+    re-aggregation, so the chain stays bitwise."""
+    w = Window.partitionBy("key").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    latest = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "op", "new_bal")
+    )
+    merged = state.join(latest, state.custkey == latest.key, "full_outer")
+    return merged.where(F.col("op").isNull() | (F.col("op") == "U")).select(
+        F.coalesce("custkey", "key").alias("custkey"),
+        F.coalesce(
+            "name", F.concat(F.lit("new-"), F.col("key").cast("string"))
+        ).alias("name"),
+        F.coalesce("mktsegment", F.lit("NEW")).alias("mktsegment"),
+        F.when(F.col("op") == "U", F.col("new_bal"))
+        .otherwise(F.col("acctbal")).alias("acctbal"),
+    )
+
+
+def q_merge_upsert_chain(spark, sf_dir):
+    """The production MERGE loop (r8 verdict #7): MERGE_CHAIN_BATCHES
+    sequential change feeds applied to the customer snapshot — within
+    each batch changes compact to the latest per key; ACROSS batches
+    order matters (a key deleted in batch 0 can be re-inserted in batch
+    1 and re-updated in batch 2).  The oracle replays the identical
+    chain in SQL, so the final state is hash-compared, not rows-only.
+
+    100 TB story: each application is one change-compaction window plus
+    one outer join, all shuffling on the merge key — with a key-bucketed
+    target (sources.io.write_bucketed_table) every application is
+    co-located, and the chain's cost is O(sum of change volumes), not
+    O(batches × snapshot)."""
+    changes = _merge_changes(spark, sf_dir)
+    state = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    for b in range(MERGE_CHAIN_BATCHES):
+        state = _merge_apply(state, changes.where(F.col("batch") == b))
+    return state
+
+
+def _merge_chain_oracle() -> str:
+    apply_tpl = """
+state{nxt} AS (
+  SELECT COALESCE(s.custkey, l.key) AS custkey,
+         COALESCE(s.name, 'new-' || l.key::VARCHAR) AS name,
+         COALESCE(s.mktsegment, 'NEW') AS mktsegment,
+         CASE WHEN l.op = 'U' THEN l.new_bal ELSE s.acctbal END AS acctbal
+  FROM state{cur} s FULL OUTER JOIN (
+    SELECT key, op, new_bal FROM changes WHERE batch = {b}
+    QUALIFY row_number() OVER (PARTITION BY key
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+  ) l ON s.custkey = l.key
+  WHERE l.op IS NULL OR l.op = 'U')"""
+    steps = ",".join(
+        apply_tpl.format(cur=b, nxt=b + 1, b=b) for b in range(MERGE_CHAIN_BATCHES)
+    )
+    return f"""
+WITH changes AS (
+  SELECT CASE WHEN b >= {100 - MERGE_INSERT_PCT}
+              THEN o_custkey + {MERGE_NEW_KEY_OFFSET} ELSE o_custkey END AS key,
+         CASE WHEN b < {MERGE_DELETE_PCT} THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS new_bal, o_orderdate, o_orderkey, batch
+  FROM (SELECT *,
+          CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+               AS BIGINT) % 100 AS b,
+          CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 9, 8))::BIGINT
+               AS BIGINT) % {MERGE_CHAIN_BATCHES} AS batch
+        FROM orders)),
+state0 AS (
+  SELECT c_custkey AS custkey, c_name AS name,
+         c_mktsegment AS mktsegment, c_acctbal AS acctbal FROM customer),
+{steps}
+SELECT custkey, name, mktsegment, acctbal FROM state{MERGE_CHAIN_BATCHES}
+"""
+
+
+O_MERGE_CHAIN = _merge_chain_oracle()
+
+
 QUERIES = {
     "scan_project_filter": q_scan_project_filter,
     "pivot_status": q_pivot_status,
@@ -1595,6 +1719,7 @@ QUERIES = {
     "join_cross_small": q_join_cross_small,
     "join_full_outer": q_join_full_outer,
     "merge_upsert": q_merge_upsert,
+    "merge_upsert_chain": q_merge_upsert_chain,
     "join_bucketed": q_join_bucketed,
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,
@@ -1645,6 +1770,7 @@ ORACLES = {
     "join_cross_small": O_JOIN_CROSS,
     "join_full_outer": O_JOIN_FULL_OUTER,
     "merge_upsert": O_MERGE_UPSERT,
+    "merge_upsert_chain": O_MERGE_CHAIN,
     "join_bucketed": O_JOIN_BUCKETED,
     "agg_distinct": O_AGG_DISTINCT,
     "agg_distinct_approx": O_AGG_DISTINCT_APPROX,

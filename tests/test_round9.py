@@ -34,6 +34,36 @@ def test_ntile_pctrank_matches_global_window(spark):
     assert ref.exceptAll(got).count() == 0
 
 
+def test_merge_apply_branch_semantics(spark):
+    """The chain-only MERGE branches, pinned on a constructed feed:
+    matched+D deletes, unmatched+D is a NO-OP (never arises single-shot),
+    unmatched+U inserts, and a deleted key re-inserts in a later batch."""
+    from affinity_propagation_mapreduce_spark.operators.relational import (
+        _merge_apply,
+    )
+
+    state = spark.createDataFrame(
+        [(1, "a", "SEG", 10.0), (2, "b", "SEG", 20.0)],
+        "custkey long, name string, mktsegment string, acctbal double",
+    )
+    feed_schema = (
+        "key long, op string, new_bal double, o_orderdate date, o_orderkey long"
+    )
+    import datetime as dt
+
+    d = dt.date(2024, 1, 1)
+    batch0 = spark.createDataFrame(
+        [(1, "D", 0.0, d, 1), (3, "D", 0.0, d, 2), (4, "U", 44.0, d, 3)],
+        feed_schema,
+    )
+    s1 = _merge_apply(state, batch0)
+    got1 = {r.custkey: (r.name, r.acctbal) for r in s1.collect()}
+    assert got1 == {2: ("b", 20.0), 4: ("new-4", 44.0)}
+    batch1 = spark.createDataFrame([(1, "U", 99.0, d, 9)], feed_schema)
+    got2 = {r.custkey: (r.name, r.acctbal) for r in _merge_apply(s1, batch1).collect()}
+    assert got2 == {2: ("b", 20.0), 4: ("new-4", 44.0), 1: ("new-1", 99.0)}
+
+
 def test_ntile_pctrank_no_single_partition_sort(spark):
     """The scale claim: no stage funnels the whole table through one
     task — the plan must not contain a SinglePartition exchange."""
