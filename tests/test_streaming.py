@@ -259,3 +259,80 @@ def test_transitions_twin_equals_batch_pairs(spark):
         ["from_type", "to_type", "n"],
     )
     assert got_counts == batch_counts
+
+
+def test_stream_stop_resume_exactly_once(spark, tmp_path):
+    """Checkpoint recovery (r8 verdict #6, in-suite variant): the same
+    file-to-file tumbling query is run twice — once uninterrupted, once
+    stopped mid-run after ≥2 committed micro-batches and restarted from
+    its checkpoint — and the two sinks must match row-for-row (no loss,
+    no duplicates).  The harsher SIGKILL-mid-flight variant is
+    tools/stream_crash_run.py (BASELINE.md §streaming-crash)."""
+    import os
+    import time
+
+    from affinity_propagation_mapreduce_spark.streaming.twins import (
+        _events_raw_schema,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    schema, ts_is_long = _events_raw_schema(spark, f"{sf_dir}/events.parquet")
+    raw = spark.read.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "drop")
+    # 24 time-ordered files -> 24 micro-batches at one file per trigger
+    # (time-ordered so the watermark advances monotonically)
+    raw.repartitionByRange(24, "ts").sortWithinPartitions("ts").write.parquet(src)
+
+    def build(out):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ev = (
+            stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if ts_is_long
+            else stream
+        )
+        return (
+            twins.tumbling_stream(ev)
+            .writeStream.format("parquet")
+            .option("path", f"{out}/data")
+            .option("checkpointLocation", f"{out}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    control_out = str(tmp_path / "control")
+    q = build(control_out)
+    q.awaitTermination(300)
+
+    crash_out = str(tmp_path / "crash")
+    q = build(crash_out)
+    commits = f"{crash_out}/ckpt/commits"
+    deadline = time.time() + 120
+    stopped_after = None
+    while time.time() < deadline and q.isActive:
+        try:
+            n_commits = len(
+                [f for f in os.listdir(commits) if not f.startswith(".")]
+            )
+        except OSError:
+            n_commits = 0
+        if n_commits >= 2:
+            q.stop()
+            stopped_after = n_commits
+            break
+        time.sleep(0.02)
+    assert stopped_after is not None and q.isActive is False, (
+        "query finished before the interrupt — raise the file count"
+    )
+    # resume from the same checkpoint to completion
+    q = build(crash_out)
+    q.awaitTermination(300)
+
+    control = spark.read.parquet(f"{control_out}/data")
+    crashed = spark.read.parquet(f"{crash_out}/data")
+    assert control.exceptAll(crashed).count() == 0, "rows lost in recovery"
+    assert crashed.exceptAll(control).count() == 0, "duplicate rows after recovery"
+    assert control.count() > 0
