@@ -217,8 +217,14 @@ def q_join_asof(spark, sf_dir):
     user_id = o_custkey plus the temporal conjunct ts >= o_orderdate
     (declared in SURVEY.md B9; without it the query only "works" because
     every order happens to predate every event in this dataset).  Spark
-    has no native ASOF; the row_number formulation is the declared
-    semantic on both engines."""
+    has no native ASOF; the declared semantic is "row with the max
+    (o_orderdate, -o_orderkey)" — i.e. latest date, ties to the LOWEST
+    orderkey — expressed as a ``max_by`` aggregation (r8 verdict #8):
+    unlike the row_number formulation it partial-aggregates map-side
+    (one candidate row per event per mapper crosses the exchange, no
+    per-group sort on the reduce side), and the struct ordering makes
+    the tie-break explicit rather than buried in a window ORDER BY.
+    A/B'd value-identical to the window formulation at sf0.1."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
@@ -226,17 +232,21 @@ def q_join_asof(spark, sf_dir):
     j = ev.join(
         orders, (ev.user_id == orders.o_custkey) & (ev.ts >= orders.o_orderdate)
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.asc("o_orderkey")
-    )
+    best = F.max_by(
+        F.struct("o_orderkey", "o_orderdate"),
+        F.struct(
+            F.col("o_orderdate").alias("d"),
+            (-F.col("o_orderkey")).alias("neg_key"),
+        ),
+    ).alias("best")
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        j.groupBy("event_id", "user_id")
+        .agg(best)
         .select(
             "event_id",
             "user_id",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("best.o_orderkey").alias("last_orderkey"),
+            F.col("best.o_orderdate").alias("last_orderdate"),
         )
     )
 
