@@ -594,7 +594,14 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm):
     """Exact top-k over an ADC shortlist: only the shortlist rows touch
     full-precision vectors (a key-join against the corpus), cosine is
     the JVM fold (bitwise = the declared exact queries), final top-k by
-    (cosine DESC, id ASC)."""
+    (cosine DESC, id ASC).
+
+    The neighbor norm is recomputed POST-join from the joined embedding
+    (identical fold arithmetic → identical doubles): projecting the
+    precomputed ``nrm`` column through the join would make the corpus
+    scan evaluate the interpreted fold for EVERY row — at N=1M that one
+    column dominated the serving wall — while post-join it runs on
+    |Q|·shortlist rows only."""
     qdf = spark.createDataFrame(
         [(int(i), list(map(float, e)), float(n)) for i, e, n in
          zip(qids, qmat, qnrm)],
@@ -605,11 +612,13 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm):
             norms.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("emb").alias("n_emb"),
-                F.col("nrm").alias("n_nrm"),
             ),
             "neighbor_id",
         )
         .join(F.broadcast(qdf), "query_id")
+        .withColumn(
+            "n_nrm", F.sqrt(_fold_sum(F.transform("n_emb", lambda x: x * x)))
+        )
     )
     cos_exact = _dot(F.col("q_emb"), F.col("n_emb")) / (
         F.col("q_nrm") * F.col("n_nrm")
