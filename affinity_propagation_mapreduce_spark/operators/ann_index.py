@@ -109,20 +109,14 @@ def _norms(spark, sf_dir):
     )
 
 
-def build_ann_index(spark, sf_dir: str, path: str | None = None) -> str:
-    """Train + encode + persist; returns the layout path.  Idempotent and
-    crash-safe (flock'd write-once); a complete layout short-circuits."""
-    path = path or ann_index_path(sf_dir)
-    if os.path.isfile(os.path.join(path, "_SUCCESS")):
-        return path
-
-    n = corpus_rows(spark, sf_dir)
-    nlist = cost_balanced_nlist(n, IVFPQ_QUERY_PROBE)
-    emb_raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent_mat = train_centroids(emb_raw, nlist)
-    sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
-    books = _pq_train_codebooks(spark, sf_dir)  # (m, ksub, dsub)
-    m_, ksub, dsub = books.shape
+def _encode_codes(spark, emb, cent_mat, sup_ch, books):
+    """Encode (vec_id, emb) rows against FIXED quantizers: home cell via
+    the (two-level) coarse assignment, PQ byte codes per subspace, true
+    norm computed in the kernel (numpy — NOT the interpreted JVM fold:
+    feeding a fold-computed nrm column would evaluate it per corpus row
+    and the kernel ignored it anyway).  Returns (encoded_df, broadcast);
+    the caller destroys the broadcast after the consuming action."""
+    m_, _ksub, dsub = books.shape
     bc = spark.sparkContext.broadcast((cent_mat, sup_ch, books))
 
     def encode(batches):
@@ -163,9 +157,38 @@ def build_ann_index(spark, sf_dir: str, path: str | None = None) -> str:
                 }
             )
 
-    encoded = _norms(spark, sf_dir).mapInPandas(
+    encoded = emb.mapInPandas(
         encode, "vec_id long, cell long, code binary, nrm double"
     )
+    return encoded, bc
+
+
+def build_ann_index(
+    spark, sf_dir: str, path: str | None = None, emb_raw=None
+) -> str:
+    """Train + encode + persist; returns the layout path.  Idempotent and
+    crash-safe (flock'd write-once); a complete layout short-circuits.
+    ``emb_raw`` (vec_id, embedding) overrides the corpus — the
+    incremental path builds its base index from a subset."""
+    path = path or ann_index_path(sf_dir)
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return path
+
+    if emb_raw is None:
+        n = corpus_rows(spark, sf_dir)
+        emb_raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    else:
+        emb_raw = emb_raw.select("vec_id", "embedding")
+        n = emb_raw.count()
+    nlist = cost_balanced_nlist(n, IVFPQ_QUERY_PROBE)
+    cent_mat = train_centroids(emb_raw, nlist)
+    sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
+    books = _pq_train_codebooks(spark, sf_dir, emb_raw)  # (m, ksub, dsub)
+    emb = emb_raw.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
+    m_, ksub, _dsub = books.shape
 
     def write_fn(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
@@ -202,7 +225,7 @@ def build_ann_index(spark, sf_dir: str, path: str | None = None) -> str:
                     "nlist": int(len(cent_mat)),
                     "m": int(m_),
                     "ksub": int(ksub),
-                    "dsub": int(dsub),
+                    "dsub": int(books.shape[2]),
                 },
                 fh,
             )
@@ -457,11 +480,158 @@ def q_ann_index_stats(spark, sf_dir):
     )
 
 
+# --- incremental maintenance (the daily-crawl shape) -------------------------
+
+
+def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
+    """Append a NEW batch of vectors to a persisted index using the
+    EXISTING quantizers — no retrain, no re-encode of the old corpus
+    (the daily-crawl shape; the dedup mirror is textops'
+    dedup_incremental).  New vectors are coarse-assigned and PQ-encoded
+    against the persisted centroids/codebooks, appended into the
+    cell-partitioned codes layout, and meta.json's row count advances.
+
+    Idempotent per ``batch_tag``: the tag is recorded in meta.json under
+    the layout flock, so a re-run (or a concurrent process) skips an
+    already-applied batch instead of duplicating it.  Writer-writer
+    races are serialized by the flock; reader-vs-append visibility is a
+    DECLARED seam — the parquet append is not transactional (a reader
+    mid-append can see a partial batch), which is exactly what an ACID
+    table format (Delta/Iceberg) buys in production.  Returns the
+    number of rows appended (0 if the tag was already applied).
+
+    Drift caveat (inherent to frozen quantizers): appended batches are
+    encoded with the BASE distribution's centroids; under distribution
+    drift cell occupancy skews and recall decays — vector.py's
+    embedding_drift is the monitoring query, a full rebuild the remedy.
+    """
+    import time
+
+    from .events import (
+        _LAYOUT_HARD_CAP_SEC,
+        _flock_layout_lock,
+        _release_layout_lock,
+    )
+
+    meta, cent_mat, books = load_ann_model(spark, path)
+    sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
+    emb = emb_raw.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
+    try:
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if batch_tag in meta.get("batches", []):
+            return 0
+        encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
+        encoded = encoded.localCheckpoint(eager=True)  # one encode pass
+        n_new = encoded.count()
+        (
+            encoded.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(path, "codes.parquet"))
+        )
+        meta["n"] = meta["n"] + n_new
+        meta["batches"] = meta.get("batches", []) + [batch_tag]
+        tmp_meta = os.path.join(path, ".meta.json.tmp")
+        with open(tmp_meta, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp_meta, os.path.join(path, "meta.json"))
+        bc.destroy(blocking=False)
+        return n_new
+    finally:
+        _release_layout_lock(fd)
+
+
+INCR_DELTA_BUCKETS = 10  # md5 bucket 0 of 10 → the "new crawl" delta (~10%)
+
+
+def q_ann_index_incremental(spark, sf_dir):
+    """Rows-only, SELF-VERIFYING: the incremental-maintenance round trip.
+    The corpus splits deterministically into a 90% base and a 10% delta
+    (md5 bucket, the engine's standard split device); the base index is
+    BUILT (training sees only base vectors), the delta is APPENDED with
+    frozen quantizers, and the gate raises unless (a) the appended
+    layout holds every corpus vector exactly once with M-byte codes,
+    (b) a second append of the same batch tag is a no-op (idempotence),
+    and (c) at verification scale, serving from the appended index
+    clears the shared recall floor vs the exact top-k on the FULL
+    corpus.  Returns one scalar row describing the round trip."""
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % INCR_DELTA_BUCKETS
+    )
+    base = raw.where(bucket != 0)
+    delta = raw.where(bucket == 0)
+    path = ann_index_path(sf_dir) + "-incr"
+    build_ann_index(spark, sf_dir, path=path, emb_raw=base)
+    # append returns 0 when the tag is already applied (idempotent, e.g.
+    # a second run against the same persisted layout), so the reported
+    # delta size comes from the split itself
+    append_ann_index(spark, path, delta, "delta-bucket-0")
+    n_applied = delta.count()
+    n_again = append_ann_index(spark, path, delta, "delta-bucket-0")
+    if n_again != 0:
+        raise AssertionError(f"duplicate append applied {n_again} rows")
+    n = corpus_rows(spark, sf_dir)
+    meta, cent_mat, _books = load_ann_model(spark, path)
+    if meta["n"] != n:
+        raise AssertionError(f"meta n {meta['n']} != corpus {n}")
+    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    stats = codes.agg(
+        F.count("*").alias("n_codes"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.min(F.length("code")).alias("min_len"),
+        F.max(F.length("code")).alias("max_len"),
+        F.max("cell").alias("max_cell"),
+    ).first()
+    if stats.n_codes != n or stats.n_ids != n:
+        raise AssertionError(
+            f"appended layout holds {stats.n_codes}/{stats.n_ids} != {n}"
+        )
+    if stats.min_len != meta["m"] or stats.max_len != meta["m"]:
+        raise AssertionError("code byte length drifted across batches")
+    if stats.max_cell >= len(cent_mat):
+        raise AssertionError("appended batch invented a cell id")
+    if n <= _PQ_GATE_MAX_N:
+        qids, qmat, qnrm = _query_rows(spark, sf_dir)
+        res = _exact_rerank(
+            spark,
+            _norms(spark, sf_dir),
+            search_ann_index(spark, path, qids, qmat, qnrm),
+            qids,
+            qmat,
+            qnrm,
+        ).localCheckpoint(eager=False)
+        exact = q_knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+        n_exact = exact.count()
+        hit = exact.join(
+            res.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        floor = RECALL_FLOORS["knn_cosine_served"]
+        if n_exact == 0 or hit / n_exact < floor:
+            raise AssertionError(
+                f"incremental-index recall collapsed: {hit}/{n_exact}"
+            )
+    return spark.createDataFrame(
+        [(int(n - n_applied), int(n_applied), int(n), int(meta["m"]))],
+        "n_base long, n_delta long, n_total long, pq_m long",
+    )
+
+
 QUERIES = {
-    # rows-only (iterative quantizer training — no SQL mirror), both
-    # self-verifying: recall floor / build-integrity raise in-query
+    # rows-only (iterative quantizer training — no SQL mirror), all
+    # self-verifying: recall floor / build-integrity / idempotent-append
+    # gates raise in-query
     "knn_cosine_served": q_knn_cosine_served,
     "ann_index_stats": q_ann_index_stats,
+    "ann_index_incremental": q_ann_index_incremental,
 }
 
 ORACLES: dict[str, str] = {}

@@ -435,16 +435,18 @@ PQ_SHORTLIST_FRAC = 2500  # ... grown to N/2500 at scale: the shortlist must
 _PQ_GATE_MAX_N = 5_000
 
 
-def _pq_train_codebooks(spark, sf_dir):
+def _pq_train_codebooks(spark, sf_dir, emb=None):
     """Deterministic per-subspace Lloyd codebooks on an md5-ordered
     sample — the PQ analogue of ivf.train_centroids (same bounded-sample
     shortcut, same lowest-id init, empty cells keep their codeword).
     Driver cost is O(sample·d) bytes; the returned codebooks are
     M·KSUB·(d/M) doubles (= d·KSUB, ~16 KB here) — broadcastable at any
-    corpus size."""
+    corpus size.  ``emb`` (vec_id, embedding) overrides the corpus
+    (incremental index builds train on their base subset)."""
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     rows = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(PQ_TRAIN_SAMPLE)

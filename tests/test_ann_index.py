@@ -94,6 +94,30 @@ def test_served_scan_is_partition_pruned(spark):
     assert len(cell_to_q) <= N_QUERIES * ai.IVFPQ_QUERY_PROBE
 
 
+def test_incremental_append_roundtrip(spark):
+    """Build-on-base + append-delta must hold every corpus vector
+    exactly once, be idempotent per batch tag, and clear the recall
+    floor — all enforced inside the declared query (raises otherwise)."""
+    row = ai.q_ann_index_incremental(spark, SF_SMALL).first()
+    assert row.n_base + row.n_delta == row.n_total == 500
+    assert row.n_delta > 0
+    # run it twice: second pass must hit the idempotence path cleanly
+    row2 = ai.q_ann_index_incremental(spark, SF_SMALL).first()
+    assert row2 == row
+
+
+def test_append_rejects_duplicate_batch_tag(spark):
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    path = ai.build_ann_index(spark, SF_SMALL)
+    delta = table(spark, SF_SMALL, "embeddings").where(F.col("vec_id") < 0)
+    # empty frame: applying any tag twice must return 0 the second time
+    assert ai.append_ann_index(spark, path, delta, "t-empty") == 0
+    assert ai.append_ann_index(spark, path, delta, "t-empty") == 0
+
+
 def test_probe_map_covers_every_query():
     rng = np.random.default_rng(3)
     cent = rng.normal(size=(16, 4))

@@ -32,6 +32,7 @@ ROWS_ONLY = {
     "knn_cosine_ivfpq",        # composed trained quantizers: no SQL mirror
     "knn_cosine_served",       # persisted-index serving: trained quantizers
     "ann_index_stats",         # build-integrity gate over the same layout
+    "ann_index_incremental",   # append round-trip gate, idempotent batches
     "ann_recall_gate",         # recall floor gate over approximate paths
     "ivf_dup_subset_gate",     # bitwise subset gate, raises on violation
     "stream_batch_equiv_gate",  # runs the five remaining streaming twins
