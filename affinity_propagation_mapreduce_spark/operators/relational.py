@@ -720,8 +720,13 @@ def q_win_ntile_pctrank(spark, sf_dir):
     physical partitioning + row order for the counts job and the main
     job (range boundary sampling is not re-run deterministic)."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # range width follows the session's shuffle parallelism (values are
+    # partition-count-independent; offsets stay a tiny collect)
+    n_parts = max(
+        NTILE_RANGE_PARTS, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
     parts = (
-        cust.repartitionByRange(NTILE_RANGE_PARTS, "c_acctbal", "c_custkey")
+        cust.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
         .sortWithinPartitions("c_acctbal", "c_custkey")
         .withColumn("mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=False)

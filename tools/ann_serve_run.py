@@ -54,7 +54,41 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     out = {"mode": mode, "n": n}
 
-    if mode == "build":
+    if mode == "append":
+        # incremental-maintenance cost: build a base index on a 90% md5
+        # split, then time appending the 10% delta with frozen
+        # quantizers — the number to compare against a full rebuild
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+            ).cast("long") % 10
+        )
+        base, delta = raw.where(bucket != 0), raw.where(bucket == 0)
+        path = ai.ann_index_path(sf_dir) + "-incr"
+        if os.path.isdir(path):
+            import shutil as sh
+
+            sh.rmtree(path)
+            try:
+                os.remove(f"{path}.lock")
+            except OSError:
+                pass
+        t0 = time.monotonic()
+        ai.build_ann_index(spark, sf_dir, path=path, emb_raw=base)
+        base_wall = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        n_new = ai.append_ann_index(spark, path, delta, "delta-bucket-0")
+        out.update(
+            base_build_sec=base_wall,
+            append_sec=round(time.monotonic() - t0, 1),
+            n_appended=n_new,
+        )
+    elif mode == "build":
         path = ai.ann_index_path(sf_dir)
         if os.path.isdir(path):  # timed builds are cold builds
             shutil.rmtree(path)
