@@ -1268,12 +1268,17 @@ def q_ann_recall_gate(spark, sf_dir):
         # is itself the structural breakage this gate exists to catch,
         # so raise loudly instead of reporting vacuous recall
         raise AssertionError("exact knn reference returned zero rows")
+    # runtime import: ann_index imports this module at load time, so the
+    # serving path joins the gate via a deferred import (r9)
+    from .ann_index import knn_cosine_served
+
     out = []
     for method, fn in (
         ("knn_cosine_ivf", q_knn_cosine_ivf),
         ("knn_cosine_ivf_trained", knn_cosine_ivf_trained),
         ("knn_cosine_pq", knn_cosine_pq),
         ("knn_cosine_ivfpq", knn_cosine_ivfpq),
+        ("knn_cosine_served", knn_cosine_served),
     ):
         hit = exact_knn.join(
             fn(spark, sf_dir).select("query_id", "neighbor_id"),
