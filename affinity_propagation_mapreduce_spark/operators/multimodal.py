@@ -226,11 +226,84 @@ FROM frames
 """
 
 
+# --- M5 exact binary dedup (⊕ r9) --------------------------------------------
+
+def q_media_dedup_exact(spark, sf_dir):
+    """Exact duplicate detection over opaque binary payloads — the first
+    pass of every multimodal ingestion pipeline (the image-corpus
+    analogue of textops.q_dedup_exact).  Key = (content md5, byte
+    length): the checksum is computed MAP-SIDE at the scan, so only
+    (32-char hash, long) pairs ever shuffle — payload bytes never leave
+    their scan task, which at 100 TB of images is the difference
+    between shuffling kilobyte keys and shuffling the corpus.  Groups
+    with >1 asset emit their non-canonical members against the
+    lowest-id survivor.
+
+    Duplication is planted by construction (the documents corpus has
+    ZERO raw duplicate texts at every sf — FIXTURES.md fact 3, which
+    would make a raw-payload key vacuous): each run of 5 consecutive
+    asset ids shares its anchor's payload — the re-upload/mirror
+    duplication shape real image corpora exhibit."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    anchors = docs.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    keyed = (
+        docs.select(
+            F.col("doc_id").alias("asset_id"),
+            (F.col("doc_id") - F.col("doc_id") % 5).alias("anchor_id"),
+        )
+        .join(anchors, "anchor_id")
+        .select(
+            "asset_id",
+            F.md5("payload").alias("content_md5"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+    )
+    groups = (
+        keyed.groupBy("content_md5", "n_bytes")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("asset_id").alias("canonical_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return (
+        keyed.join(groups, ["content_md5", "n_bytes"])
+        .where(F.col("asset_id") != F.col("canonical_id"))
+        .select(
+            "content_md5",
+            "n_bytes",
+            "n_copies",
+            "canonical_id",
+            F.col("asset_id").alias("dup_id"),
+        )
+    )
+
+
+O_MEDIA_DEDUP = """
+WITH keyed AS (
+  SELECT a.doc_id AS asset_id, md5(b.text) AS content_md5,
+         CAST(octet_length(encode(b.text)) AS BIGINT) AS n_bytes
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id - a.doc_id % 5),
+groups AS (
+  SELECT content_md5, n_bytes, CAST(count(*) AS BIGINT) AS n_copies,
+         min(asset_id) AS canonical_id
+  FROM keyed GROUP BY 1, 2 HAVING count(*) > 1)
+SELECT content_md5, n_bytes, n_copies, canonical_id,
+       asset_id AS dup_id
+FROM keyed JOIN groups USING (content_md5, n_bytes)
+WHERE asset_id <> canonical_id
+"""
+
+
 QUERIES = {
     "media_profile": q_media_profile,
     "media_fingerprint": q_media_fingerprint,
     "media_decode_features": q_media_decode_features,
     "media_frame_sample": q_media_frame_sample,
+    "media_dedup_exact": q_media_dedup_exact,
 }
 
 ORACLES = {
@@ -238,4 +311,5 @@ ORACLES = {
     "media_fingerprint": O_MEDIA_FP,
     "media_decode_features": O_DECODE_FEATURES,
     "media_frame_sample": O_FRAME_SAMPLE,
+    "media_dedup_exact": O_MEDIA_DEDUP,
 }
