@@ -45,6 +45,7 @@ def _recall_first10(spark, sf_dir, res):
 def main():
     mode, n = sys.argv[1], int(sys.argv[2])
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_probe = int(sys.argv[4]) if len(sys.argv) > 4 else None
     sf_dir = synth_dir(n)
 
     from affinity_propagation_mapreduce_spark.operators import ann_index as ai
@@ -111,8 +112,11 @@ def main():
         assert os.path.isfile(os.path.join(path, "_SUCCESS")), "build first"
         t0 = time.monotonic()
         qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=n_q)
-        search = ai.search_ann_index if mode == "serve" else ai.search_flat_pq
-        shortlist = search(spark, path, qids, qmat, qnrm)
+        if mode == "serve":
+            kw = {"n_probe": n_probe} if n_probe else {}
+            shortlist = ai.search_ann_index(spark, path, qids, qmat, qnrm, **kw)
+        else:
+            shortlist = ai.search_flat_pq(spark, path, qids, qmat, qnrm)
         res = ai._exact_rerank(
             spark, ai._norms(spark, sf_dir), shortlist, qids, qmat, qnrm
         ).localCheckpoint(eager=True)
