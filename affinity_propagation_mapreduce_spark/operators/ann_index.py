@@ -82,8 +82,11 @@ from .vector import (
 )
 
 # bumped whenever the on-disk layout or the quantizer parameters change:
-# the version is part of the path, so stale indexes are never read
-ANN_INDEX_FORMAT = 1
+# the version is part of the path, so stale indexes are never read.
+# v2: codes live under codes.parquet/batch=<tag>/cell=*/ — each batch
+# (base build or incremental append) is its OWN directory, landed by a
+# single atomic rename, which makes appends crash-atomic (review r9 #1)
+ANN_INDEX_FORMAT = 2
 
 _INDEX_BASE = "/tmp/spark_graft_ann"
 
@@ -169,37 +172,45 @@ def build_ann_index(
     """Train + encode + persist; returns the layout path.  Idempotent and
     crash-safe (flock'd write-once); a complete layout short-circuits.
     ``emb_raw`` (vec_id, embedding) overrides the corpus — the
-    incremental path builds its base index from a subset."""
+    incremental path builds its base index from a subset.
+
+    ALL expensive work (training collects AND the corpus encode) runs
+    inside write_fn, i.e. under the layout flock AFTER the _SUCCESS
+    re-check — so when several processes race on a fresh corpus, the
+    losers skip the compute, not just the write (review r9 #7)."""
     path = path or ann_index_path(sf_dir)
     if os.path.isfile(os.path.join(path, "_SUCCESS")):
         return path
 
-    if emb_raw is None:
-        n = corpus_rows(spark, sf_dir)
-        emb_raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    else:
-        emb_raw = emb_raw.select("vec_id", "embedding")
-        n = emb_raw.count()
-    nlist = cost_balanced_nlist(n, IVFPQ_QUERY_PROBE)
-    cent_mat = train_centroids(emb_raw, nlist)
-    sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
-    books = _pq_train_codebooks(spark, sf_dir, emb_raw)  # (m, ksub, dsub)
-    emb = emb_raw.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
-    m_, ksub, _dsub = books.shape
-
     def write_fn(tmp: str) -> None:
+        if emb_raw is None:
+            n = corpus_rows(spark, sf_dir)
+            raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        else:
+            raw = emb_raw.select("vec_id", "embedding")
+            n = raw.count()
+        nlist = cost_balanced_nlist(n, IVFPQ_QUERY_PROBE)
+        cent_mat = train_centroids(raw, nlist)
+        sup_ch = (
+            build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
+        )
+        books = _pq_train_codebooks(spark, sf_dir, raw)  # (m, ksub, dsub)
+        emb = raw.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
+        m_, ksub, _dsub = books.shape
         os.makedirs(tmp, exist_ok=True)
-        # sort within cell partitions by vec_id: tight row-group min/max
-        # stats for point lookups inside a cell
+        # the base codes land as their own batch=base directory (v2
+        # layout: every batch — build or append — is one directory,
+        # so appends can rename in atomically).  Sort within cell
+        # partitions by vec_id: tight row-group min/max stats.
         (
             encoded.repartition("cell")
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(os.path.join(tmp, "codes.parquet"))
+            .parquet(os.path.join(tmp, "codes.parquet", "batch=base"))
         )
         spark.createDataFrame(
             [(i, [float(v) for v in c]) for i, c in enumerate(cent_mat)],
@@ -233,10 +244,54 @@ def build_ann_index(
         # layout, not on any single Spark writer's own marker
         with open(os.path.join(tmp, "_SUCCESS"), "w"):
             pass
+        bc.destroy(blocking=False)
 
     _layout_write_once(path, write_fn)
-    bc.destroy(blocking=False)
+    _reap_superseded_indexes(path)
     return path
+
+
+def _reap_superseded_indexes(current_path: str) -> None:
+    """GC for content-addressed layouts (review r9 #8): the driver
+    regenerates a corpus IN PLACE, so sibling layouts of the same
+    sf_dir prefix with a different fingerprint are superseded for
+    certain.  Each victim is removed only under a NON-blocking flock on
+    its own lock file — a layout still being read was either complete
+    (readers don't hold the lock; removal mid-read is the same class of
+    seam as append visibility, acceptable for /tmp scratch) or being
+    written (writer holds the lock → skipped)."""
+    import fcntl
+    import shutil
+
+    parent = os.path.dirname(current_path)
+    base = os.path.basename(current_path)
+    prefix = base.rsplit("-", 1)[0]  # "<safe sf_dir>"
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(f"{prefix}-") or name.startswith(base):
+            continue
+        victim = os.path.join(parent, name)
+        if not os.path.isdir(victim) or name.endswith(".lock"):
+            continue
+        try:
+            fd = os.open(f"{victim}.lock", os.O_CREAT | os.O_WRONLY, 0o644)
+        except OSError:
+            continue
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                continue  # live writer — leave it
+            shutil.rmtree(victim, ignore_errors=True)
+            try:
+                os.remove(f"{victim}.lock")
+            except OSError:
+                pass
+        finally:
+            os.close(fd)
 
 
 def load_ann_model(spark, path: str):
@@ -265,12 +320,17 @@ def load_ann_model(spark, path: str):
 def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to_q):
     """Shared ADC kernel over a (possibly cell-pruned) codes scan.
 
-    LUTs are computed once per partition from the broadcast query matrix
-    (|Q|·d doubles — at |Q|=10k, ~5 MB; materializing lut[|Q|, M, KSUB]
-    driver-side would be ~327 MB at that |Q|).  Per batch, rows group by
-    cell and only the queries probing that cell score it; emission is
-    the per-(batch, cell, query) top-``shortlist`` — survivor-safe for
-    the global (pq_cosine DESC, neighbor_id ASC) shortlist window."""
+    LUT chunks are computed LAZILY per 256-query block from the
+    broadcast query matrix (|Q|·d doubles — ~5 MB at |Q|=10k) and
+    cached for the task's lifetime: a task only ever materializes LUT
+    rows for query blocks that actually probe one of ITS cells, so the
+    pruned serving path never holds the full |Q|×M×KSUB table (~327 MB
+    float64 at |Q|=10k — review r9 #4; the flat scan still converges to
+    the full table, inherently, because every query probes every cell).
+    Per batch, rows group by cell and only the queries probing that
+    cell score it; emission is the per-(batch, cell, query)
+    top-``shortlist`` — survivor-safe for the global
+    (pq_cosine DESC, neighbor_id ASC) shortlist window."""
     m_, dsub = meta["m"], meta["dsub"]
     bc = spark.sparkContext.broadcast((books, qids, qmat, qnrm, cell_to_q))
 
@@ -278,7 +338,16 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
         import pandas as pd
 
         bks, qi_, qm_, qn_, c2q = bc.value
-        lut = np.einsum("qmd,mcd->qmc", qm_.reshape(len(qi_), m_, dsub), bks)
+        qm3 = qm_.reshape(len(qi_), m_, dsub)
+        lut_chunks: dict[int, np.ndarray] = {}
+
+        def lut_for(lo: int) -> np.ndarray:
+            got = lut_chunks.get(lo)
+            if got is None:
+                got = np.einsum("qmd,mcd->qmc", qm3[lo : lo + 256], bks)
+                lut_chunks[lo] = got
+            return got
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -296,12 +365,19 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
                 sel = home == c
                 c_ids, c_codes, c_nrm = ids[sel], codes[sel], nrm[sel]
                 # adc[p, j] = sum_m lut[p, m, codes[j, m]] — chunk the
-                # probing queries so the score matrix stays ~MBs
-                for lo in range(0, len(probing), 256):
-                    pr = probing[lo : lo + 256]
+                # probing queries so the score matrix stays ~MBs.
+                # Probing lists are built in ascending query order, so
+                # grouping by 256-aligned block keeps chunk reuse high.
+                by_block: dict[int, list[int]] = {}
+                for p in probing:
+                    by_block.setdefault(p // 256 * 256, []).append(p)
+                for lo, plist in by_block.items():
+                    lut_lo = lut_for(lo)
+                    pr = np.asarray(plist, dtype="i8")
+                    lut_pr = lut_lo[pr - lo]  # one fancy-index copy
                     adc = np.zeros((len(pr), len(c_ids)), dtype="f8")
                     for m in range(m_):
-                        adc += lut[pr][:, m, c_codes[:, m]]
+                        adc += lut_pr[:, m, c_codes[:, m]]
                     adc /= qn_[pr][:, None] * c_nrm[None, :]
                     for row, p in enumerate(pr):
                         mask = c_ids != qi_[p]
@@ -320,7 +396,7 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
                 }
             )
 
-    scored = codes_df.mapInPandas(
+    scored = codes_df.select("vec_id", "cell", "code", "nrm").mapInPandas(
         kernel, "query_id long, neighbor_id long, pq_cosine double"
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -483,22 +559,32 @@ def q_ann_index_stats(spark, sf_dir):
 # --- incremental maintenance (the daily-crawl shape) -------------------------
 
 
+def _batch_dir(path: str, batch_tag: str) -> str:
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_.]", "-", batch_tag)
+    return os.path.join(path, "codes.parquet", f"batch={safe}")
+
+
 def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
     """Append a NEW batch of vectors to a persisted index using the
     EXISTING quantizers — no retrain, no re-encode of the old corpus
     (the daily-crawl shape; the dedup mirror is textops'
     dedup_incremental).  New vectors are coarse-assigned and PQ-encoded
-    against the persisted centroids/codebooks, appended into the
-    cell-partitioned codes layout, and meta.json's row count advances.
+    against the persisted centroids/codebooks and land as their own
+    ``codes.parquet/batch=<tag>/`` partition directory via write-to-temp
+    + ONE atomic rename — so the append is crash-atomic: a killed
+    writer leaves only a temp dir (reaped later), never a half-visible
+    batch, and the applied-check is the batch directory's existence,
+    which survives any crash (review r9 #1; the previous design
+    recorded the tag in meta.json AFTER a non-atomic parquet append,
+    so a crash between the two duplicated the batch on retry).
 
-    Idempotent per ``batch_tag``: the tag is recorded in meta.json under
-    the layout flock, so a re-run (or a concurrent process) skips an
-    already-applied batch instead of duplicating it.  Writer-writer
-    races are serialized by the flock; reader-vs-append visibility is a
-    DECLARED seam — the parquet append is not transactional (a reader
-    mid-append can see a partial batch), which is exactly what an ACID
-    table format (Delta/Iceberg) buys in production.  Returns the
-    number of rows appended (0 if the tag was already applied).
+    Idempotent per ``batch_tag``; writer-writer races are serialized by
+    the layout flock.  meta.json's row count advances best-effort after
+    the rename (it only sizes the ADC shortlist; the integrity gates
+    count the codes themselves).  Returns the number of rows appended
+    (0 if the tag was already applied).
 
     Drift caveat (inherent to frozen quantizers): appended batches are
     encoded with the BASE distribution's centroids; under distribution
@@ -506,6 +592,7 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
     embedding_drift is the monitoring query, a full rebuild the remedy.
     """
     import time
+    import uuid
 
     from .events import (
         _LAYOUT_HARD_CAP_SEC,
@@ -513,6 +600,9 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
         _release_layout_lock,
     )
 
+    target = _batch_dir(path, batch_tag)
+    if os.path.isdir(target):
+        return 0
     meta, cent_mat, books = load_ann_model(spark, path)
     sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
     emb = emb_raw.select(
@@ -520,20 +610,22 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
     )
     fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
     try:
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
-        if batch_tag in meta.get("batches", []):
+        if os.path.isdir(target):  # re-check under the lock
             return 0
         encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
         encoded = encoded.localCheckpoint(eager=True)  # one encode pass
         n_new = encoded.count()
+        tmp = os.path.join(path, f".batch-tmp-{uuid.uuid4().hex}")
         (
             encoded.repartition("cell")
             .sortWithinPartitions("vec_id")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(os.path.join(path, "codes.parquet"))
+            .parquet(tmp)
         )
+        os.rename(tmp, target)  # the commit point
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
         meta["n"] = meta["n"] + n_new
         meta["batches"] = meta.get("batches", []) + [batch_tag]
         tmp_meta = os.path.join(path, ".meta.json.tmp")
@@ -579,8 +671,9 @@ def q_ann_index_incremental(spark, sf_dir):
         raise AssertionError(f"duplicate append applied {n_again} rows")
     n = corpus_rows(spark, sf_dir)
     meta, cent_mat, _books = load_ann_model(spark, path)
-    if meta["n"] != n:
-        raise AssertionError(f"meta n {meta['n']} != corpus {n}")
+    # meta['n'] is an ADVISORY sizing hint (a crash between the atomic
+    # batch rename and the meta rewrite leaves it low, by design) — the
+    # binding integrity check below counts the codes themselves
     codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
     stats = codes.agg(
         F.count("*").alias("n_codes"),

@@ -245,22 +245,20 @@ def q_media_dedup_exact(spark, sf_dir):
     asset ids shares its anchor's payload — the re-upload/mirror
     duplication shape real image corpora exhibit."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # checksum + length are computed INSIDE the anchor projection, i.e.
+    # map-side at the scan, so the anchor join ships (id, 32-char hash,
+    # long) — never payload bytes (review r9 #2: hashing after the join
+    # would shuffle the whole corpus, the exact cost this query exists
+    # to avoid)
     anchors = docs.select(
         F.col("doc_id").alias("anchor_id"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.md5(F.encode("text", "UTF-8")).alias("content_md5"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
     )
-    keyed = (
-        docs.select(
-            F.col("doc_id").alias("asset_id"),
-            (F.col("doc_id") - F.col("doc_id") % 5).alias("anchor_id"),
-        )
-        .join(anchors, "anchor_id")
-        .select(
-            "asset_id",
-            F.md5("payload").alias("content_md5"),
-            F.length("payload").cast("long").alias("n_bytes"),
-        )
-    )
+    keyed = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("doc_id") - F.col("doc_id") % 5).alias("anchor_id"),
+    ).join(anchors, "anchor_id")
     groups = (
         keyed.groupBy("content_md5", "n_bytes")
         .agg(

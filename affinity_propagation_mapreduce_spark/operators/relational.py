@@ -688,6 +688,24 @@ FROM daily
 NTILE_RANGE_PARTS = 32
 
 
+def ntile_ranked_parts(spark, sf_dir):
+    """B19's pre-checkpoint range stage, exposed so its physical plan is
+    inspectable (the localCheckpoint in the main query truncates the
+    returned DataFrame's plan to a bare ExistingRDD scan — a plan
+    assertion there would be blind to this half of the pipeline)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    # range width follows the session's shuffle parallelism (values are
+    # partition-count-independent; offsets stay a tiny collect)
+    n_parts = max(
+        NTILE_RANGE_PARTS, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    return (
+        cust.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
+        .sortWithinPartitions("c_acctbal", "c_custkey")
+        .withColumn("mid", F.monotonically_increasing_id())
+    )
+
+
 def q_win_ntile_pctrank(spark, sf_dir):
     """B19 exact global ntile/percent_rank/cume_dist WITHOUT the
     single-task global sort (r8 verdict "What's wrong" #2: the old
@@ -719,18 +737,7 @@ def q_win_ntile_pctrank(spark, sf_dir):
     sizes, not from boundary semantics.  localCheckpoint pins one
     physical partitioning + row order for the counts job and the main
     job (range boundary sampling is not re-run deterministic)."""
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    # range width follows the session's shuffle parallelism (values are
-    # partition-count-independent; offsets stay a tiny collect)
-    n_parts = max(
-        NTILE_RANGE_PARTS, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
-    parts = (
-        cust.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
-        .sortWithinPartitions("c_acctbal", "c_custkey")
-        .withColumn("mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=False)
-    )
+    parts = ntile_ranked_parts(spark, sf_dir).localCheckpoint(eager=False)
     lmask = (1 << 33) - 1
     with_pid = parts.select(
         "c_custkey",

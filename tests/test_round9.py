@@ -65,8 +65,23 @@ def test_merge_apply_branch_semantics(spark):
 
 
 def test_ntile_pctrank_no_single_partition_sort(spark):
-    """The scale claim: no stage funnels the whole table through one
-    task — the plan must not contain a SinglePartition exchange."""
+    """The scale claim, asserted on BOTH plan halves (the checkpoint
+    truncates the final plan, so the range stage must be inspected
+    pre-checkpoint — review r9 #5): the rank stage is a range exchange,
+    and no half funnels the table through one task or a Window."""
+    from affinity_propagation_mapreduce_spark.operators.relational import (
+        ntile_ranked_parts,
+    )
+
+    stage = (
+        ntile_ranked_parts(spark, SF_T2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in stage.lower()
+    assert "Exchange SinglePartition" not in stage
+    assert "Window" not in stage
     plan = (
         q_win_ntile_pctrank(spark, SF_T2)
         ._jdf.queryExecution()

@@ -113,7 +113,22 @@ def main() -> int:
         except OSError:
             committed = 0
         if committed >= 2:
-            os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+            # re-check liveness immediately before the kill: the child
+            # may have finished (or died) since the top-of-loop poll —
+            # killing a reaped pid raises, and a completed run would
+            # vacuously "recover" (review r9 #6)
+            if child.poll() is not None:
+                raise RuntimeError(
+                    "child finished before the kill — raise n or lower "
+                    "maxFilesPerTrigger so the run spans more batches"
+                )
+            try:
+                os.killpg(os.getpgid(child.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                raise RuntimeError(
+                    "child exited in the kill window — raise n so the "
+                    "kill lands mid-run"
+                )
             break
         time.sleep(0.2)
     else:
