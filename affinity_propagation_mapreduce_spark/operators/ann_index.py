@@ -559,11 +559,14 @@ def q_ann_index_stats(spark, sf_dir):
 # --- incremental maintenance (the daily-crawl shape) -------------------------
 
 
-def _batch_dir(path: str, batch_tag: str) -> str:
+def _safe_tag(batch_tag: str) -> str:
     import re
 
-    safe = re.sub(r"[^A-Za-z0-9_.]", "-", batch_tag)
-    return os.path.join(path, "codes.parquet", f"batch={safe}")
+    return re.sub(r"[^A-Za-z0-9_.-]", "-", batch_tag)
+
+
+def _batch_dir(path: str, batch_tag: str) -> str:
+    return os.path.join(path, "codes.parquet", f"batch={_safe_tag(batch_tag)}")
 
 
 def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
@@ -601,17 +604,23 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
     )
 
     target = _batch_dir(path, batch_tag)
-    if os.path.isdir(target):
-        return 0
+    tag = _safe_tag(batch_tag)
     meta, cent_mat, books = load_ann_model(spark, path)
+    # applied = batch dir exists (crash window: rename landed, meta
+    # write didn't) OR tag in the ledger (compaction folded the dir
+    # away but recorded the tag first)
+    if os.path.isdir(target) or tag in meta.get("batches", []):
+        return 0
     sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
     emb = emb_raw.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
     try:
-        if os.path.isdir(target):  # re-check under the lock
-            return 0
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if os.path.isdir(target) or tag in meta.get("batches", []):
+            return 0  # re-check under the lock
         encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
         encoded = encoded.localCheckpoint(eager=True)  # one encode pass
         n_new = encoded.count()
@@ -627,13 +636,102 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         meta["n"] = meta["n"] + n_new
-        meta["batches"] = meta.get("batches", []) + [batch_tag]
+        meta["batches"] = meta.get("batches", []) + [tag]
         tmp_meta = os.path.join(path, ".meta.json.tmp")
         with open(tmp_meta, "w") as fh:
             json.dump(meta, fh)
         os.replace(tmp_meta, os.path.join(path, "meta.json"))
         bc.destroy(blocking=False)
         return n_new
+    finally:
+        _release_layout_lock(fd)
+
+
+def compact_ann_index(spark, path: str) -> dict:
+    """Layout maintenance for an appended index: every daily append adds
+    per-cell files under its own batch directory, so after K appends a
+    cell's codes are scattered over K small files — the same
+    small-file decay events.compact_small_files handles for plain
+    tables, here with the batch dimension folded away.  Rewrites ALL
+    batches into a single fresh ``batch=base`` tree (one sorted file
+    tree, partition pruning unchanged) via write-to-temp + a two-rename
+    swap of the whole codes.parquet directory under the layout flock —
+    a reader that already resolved the old directory keeps its files
+    (POSIX unlink semantics on /tmp), a crashed compaction leaves only
+    temp/dead dirs for the next holder to reap.  Returns before/after
+    file counts.  Rows are preserved EXACTLY (count-gated in-function;
+    the declared incremental gate re-checks integrity end-to-end)."""
+    import time
+    import uuid
+
+    from .events import (
+        _LAYOUT_HARD_CAP_SEC,
+        _flock_layout_lock,
+        _release_layout_lock,
+    )
+
+    codes_root = os.path.join(path, "codes.parquet")
+
+    def _n_files(p):
+        return sum(
+            1
+            for r, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet") or f.startswith("part-")
+        )
+
+    fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
+    try:
+        files_before = _n_files(codes_root)
+        # fold-safety for the batch ledger: record every batch directory
+        # in meta BEFORE the fold erases the directories — dir existence
+        # is append's crash-window check, the ledger its post-compaction
+        # check; a batch applied but not yet in the ledger (append died
+        # between rename and meta write) gets its tag repaired here
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        dir_tags = [
+            name.split("=", 1)[1]
+            for name in os.listdir(codes_root)
+            if name.startswith("batch=") and name != "batch=base"
+        ]
+        merged = list(dict.fromkeys(meta.get("batches", []) + dir_tags))
+        if merged != meta.get("batches", []):
+            meta["batches"] = merged
+            tmp_meta = os.path.join(path, ".meta.json.tmp")
+            with open(tmp_meta, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp_meta, os.path.join(path, "meta.json"))
+        codes = spark.read.parquet(codes_root).select(
+            "vec_id", "cell", "code", "nrm"
+        )
+        n_before = codes.count()
+        tmp = os.path.join(path, f".compact-tmp-{uuid.uuid4().hex}")
+        (
+            codes.repartition("cell")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(tmp, "batch=base"))
+        )
+        n_after = spark.read.parquet(tmp).count()
+        if n_after != n_before:
+            raise AssertionError(
+                f"compaction changed the row count {n_before} -> {n_after}"
+            )
+        dead = os.path.join(path, f".compact-dead-{uuid.uuid4().hex}")
+        os.rename(codes_root, dead)
+        os.rename(tmp, codes_root)
+        import shutil
+
+        shutil.rmtree(dead, ignore_errors=True)
+        # compaction folds every applied batch into base; meta's batch
+        # ledger keeps the tags so replayed feeds stay no-ops
+        return {
+            "files_before": files_before,
+            "files_after": _n_files(codes_root),
+            "rows": int(n_after),
+        }
     finally:
         _release_layout_lock(fd)
 
@@ -649,9 +747,12 @@ def q_ann_index_incremental(spark, sf_dir):
     frozen quantizers, and the gate raises unless (a) the appended
     layout holds every corpus vector exactly once with M-byte codes,
     (b) a second append of the same batch tag is a no-op (idempotence),
-    and (c) at verification scale, serving from the appended index
-    clears the shared recall floor vs the exact top-k on the FULL
-    corpus.  Returns one scalar row describing the round trip."""
+    (c) compacting the fragmented per-batch layout preserves every row
+    AND a replayed feed stays a no-op afterwards (the ledger survives
+    the fold), and (d) at verification scale, serving from the
+    appended+compacted index clears the shared recall floor vs the
+    exact top-k on the FULL corpus.  Returns one scalar row describing
+    the round trip."""
     raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bucket = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
@@ -690,6 +791,11 @@ def q_ann_index_incremental(spark, sf_dir):
         raise AssertionError("code byte length drifted across batches")
     if stats.max_cell >= len(cent_mat):
         raise AssertionError("appended batch invented a cell id")
+    comp = compact_ann_index(spark, path)
+    if comp["rows"] != n:
+        raise AssertionError(f"compaction lost rows: {comp['rows']} != {n}")
+    if append_ann_index(spark, path, delta, "delta-bucket-0") != 0:
+        raise AssertionError("replayed feed re-applied after compaction")
     if n <= _PQ_GATE_MAX_N:
         qids, qmat, qnrm = _query_rows(spark, sf_dir)
         res = _exact_rerank(
@@ -713,8 +819,17 @@ def q_ann_index_incremental(spark, sf_dir):
                 f"incremental-index recall collapsed: {hit}/{n_exact}"
             )
     return spark.createDataFrame(
-        [(int(n - n_applied), int(n_applied), int(n), int(meta["m"]))],
-        "n_base long, n_delta long, n_total long, pq_m long",
+        [
+            (
+                int(n - n_applied),
+                int(n_applied),
+                int(n),
+                int(meta["m"]),
+                int(comp["files_after"]),
+            )
+        ],
+        "n_base long, n_delta long, n_total long, pq_m long, "
+        "n_files_compacted long",
     )
 
 

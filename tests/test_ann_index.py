@@ -118,6 +118,50 @@ def test_append_rejects_duplicate_batch_tag(spark):
     assert ai.append_ann_index(spark, path, delta, "t-empty") == 0
 
 
+def test_compaction_folds_batches_and_keeps_ledger(spark):
+    """After compaction the per-batch dirs are gone, rows survive
+    exactly, and the replayed batch stays a no-op via the meta ledger."""
+    import json
+
+    ai.q_ann_index_incremental(spark, SF_SMALL)  # ensures built+appended
+    path = ai.ann_index_path(SF_SMALL) + "-incr"
+    comp = ai.compact_ann_index(spark, path)
+    assert comp["rows"] == 500
+    batch_dirs = [
+        n
+        for n in os.listdir(os.path.join(path, "codes.parquet"))
+        if n.startswith("batch=") and n != "batch=base"
+    ]
+    assert batch_dirs == []
+    with open(os.path.join(path, "meta.json")) as fh:
+        assert "delta-bucket-0" in json.load(fh)["batches"]
+
+
+def test_reap_superseded_indexes(tmp_path):
+    """Same-corpus layouts with a different fingerprint are removed;
+    the current layout and a flock-held sibling survive."""
+    import fcntl
+
+    parent = tmp_path / "v2"
+    parent.mkdir()
+    current = parent / "corpus-aaaa"
+    stale = parent / "corpus-bbbb"
+    held = parent / "corpus-cccc"
+    other = parent / "other-dddd"
+    for d in (current, stale, held, other):
+        d.mkdir()
+    fd = os.open(f"{held}.lock", os.O_CREAT | os.O_WRONLY, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        ai._reap_superseded_indexes(str(current))
+    finally:
+        os.close(fd)
+    assert current.is_dir()
+    assert not stale.exists()
+    assert held.is_dir()  # live writer held the flock
+    assert other.is_dir()  # different corpus prefix untouched
+
+
 def test_probe_map_covers_every_query():
     rng = np.random.default_rng(3)
     cent = rng.normal(size=(16, 4))
