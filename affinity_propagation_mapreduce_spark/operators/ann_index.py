@@ -428,15 +428,41 @@ def _probe_map(cent_mat, qmat, n_probe):
 def search_ann_index(
     spark, path: str, qids, qmat, qnrm, n_probe: int = IVFPQ_QUERY_PROBE
 ):
-    """Search-only IVF-PQ over a persisted index: probe-cell partition
-    pruning → broadcast-LUT ADC scan → per-query shortlist.  Returns the
-    shortlist (query_id, neighbor_id) — callers exact-rerank against
-    whatever full-precision store they serve from."""
+    """Search-only IVF-PQ over a persisted index: probe-cell pruning →
+    broadcast-LUT ADC scan → per-query shortlist.  Returns the shortlist
+    (query_id, neighbor_id) — callers exact-rerank against whatever
+    full-precision store they serve from.
+
+    Pruning is DIRECT-PATH, not filter-based: the probed
+    batch=*/cell=C directories are enumerated driver-side and handed to
+    the reader explicitly, so file listing touches only
+    O(batches · probed) directories.  Reading the layout root instead
+    makes Spark's parallel partition discovery list ALL nlist
+    directories first (one listing task per directory — ~9k tasks at
+    N=10M before a single byte of codes is read).  The `cell` filter
+    stays on as a semantic guard; it prunes nothing the path list
+    hasn't already."""
     meta, cent_mat, books = load_ann_model(spark, path)
     shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
     cell_to_q = _probe_map(cent_mat, qmat, n_probe)
-    codes = spark.read.parquet(os.path.join(path, "codes.parquet")).where(
-        F.col("cell").isin([int(c) for c in cell_to_q])
+    codes_root = os.path.join(path, "codes.parquet")
+    batches = [
+        os.path.join(codes_root, b)
+        for b in os.listdir(codes_root)
+        if b.startswith("batch=")
+    ]
+    probed_dirs = [
+        d
+        for b in batches
+        for c in cell_to_q
+        if os.path.isdir(d := os.path.join(b, f"cell={int(c)}"))
+    ]
+    if not probed_dirs:  # every probed cell empty in every batch
+        return spark.createDataFrame([], "query_id long, neighbor_id long")
+    codes = (
+        spark.read.option("basePath", codes_root)
+        .parquet(*probed_dirs)
+        .where(F.col("cell").isin([int(c) for c in cell_to_q]))
     )
     return _adc_scan(
         spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
