@@ -162,6 +162,28 @@ def test_reap_superseded_indexes(tmp_path):
     assert other.is_dir()  # different corpus prefix untouched
 
 
+def test_direct_path_read_equals_root_scan(spark):
+    """The direct-path probed-cell read (listing O(probed) dirs instead
+    of all nlist — the 26→15 s serve win at 10M) must return exactly
+    the shortlist the root-scan + partition-filter formulation does."""
+    from pyspark.sql import functions as F
+
+    path = ai.build_ann_index(spark, SF_T2)
+    qids, qmat, qnrm = ai._query_rows(spark, SF_T2)
+    direct = ai.search_ann_index(spark, path, qids, qmat, qnrm)
+    meta, cent_mat, books = ai.load_ann_model(spark, path)
+    shortlist = max(ai.PQ_SHORTLIST, meta["n"] // ai.PQ_SHORTLIST_FRAC)
+    cell_to_q = ai._probe_map(cent_mat, qmat, ai.IVFPQ_QUERY_PROBE)
+    root = spark.read.parquet(os.path.join(path, "codes.parquet")).where(
+        F.col("cell").isin([int(c) for c in cell_to_q])
+    )
+    ref = ai._adc_scan(
+        spark, root, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
+    )
+    assert direct.exceptAll(ref).count() == 0
+    assert ref.exceptAll(direct).count() == 0
+
+
 def test_probe_map_covers_every_query():
     rng = np.random.default_rng(3)
     cent = rng.normal(size=(16, 4))
