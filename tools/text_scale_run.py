@@ -76,9 +76,29 @@ def main() -> int:
                 "rows": span_rows,
                 "docs_per_sec": round(n / wall),
             }
-        )
+        ),
+        flush=True,
     )
     for branch, bv in (("broadcast_verify", True), ("shuffle_verify", False)):
+        # forcing the broadcast branch past the production gate collects
+        # the whole shingle dimension to the driver and trips
+        # spark.driver.maxResultSize (found by running N=5M) — the auto
+        # path switches branches at the gate, so above it only the
+        # shuffle branch is a real execution mode
+        if bv and n > textops._MINHASH_BROADCAST_MAX_DOCS:
+            print(
+                json.dumps(
+                    {
+                        "op": "dedup_near_minhash",
+                        "branch": branch,
+                        "n_docs": n,
+                        "skipped": "above _MINHASH_BROADCAST_MAX_DOCS — "
+                        "auto path uses shuffle_verify",
+                    }
+                ),
+                flush=True,
+            )
+            continue
         t0 = time.time()
         pairs = textops.q_dedup_near_minhash(
             spark, sf_dir=None, broadcast_verify=bv, docs=docs
@@ -95,7 +115,8 @@ def main() -> int:
                     "docs_per_sec": round(n / wall),
                     "true_dups": n // DUP_STEP,
                 }
-            )
+            ),
+            flush=True,
         )
     return 0
 
