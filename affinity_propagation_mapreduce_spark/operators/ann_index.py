@@ -40,6 +40,25 @@ as a reusable on-disk layout and adds a search-only serving path:
   ADC scan for the large-|Q| crossover measurement (r8 verdict
   "What's missing" #2; numbers in BASELINE.md §ann-serving).
 
+* ``search_auto`` — the measured selection rule AS CODE (r9 verdict
+  #4): resolves the probe width from the index geometry
+  (``auto_n_probe``) and picks flat-ADC vs IVF-pruned serving per the
+  BASELINE.md §ann-serving crossover.  With the build amortized and the
+  probe width adaptive, the IVF-pruned path won EVERY measured cell of
+  the |Q| × N grid (|Q|=10: 15.8 vs 19.3 s flat at 1M; |Q|=10k: 37.3 s
+  vs >3000 s) — flat remains only for indexes so small that pruning
+  cannot engage (probe width ≥ half the cells), where the probe map is
+  pure overhead and flat's no-pruning recall is free.
+
+* ``delete_ann_index`` — tombstone batches (r9 verdict "What's
+  missing" #1): deletions land as ``tombstones.parquet/del=<tag>/``
+  id-lists via the same write-to-temp + one-rename protocol as appends,
+  are anti-joined out of every serving scan BEFORE the per-cell
+  shortlist truncation (so the result is the exact top-k over the
+  SURVIVORS, not a post-hoc filter of a stale top-k), and are folded
+  into the codes tree at compaction with the tag recorded in the
+  ledger so a replayed feed stays a no-op.
+
 Build is once-per-(application × corpus fingerprint) under /tmp, shared
 across processes via the flock'd layout protocol; the driver regenerates
 testdata between rounds, which changes the fingerprint and forces a
@@ -51,6 +70,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 
 import numpy as np
 from pyspark.sql import DataFrame, Window
@@ -86,6 +106,9 @@ from .vector import (
 # v2: codes live under codes.parquet/batch=<tag>/cell=*/ — each batch
 # (base build or incremental append) is its OWN directory, landed by a
 # single atomic rename, which makes appends crash-atomic (review r9 #1)
+# (tombstone deletions + the meta 'deletes' ledger are additive — a
+# v2 layout without them reads unchanged, so the format stays 2 and
+# existing on-disk indexes keep serving)
 ANN_INDEX_FORMAT = 2
 
 _INDEX_BASE = "/tmp/spark_graft_ann"
@@ -251,30 +274,77 @@ def build_ann_index(
     return path
 
 
+# reap grace windows: a superseded layout (or a compaction's dead codes
+# tree) is deleted only once it has sat unread/untouched this long, so
+# an in-flight Spark job — which resolves paths driver-side but opens
+# files lazily at TASK time (advice r9 #3) — finishes before its files
+# disappear.  Scans longer than the grace window remain the documented
+# /tmp-scratch seam; a shared read lock is the production closure.
+_REAP_GRACE_SEC = 900
+
+# a layout basename is "<safe sf_dir>-<16-hex fingerprint>" with an
+# optional "-incr" kind suffix; matching siblings STRUCTURALLY (advice
+# r9 #2) keeps /data/x's reaper from eating /data/x-y's live index,
+# which a raw startswith prefix match did.
+_LAYOUT_NAME_RE = re.compile(r"^(?P<safe>.+)-(?P<fp>[0-9a-f]{16})(?P<kind>-incr)?$")
+
+
+def _touch_last_read(path: str) -> None:
+    """Readers stamp the layout at model-load time; the reapers treat a
+    recent stamp as 'possibly mid-scan' and leave the layout alone."""
+    try:
+        with open(os.path.join(path, ".last-read"), "w"):
+            pass
+    except OSError:
+        pass
+
+
+def _layout_quiesced(path: str) -> bool:
+    """True when the layout has not been opened for reading (or
+    created) within the grace window."""
+    import time
+
+    newest = 0.0
+    for probe in (os.path.join(path, ".last-read"), os.path.join(path, "_SUCCESS"), path):
+        try:
+            newest = max(newest, os.path.getmtime(probe))
+        except OSError:
+            continue
+    return time.time() - newest > _REAP_GRACE_SEC
+
+
 def _reap_superseded_indexes(current_path: str) -> None:
     """GC for content-addressed layouts (review r9 #8): the driver
     regenerates a corpus IN PLACE, so sibling layouts of the same
-    sf_dir prefix with a different fingerprint are superseded for
-    certain.  Each victim is removed only under a NON-blocking flock on
-    its own lock file — a layout still being read was either complete
-    (readers don't hold the lock; removal mid-read is the same class of
-    seam as append visibility, acceptable for /tmp scratch) or being
-    written (writer holds the lock → skipped)."""
+    sf_dir + same kind with a DIFFERENT fingerprint are superseded for
+    certain.  Each victim is removed only if (a) its name matches the
+    layout structure exactly, (b) it has quiesced past the read grace
+    window, and (c) a NON-blocking flock on its lock file succeeds (a
+    live writer holds it → skipped)."""
     import fcntl
     import shutil
 
     parent = os.path.dirname(current_path)
     base = os.path.basename(current_path)
-    prefix = base.rsplit("-", 1)[0]  # "<safe sf_dir>"
+    m = _LAYOUT_NAME_RE.match(base)
+    if m is None:  # explicitly-pathed layout — nothing content-addressed to GC
+        return
+    sibling_re = re.compile(
+        "^"
+        + re.escape(m.group("safe"))
+        + r"-[0-9a-f]{16}"
+        + re.escape(m.group("kind") or "")
+        + "$"
+    )
     try:
         names = os.listdir(parent)
     except OSError:
         return
     for name in names:
-        if not name.startswith(f"{prefix}-") or name.startswith(base):
+        if name == base or sibling_re.match(name) is None:
             continue
         victim = os.path.join(parent, name)
-        if not os.path.isdir(victim) or name.endswith(".lock"):
+        if not os.path.isdir(victim) or not _layout_quiesced(victim):
             continue
         try:
             fd = os.open(f"{victim}.lock", os.O_CREAT | os.O_WRONLY, 0o644)
@@ -294,10 +364,90 @@ def _reap_superseded_indexes(current_path: str) -> None:
             os.close(fd)
 
 
+# scratch dirs a crashed writer can leave INSIDE a layout.  All are
+# dot-prefixed (invisible to parquet readers of codes.parquet /
+# tombstones.parquet); `.compact-dead-` is reserved for swapped-out
+# CODES trees so the crash-repair path can restore one unambiguously.
+_SCRATCH_PREFIXES = (".batch-tmp-", ".compact-tmp-", ".compact-dead-",
+                     ".del-tmp-", ".dead-tombs-")
+
+
+def _repair_codes_root(path: str) -> bool:
+    """MUST hold the layout flock.  A compaction that crashed between
+    its two renames leaves the layout with a root _SUCCESS but NO
+    codes.parquet (advice r9 #1 — build_ann_index would short-circuit
+    as complete and every read would fail permanently).  Restore the
+    newest swapped-out codes tree; returns True if a repair happened."""
+    codes_root = os.path.join(path, "codes.parquet")
+    if os.path.isdir(codes_root):
+        return False
+    dead = [
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.startswith(".compact-dead-")
+        and os.path.isdir(os.path.join(path, n))
+    ]
+    if not dead:
+        return False
+    dead.sort(key=os.path.getmtime)
+    os.rename(dead[-1], codes_root)
+    return True
+
+
+def _ensure_codes_root(path: str) -> str:
+    """Reader-side guard: the codes tree is missing only after a crashed
+    compaction, so take the layout lock briefly and run the repair."""
+    import time
+
+    from .events import _flock_layout_lock, _release_layout_lock
+
+    codes_root = os.path.join(path, "codes.parquet")
+    if os.path.isdir(codes_root):
+        return codes_root
+    fd = _flock_layout_lock(f"{path}.lock", time.time() + 60)
+    try:
+        _repair_codes_root(path)
+    finally:
+        _release_layout_lock(fd)
+    if not os.path.isdir(codes_root):
+        raise FileNotFoundError(f"ANN layout has no codes tree: {codes_root}")
+    return codes_root
+
+
+def _reap_layout_scratch(path: str) -> None:
+    """MUST hold the layout flock.  Remove aged scratch dirs inside the
+    layout (advice r9 #4 — crashed appends/compactions previously leaked
+    .batch-tmp-*/.compact-tmp-*/.compact-dead-* forever).  The age gate
+    doubles as the reader grace for a just-swapped dead codes tree
+    (advice r9 #3): compaction no longer rmtree's it inline — it is
+    utime-stamped at swap time and reaped here once quiesced.  A dead
+    tree that is the REPAIR source (codes.parquet missing) is never
+    touched: _repair_codes_root runs first under the same lock."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(_SCRATCH_PREFIXES):
+            continue
+        victim = os.path.join(path, name)
+        try:
+            if now - os.path.getmtime(victim) <= _REAP_GRACE_SEC:
+                continue
+            shutil.rmtree(victim, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def load_ann_model(spark, path: str):
     """Driver-side model load: meta + centroid matrix + codebooks.
     O(nlist·d + M·KSUB·dsub) doubles = O(sqrt(N)) bytes — tiny at any
     corpus size (1e9 points × 64 dims → ~32 MB of centroids)."""
+    _touch_last_read(path)  # readers stamp the layout: reap grace window
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     crows = (
@@ -425,13 +575,47 @@ def _probe_map(cent_mat, qmat, n_probe):
     return cell_to_q
 
 
+# --- probe-width + mode selection: the measured knobs as defaults ------------
+
+# auto probe width (r9 verdict #2): the fixed default 8 measured 0.54
+# recall@5 at N=10M while n_probe=32 read 0.92 at FLAT small-|Q| wall
+# (BASELINE.md §ann-serving: wall is listing/session-dominated at small
+# |Q|, and large-|Q| ladder rows were already measured at 32).  32 is
+# therefore the floor; past nlist≈8k (N≈8M at the cost-balanced sizing)
+# the width grows ∝ nlist so the probed CELL fraction — and with it the
+# corpus-mass fraction each query sees — stops shrinking as N grows,
+# which is exactly the failure mode the 10M measurement exposed.
+AUTO_PROBE_MIN = 32
+AUTO_PROBE_NLIST_FRAC = 256
+
+# mode crossover: with build amortized and the probe width adaptive,
+# the IVF-pruned scan won every measured (|Q|, N) cell — flat remains
+# only where pruning cannot engage: once a query probes ≥ half the
+# cells, the probe map + per-cell bookkeeping prune (less than) half
+# the scan while flat's single pass has no recall loss at all.
+FLAT_MODE_PROBE_FRAC = 0.5
+
+
+def auto_n_probe(nlist: int) -> int:
+    """Default serving probe width for an index with ``nlist`` cells."""
+    return min(int(nlist), max(AUTO_PROBE_MIN, int(nlist) // AUTO_PROBE_NLIST_FRAC))
+
+
+def choose_search_mode(nlist: int, n_probe: int) -> str:
+    """'ivf' (cell-pruned) or 'flat' (full ADC scan) — the BASELINE.md
+    §ann-serving selection rule as code (r9 verdict #4)."""
+    return "flat" if n_probe >= nlist * FLAT_MODE_PROBE_FRAC else "ivf"
+
+
 def search_ann_index(
-    spark, path: str, qids, qmat, qnrm, n_probe: int = IVFPQ_QUERY_PROBE
+    spark, path: str, qids, qmat, qnrm, n_probe: int | None = None
 ):
     """Search-only IVF-PQ over a persisted index: probe-cell pruning →
     broadcast-LUT ADC scan → per-query shortlist.  Returns the shortlist
     (query_id, neighbor_id) — callers exact-rerank against whatever
-    full-precision store they serve from.
+    full-precision store they serve from.  ``n_probe=None`` resolves to
+    ``auto_n_probe(nlist)`` (the measured default; explicit values
+    override).
 
     Pruning is DIRECT-PATH, not filter-based: the probed
     batch=*/cell=C directories are enumerated driver-side and handed to
@@ -443,9 +627,11 @@ def search_ann_index(
     stays on as a semantic guard; it prunes nothing the path list
     hasn't already."""
     meta, cent_mat, books = load_ann_model(spark, path)
+    if n_probe is None:
+        n_probe = auto_n_probe(meta["nlist"])
     shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
     cell_to_q = _probe_map(cent_mat, qmat, n_probe)
-    codes_root = os.path.join(path, "codes.parquet")
+    codes_root = _ensure_codes_root(path)
     batches = [
         os.path.join(codes_root, b)
         for b in os.listdir(codes_root)
@@ -464,6 +650,7 @@ def search_ann_index(
         .parquet(*probed_dirs)
         .where(F.col("cell").isin([int(c) for c in cell_to_q]))
     )
+    codes = _live_codes(spark, path, codes)
     return _adc_scan(
         spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
     )
@@ -477,12 +664,28 @@ def search_flat_pq(spark, path: str, qids, qmat, qnrm):
     BASELINE.md §ann-serving."""
     meta, _cent, books = load_ann_model(spark, path)
     shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
-    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    codes = spark.read.parquet(_ensure_codes_root(path))
+    codes = _live_codes(spark, path, codes)
     all_q = list(range(len(qids)))
     cell_to_q = {c: all_q for c in range(meta["nlist"])}
     return _adc_scan(
         spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
     )
+
+
+def search_auto(spark, path: str, qids, qmat, qnrm, n_probe: int | None = None):
+    """Apply the measured selection rule and serve: resolves the probe
+    width (auto unless overridden), picks flat vs IVF-pruned via
+    ``choose_search_mode``, and returns ``(shortlist_df, mode)`` so
+    callers/gates can see which path served the batch."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        nlist = json.load(fh)["nlist"]
+    if n_probe is None:
+        n_probe = auto_n_probe(nlist)
+    mode = choose_search_mode(nlist, n_probe)
+    if mode == "flat":
+        return search_flat_pq(spark, path, qids, qmat, qnrm), mode
+    return search_ann_index(spark, path, qids, qmat, qnrm, n_probe=n_probe), mode
 
 
 def _query_rows(spark, sf_dir, n_queries=N_QUERIES):
@@ -503,10 +706,12 @@ def knn_cosine_served(spark, sf_dir):
     """End-to-end serving query: ensure the persisted index exists (build
     amortizes to zero across calls/processes on the same corpus), then
     search-only + exact re-rank.  Same (query_id, neighbor_id, cosine,
-    rn) contract as every knn_cosine_* query."""
+    rn) contract as every knn_cosine_* query.  Serves through
+    ``search_auto`` — the probe width and the flat-vs-pruned choice are
+    the measured defaults, not caller knobs."""
     path = build_ann_index(spark, sf_dir)
     qids, qmat, qnrm = _query_rows(spark, sf_dir)
-    shortlist_df = search_ann_index(spark, path, qids, qmat, qnrm)
+    shortlist_df, _mode = search_auto(spark, path, qids, qmat, qnrm)
     return _exact_rerank(spark, _norms(spark, sf_dir), shortlist_df, qids, qmat, qnrm)
 
 
@@ -541,7 +746,7 @@ def q_ann_index_stats(spark, sf_dir):
     compression ratio is the PQ claim made checkable)."""
     path = build_ann_index(spark, sf_dir)
     meta, cent_mat, _books = load_ann_model(spark, path)
-    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    codes = spark.read.parquet(_ensure_codes_root(path))
     stats = codes.agg(
         F.count("*").alias("n_codes"),
         F.countDistinct("vec_id").alias("n_ids"),
@@ -643,6 +848,8 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
     )
     fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
     try:
+        _repair_codes_root(path)  # crashed-compaction restore (advice r9 #1)
+        _reap_layout_scratch(path)  # aged tmp/dead dirs (advice r9 #3/#4)
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         if os.path.isdir(target) or tag in meta.get("batches", []):
@@ -673,20 +880,137 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
         _release_layout_lock(fd)
 
 
+# --- tombstone deletions (takedowns / dedup survivors changing) --------------
+
+# tombstone id-lists below this on-disk size broadcast into the serving
+# anti-join (one hash table per executor, no shuffle of the codes scan);
+# above it the join falls back to a keyed shuffle — correct either way,
+# and compaction is the pressure valve that folds tombstones to zero.
+_TOMBSTONE_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _tomb_root(path: str) -> str:
+    return os.path.join(path, "tombstones.parquet")
+
+
+def _tombstone_dirs(path: str) -> list[str]:
+    troot = _tomb_root(path)
+    try:
+        return sorted(
+            os.path.join(troot, n)
+            for n in os.listdir(troot)
+            if n.startswith("del=")
+        )
+    except OSError:
+        return []
+
+
+def _live_codes(spark, path: str, codes: DataFrame) -> DataFrame:
+    """Anti-join pending tombstones out of a codes scan.  Runs BEFORE
+    the ADC kernel's per-cell shortlist truncation, so serving returns
+    the exact top-k over the SURVIVING corpus — a deleted vector can
+    neither be returned nor displace a live candidate out of a
+    truncated per-cell list.  No tombstones → the scan is untouched
+    (the common case pays one listdir)."""
+    dirs = _tombstone_dirs(path)
+    if not dirs:
+        return codes
+    tomb = (
+        spark.read.option("basePath", _tomb_root(path))
+        .parquet(*dirs)
+        .select("vec_id")
+    )
+    size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for d in dirs
+        for r, _sub, fs in os.walk(d)
+        for f in fs
+    )
+    if size <= _TOMBSTONE_BROADCAST_MAX_BYTES:
+        tomb = F.broadcast(tomb)
+    return codes.join(tomb, "vec_id", "left_anti")
+
+
+def delete_ann_index(spark, path: str, vec_ids, delete_tag: str) -> int:
+    """Delete vectors from a persisted index WITHOUT rebuilding it (r9
+    verdict "What's missing" #1 — takedowns and dedup-survivor churn in
+    a daily crawl).  ``vec_ids`` is a DataFrame with a ``vec_id``
+    column; the distinct ids land as a ``tombstones.parquet/del=<tag>/``
+    batch via write-to-temp + ONE atomic rename — the same crash-atomic
+    protocol as appends, with the same applied-check (dir existence, or
+    the tag in meta's ``deletes`` ledger once compaction folds the dir
+    away).  Serving anti-joins pending tombstones out of every scan;
+    ``compact_ann_index`` rewrites the codes without the dead rows and
+    empties the tombstone set.  Idempotent per ``delete_tag``; returns
+    the number of tombstoned ids (0 if the tag was already applied).
+
+    Deletion cost scales with the DELTA (an id-list write), not the
+    corpus — the read-side cost until the next compaction is one
+    (usually broadcast) anti-join per serve."""
+    import time
+    import uuid
+
+    from .events import (
+        _LAYOUT_HARD_CAP_SEC,
+        _flock_layout_lock,
+        _release_layout_lock,
+    )
+
+    tag = _safe_tag(delete_tag)
+    target = os.path.join(_tomb_root(path), f"del={tag}")
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    if os.path.isdir(target) or tag in meta.get("deletes", []):
+        return 0
+    fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
+    try:
+        _repair_codes_root(path)
+        _reap_layout_scratch(path)
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if os.path.isdir(target) or tag in meta.get("deletes", []):
+            return 0  # re-check under the lock
+        ids = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id")).distinct()
+        n_del = ids.count()
+        tmp = os.path.join(path, f".del-tmp-{uuid.uuid4().hex}")
+        ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(_tomb_root(path), exist_ok=True)
+        os.rename(tmp, target)  # the commit point
+        # meta advances best-effort after the rename (ledger for the
+        # post-compaction applied-check; n only sizes the ADC shortlist)
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        meta["n"] = max(1, meta["n"] - n_del)
+        meta["deletes"] = meta.get("deletes", []) + [tag]
+        tmp_meta = os.path.join(path, ".meta.json.tmp")
+        with open(tmp_meta, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp_meta, os.path.join(path, "meta.json"))
+        return n_del
+    finally:
+        _release_layout_lock(fd)
+
+
 def compact_ann_index(spark, path: str) -> dict:
     """Layout maintenance for an appended index: every daily append adds
     per-cell files under its own batch directory, so after K appends a
     cell's codes are scattered over K small files — the same
     small-file decay events.compact_small_files handles for plain
     tables, here with the batch dimension folded away.  Rewrites ALL
-    batches into a single fresh ``batch=base`` tree (one sorted file
-    tree, partition pruning unchanged) via write-to-temp + a two-rename
-    swap of the whole codes.parquet directory under the layout flock —
-    a reader that already resolved the old directory keeps its files
-    (POSIX unlink semantics on /tmp), a crashed compaction leaves only
-    temp/dead dirs for the next holder to reap.  Returns before/after
-    file counts.  Rows are preserved EXACTLY (count-gated in-function;
-    the declared incremental gate re-checks integrity end-to-end)."""
+    batches — minus any pending tombstones, which fold away here — into
+    a single fresh ``batch=base`` tree (one sorted file tree, partition
+    pruning unchanged) via write-to-temp + a two-rename swap of the
+    whole codes.parquet directory under the layout flock.  The swapped-
+    out dead tree is NOT deleted inline: Spark readers resolve paths
+    driver-side but open files at task time (advice r9 #3), so the dead
+    tree is utime-stamped and left for the age-gated scratch reap — an
+    in-flight scan of the old tree keeps its files for the grace
+    window.  A compaction that crashes between the two renames is
+    repaired by ``_repair_codes_root`` on the next lock acquisition
+    (advice r9 #1).  Returns before/after file counts plus the rows
+    kept/tombstoned.  Surviving rows are preserved EXACTLY (count-gated
+    in-function; the declared incremental gate re-checks integrity
+    end-to-end)."""
     import time
     import uuid
 
@@ -708,12 +1032,15 @@ def compact_ann_index(spark, path: str) -> dict:
 
     fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
     try:
+        _repair_codes_root(path)
+        _reap_layout_scratch(path)
         files_before = _n_files(codes_root)
-        # fold-safety for the batch ledger: record every batch directory
-        # in meta BEFORE the fold erases the directories — dir existence
-        # is append's crash-window check, the ledger its post-compaction
-        # check; a batch applied but not yet in the ledger (append died
-        # between rename and meta write) gets its tag repaired here
+        # fold-safety for the batch + delete ledgers: record every
+        # batch/tombstone directory in meta BEFORE the fold erases the
+        # directories — dir existence is the crash-window applied-check,
+        # the ledger the post-compaction one; a tag applied but not yet
+        # in the ledger (writer died between rename and meta write)
+        # gets repaired here
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         dir_tags = [
@@ -721,9 +1048,12 @@ def compact_ann_index(spark, path: str) -> dict:
             for name in os.listdir(codes_root)
             if name.startswith("batch=") and name != "batch=base"
         ]
+        del_tags = [os.path.basename(d).split("=", 1)[1] for d in _tombstone_dirs(path)]
         merged = list(dict.fromkeys(meta.get("batches", []) + dir_tags))
-        if merged != meta.get("batches", []):
+        merged_del = list(dict.fromkeys(meta.get("deletes", []) + del_tags))
+        if merged != meta.get("batches", []) or merged_del != meta.get("deletes", []):
             meta["batches"] = merged
+            meta["deletes"] = merged_del
             tmp_meta = os.path.join(path, ".meta.json.tmp")
             with open(tmp_meta, "w") as fh:
                 json.dump(meta, fh)
@@ -732,31 +1062,40 @@ def compact_ann_index(spark, path: str) -> dict:
             "vec_id", "cell", "code", "nrm"
         )
         n_before = codes.count()
+        live = _live_codes(spark, path, codes)
         tmp = os.path.join(path, f".compact-tmp-{uuid.uuid4().hex}")
         (
-            codes.repartition("cell")
+            live.repartition("cell")
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(os.path.join(tmp, "batch=base"))
         )
         n_after = spark.read.parquet(tmp).count()
-        if n_after != n_before:
+        n_live = live.count()
+        if n_after != n_live:
             raise AssertionError(
-                f"compaction changed the row count {n_before} -> {n_after}"
+                f"compaction changed the live row count {n_live} -> {n_after}"
             )
         dead = os.path.join(path, f".compact-dead-{uuid.uuid4().hex}")
         os.rename(codes_root, dead)
         os.rename(tmp, codes_root)
-        import shutil
-
-        shutil.rmtree(dead, ignore_errors=True)
-        # compaction folds every applied batch into base; meta's batch
-        # ledger keeps the tags so replayed feeds stay no-ops
+        # stamp NOW: a renamed dir keeps its old mtime, which would make
+        # the age-gated reap eat it immediately and reopen the reader race
+        os.utime(dead, None)
+        # tombstones are folded — retire the whole tombstone tree the
+        # same way (dot-prefixed + stamped, reaped once quiesced); the
+        # deletes ledger keeps replayed feeds no-ops
+        troot = _tomb_root(path)
+        if os.path.isdir(troot):
+            dead_t = os.path.join(path, f".dead-tombs-{uuid.uuid4().hex}")
+            os.rename(troot, dead_t)
+            os.utime(dead_t, None)
         return {
             "files_before": files_before,
             "files_after": _n_files(codes_root),
             "rows": int(n_after),
+            "rows_tombstoned": int(n_before - n_live),
         }
     finally:
         _release_layout_lock(fd)
@@ -765,20 +1104,33 @@ def compact_ann_index(spark, path: str) -> dict:
 INCR_DELTA_BUCKETS = 10  # md5 bucket 0 of 10 → the "new crawl" delta (~10%)
 
 
+# the deletion drill tombstones every 17th vector (deterministic,
+# spread across base AND delta batches) under a fixed takedown tag
+DEL_MOD, DEL_RESIDUE, DEL_TAG = 17, 3, "takedown-17-3"
+
+
 def q_ann_index_incremental(spark, sf_dir):
-    """Rows-only, SELF-VERIFYING: the incremental-maintenance round trip.
-    The corpus splits deterministically into a 90% base and a 10% delta
-    (md5 bucket, the engine's standard split device); the base index is
-    BUILT (training sees only base vectors), the delta is APPENDED with
-    frozen quantizers, and the gate raises unless (a) the appended
-    layout holds every corpus vector exactly once with M-byte codes,
-    (b) a second append of the same batch tag is a no-op (idempotence),
-    (c) compacting the fragmented per-batch layout preserves every row
-    AND a replayed feed stays a no-op afterwards (the ledger survives
-    the fold), and (d) at verification scale, serving from the
-    appended+compacted index clears the shared recall floor vs the
-    exact top-k on the FULL corpus.  Returns one scalar row describing
-    the round trip."""
+    """Rows-only, SELF-VERIFYING: the incremental-maintenance round trip
+    — append, DELETE, compact.  The corpus splits deterministically into
+    a 90% base and a 10% delta (md5 bucket, the engine's standard split
+    device); the base index is BUILT (training sees only base vectors),
+    the delta is APPENDED with frozen quantizers, a deterministic
+    takedown slice (vec_id % 17 == 3) is DELETED via tombstones, and the
+    gate raises unless (a) the appended layout holds every expected
+    vector exactly once with M-byte codes, (b) a second append of the
+    same batch tag is a no-op, (c) a second delete of the same tag is a
+    no-op, (d) compaction folds the tombstones — surviving rows
+    preserved exactly, dead rows dropped exactly, tombstone tree gone —
+    AND replayed append/delete feeds stay no-ops afterwards (both
+    ledgers survive the fold), and (e) at verification scale, serving
+    from the appended+deleted+compacted index returns NO tombstoned
+    neighbor and clears the shared recall floor vs the exact top-k
+    restricted to SURVIVING neighbors (a pair whose neighbor survives
+    keeps its full-corpus rank, so the floor is exact, not weakened).
+    The checks are idempotence-aware: on a rerun against the same
+    persisted layout every mutation no-ops and the folded counts are
+    asserted instead.  Returns one scalar row describing the round
+    trip."""
     raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bucket = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
@@ -786,6 +1138,7 @@ def q_ann_index_incremental(spark, sf_dir):
     )
     base = raw.where(bucket != 0)
     delta = raw.where(bucket == 0)
+    del_pred = F.col("vec_id") % DEL_MOD == DEL_RESIDUE
     path = ann_index_path(sf_dir) + "-incr"
     build_ann_index(spark, sf_dir, path=path, emb_raw=base)
     # append returns 0 when the tag is already applied (idempotent, e.g.
@@ -797,11 +1150,15 @@ def q_ann_index_incremental(spark, sf_dir):
     if n_again != 0:
         raise AssertionError(f"duplicate append applied {n_again} rows")
     n = corpus_rows(spark, sf_dir)
+    n_del = raw.where(del_pred).count()
     meta, cent_mat, _books = load_ann_model(spark, path)
+    # a rerun sees the PRIOR run's fold: the codes already lack the
+    # takedown slice iff its tag is in the deletes ledger
+    n_expected = n - n_del if DEL_TAG in meta.get("deletes", []) else n
     # meta['n'] is an ADVISORY sizing hint (a crash between the atomic
     # batch rename and the meta rewrite leaves it low, by design) — the
     # binding integrity check below counts the codes themselves
-    codes = spark.read.parquet(os.path.join(path, "codes.parquet"))
+    codes = spark.read.parquet(_ensure_codes_root(path))
     stats = codes.agg(
         F.count("*").alias("n_codes"),
         F.countDistinct("vec_id").alias("n_ids"),
@@ -809,19 +1166,29 @@ def q_ann_index_incremental(spark, sf_dir):
         F.max(F.length("code")).alias("max_len"),
         F.max("cell").alias("max_cell"),
     ).first()
-    if stats.n_codes != n or stats.n_ids != n:
+    if stats.n_codes != n_expected or stats.n_ids != n_expected:
         raise AssertionError(
-            f"appended layout holds {stats.n_codes}/{stats.n_ids} != {n}"
+            f"appended layout holds {stats.n_codes}/{stats.n_ids} != {n_expected}"
         )
     if stats.min_len != meta["m"] or stats.max_len != meta["m"]:
         raise AssertionError("code byte length drifted across batches")
     if stats.max_cell >= len(cent_mat):
         raise AssertionError("appended batch invented a cell id")
+    # --- the deletion round trip -------------------------------------
+    delete_ann_index(spark, path, raw.where(del_pred), DEL_TAG)
+    if delete_ann_index(spark, path, raw.where(del_pred), DEL_TAG) != 0:
+        raise AssertionError("duplicate delete re-applied its tombstones")
     comp = compact_ann_index(spark, path)
-    if comp["rows"] != n:
-        raise AssertionError(f"compaction lost rows: {comp['rows']} != {n}")
+    if comp["rows"] != n - n_del:
+        raise AssertionError(
+            f"compaction kept {comp['rows']} rows, expected {n - n_del}"
+        )
+    if _tombstone_dirs(path):
+        raise AssertionError("tombstone tree survived compaction")
     if append_ann_index(spark, path, delta, "delta-bucket-0") != 0:
         raise AssertionError("replayed feed re-applied after compaction")
+    if delete_ann_index(spark, path, raw.where(del_pred), DEL_TAG) != 0:
+        raise AssertionError("replayed delete re-applied after compaction")
     if n <= _PQ_GATE_MAX_N:
         qids, qmat, qnrm = _query_rows(spark, sf_dir)
         res = _exact_rerank(
@@ -832,9 +1199,15 @@ def q_ann_index_incremental(spark, sf_dir):
             qmat,
             qnrm,
         ).localCheckpoint(eager=False)
-        exact = q_knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-        n_exact = exact.count()
-        hit = exact.join(
+        if res.where(F.col("neighbor_id") % DEL_MOD == DEL_RESIDUE).count():
+            raise AssertionError("serving returned a tombstoned neighbor")
+        exact_surv = (
+            q_knn_cosine_topk(spark, sf_dir)
+            .where(~(F.col("neighbor_id") % DEL_MOD == DEL_RESIDUE))
+            .select("query_id", "neighbor_id")
+        )
+        n_exact = exact_surv.count()
+        hit = exact_surv.join(
             res.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
             "left_semi",
@@ -849,13 +1222,14 @@ def q_ann_index_incremental(spark, sf_dir):
             (
                 int(n - n_applied),
                 int(n_applied),
-                int(n),
+                int(n_del),
+                int(n - n_del),
                 int(meta["m"]),
                 int(comp["files_after"]),
             )
         ],
-        "n_base long, n_delta long, n_total long, pq_m long, "
-        "n_files_compacted long",
+        "n_base long, n_delta long, n_deleted long, n_live long, "
+        "pq_m long, n_files_compacted long",
     )
 
 

@@ -99,8 +99,10 @@ def test_incremental_append_roundtrip(spark):
     exactly once, be idempotent per batch tag, and clear the recall
     floor — all enforced inside the declared query (raises otherwise)."""
     row = ai.q_ann_index_incremental(spark, SF_SMALL).first()
-    assert row.n_base + row.n_delta == row.n_total == 500
+    assert row.n_base + row.n_delta == 500
     assert row.n_delta > 0
+    # r10: the gate also runs the deletion round trip (tombstone + fold)
+    assert row.n_live == 500 - row.n_deleted and row.n_deleted > 0
     # run it twice: second pass must hit the idempotence path cleanly
     row2 = ai.q_ann_index_incremental(spark, SF_SMALL).first()
     assert row2 == row
@@ -123,10 +125,11 @@ def test_compaction_folds_batches_and_keeps_ledger(spark):
     exactly, and the replayed batch stays a no-op via the meta ledger."""
     import json
 
-    ai.q_ann_index_incremental(spark, SF_SMALL)  # ensures built+appended
+    row = ai.q_ann_index_incremental(spark, SF_SMALL).first()  # built+appended+deleted
     path = ai.ann_index_path(SF_SMALL) + "-incr"
     comp = ai.compact_ann_index(spark, path)
-    assert comp["rows"] == 500
+    assert comp["rows"] == row.n_live  # the r10 gate already folded its takedown slice
+    assert comp["rows_tombstoned"] == 0
     batch_dirs = [
         n
         for n in os.listdir(os.path.join(path, "codes.parquet"))
@@ -142,14 +145,20 @@ def test_reap_superseded_indexes(tmp_path):
     the current layout and a flock-held sibling survive."""
     import fcntl
 
+    import time
+
     parent = tmp_path / "v2"
     parent.mkdir()
-    current = parent / "corpus-aaaa"
-    stale = parent / "corpus-bbbb"
-    held = parent / "corpus-cccc"
-    other = parent / "other-dddd"
+    # r10: names must match the layout structure (16-hex fingerprint)
+    # and victims must have quiesced past the read grace window
+    current = parent / ("corpus-" + "a" * 16)
+    stale = parent / ("corpus-" + "b" * 16)
+    held = parent / ("corpus-" + "c" * 16)
+    other = parent / ("other-" + "d" * 16)
     for d in (current, stale, held, other):
         d.mkdir()
+        old = time.time() - ai._REAP_GRACE_SEC - 60
+        os.utime(d, (old, old))
     fd = os.open(f"{held}.lock", os.O_CREAT | os.O_WRONLY, 0o644)
     fcntl.flock(fd, fcntl.LOCK_EX)
     try:
@@ -173,7 +182,8 @@ def test_direct_path_read_equals_root_scan(spark):
     direct = ai.search_ann_index(spark, path, qids, qmat, qnrm)
     meta, cent_mat, books = ai.load_ann_model(spark, path)
     shortlist = max(ai.PQ_SHORTLIST, meta["n"] // ai.PQ_SHORTLIST_FRAC)
-    cell_to_q = ai._probe_map(cent_mat, qmat, ai.IVFPQ_QUERY_PROBE)
+    # the reference probe map must mirror the serve default (r10: auto)
+    cell_to_q = ai._probe_map(cent_mat, qmat, ai.auto_n_probe(meta["nlist"]))
     root = spark.read.parquet(os.path.join(path, "codes.parquet")).where(
         F.col("cell").isin([int(c) for c in cell_to_q])
     )
