@@ -822,8 +822,11 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
 
     Drift caveat (inherent to frozen quantizers): appended batches are
     encoded with the BASE distribution's centroids; under distribution
-    drift cell occupancy skews and recall decays — vector.py's
-    embedding_drift is the monitoring query, a full rebuild the remedy.
+    drift cell occupancy skews and recall decays —
+    vector.centroid_drift_frames(base, batch) is the monitoring query
+    (the one-corpus md5-half split of q_embedding_drift cannot see an
+    append batch), a full rebuild the remedy.  Measured drill:
+    tools/ann_drift_run.py, numbers in BASELINE.md §ann-serving.
     """
     import time
     import uuid

@@ -1368,6 +1368,45 @@ def q_ivf_dup_subset_gate(spark, sf_dir):
 
 # --- (⊕ r8) embedding drift between deterministic corpus halves -------------
 
+def centroid_drift_frames(emb_a, emb_b):
+    """Per-label centroid L2 distance between two embedding frames —
+    the base-vs-new-batch drift monitor an index append should consult
+    before trusting frozen quantizers (ann_index.append_ann_index's
+    documented caveat; measured drill in tools/ann_drift_run.py).
+    Same aggregation shape as q_embedding_drift — explode → per-label
+    per-dim mean, map-side combinable, |labels|·d aggregate rows —
+    with the md5-parity axis replaced by the frame identity, because a
+    shifted APPEND BATCH distributes evenly across md5 halves and is
+    invisible to the one-corpus split by construction.
+
+    Inputs: frames with (label, emb array<double>) columns.  Returns
+    (label, n_a, n_b, centroid_drift)."""
+
+    def _cent(df, side):
+        x = df.select("label", F.posexplode("emb")).select(
+            "label", F.col("pos").alias("dim"), F.col("col").alias("val")
+        )
+        return x.groupBy("label", "dim").agg(
+            F.avg("val").alias(f"cval_{side}")
+        )
+
+    sizes = (
+        emb_a.groupBy("label").agg(F.count("*").alias("n_a"))
+        .join(emb_b.groupBy("label").agg(F.count("*").alias("n_b")), "label", "full_outer")
+        .na.fill(0, ["n_a", "n_b"])
+    )
+    d = F.col("cval_a") - F.col("cval_b")
+    drift = (
+        _cent(emb_a, "a")
+        .join(_cent(emb_b, "b"), ["label", "dim"])
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("centroid_drift"))
+    )
+    return drift.join(sizes, "label").select(
+        "label", "n_a", "n_b", "centroid_drift"
+    )
+
+
 def q_embedding_drift(spark, sf_dir):
     """Distribution-drift check an embedding pipeline runs before
     trusting an index refresh: split the corpus into two deterministic

@@ -112,6 +112,7 @@ def main() -> int:
     for name, build in (
         ("session_stream", twins.session_stream),
         ("tumbling_stream", twins.tumbling_stream),
+        ("attribution_stream", twins.attribution_stream),
     ):
         # 4 files/batch => 8 micro-batches: the watermark advances
         # between batches (it lags one batch), so closed sessions emit
@@ -127,6 +128,25 @@ def main() -> int:
         t0 = time.time()
         stats = run_twin(spark, name, build(ev), out_dir)
         wall = time.time() - t0
+        if name == "attribution_stream":
+            # the hardest stateful shape (r9 verdict #7): assert the
+            # watermarked stream-stream interval join emitted EXACTLY
+            # the batch join's pair set — inner joins emit eagerly on
+            # match, so nothing is watermark-held at end of input
+            ev_batch = spark.read.parquet(src).withColumn(
+                "ts", F.timestamp_micros(F.col("ts"))
+            )
+            ref = twins.attribution_stream(ev_batch)
+            got = spark.read.parquet(f"{out_dir}/{name}/data")
+            extra = got.exceptAll(ref).count()
+            missing = ref.exceptAll(got).count()
+            stats.update(
+                pairs_batch=ref.count(), pairs_extra=extra, pairs_missing=missing
+            )
+            if extra or missing:
+                raise AssertionError(
+                    f"stream-stream pair set diverged: +{extra}/-{missing}"
+                )
         print(
             json.dumps(
                 {
