@@ -55,7 +55,58 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     out = {"mode": mode, "n": n}
 
-    if mode == "append":
+    if mode == "delete":
+        # deletion cost (r9 verdict #3): tombstone a 5% slice of an
+        # existing index (delta-scaled id-list write), then fold it at
+        # compaction (corpus-scaled maintenance rewrite) — the numbers
+        # to compare against append (delta-scaled) and rebuild
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        src_path = ai.ann_index_path(sf_dir)
+        assert os.path.isfile(os.path.join(src_path, "_SUCCESS")), "build first"
+        # mutate a COPY (the codes layout is ~24 B/vector, ~27 MB at 1M)
+        # so the shared content-addressed index stays pristine
+        path = f"{src_path}-delbench"
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.remove(f"{path}.lock")
+        except OSError:
+            pass
+        shutil.copytree(src_path, path)
+        raw = table(spark, sf_dir, "embeddings").select("vec_id")
+        victims = raw.where(F.col("vec_id") % 20 == 11)
+        t0 = time.monotonic()
+        n_del = ai.delete_ann_index(spark, path, victims, "bench-del-20-11")
+        del_sec = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=n_q)
+        res = ai._exact_rerank(
+            spark,
+            ai._norms(spark, sf_dir),
+            ai.search_ann_index(spark, path, qids, qmat, qnrm),
+            qids,
+            qmat,
+            qnrm,
+        )
+        bad = res.where(F.col("neighbor_id") % 20 == 11).count()
+        serve_tombstoned_sec = round(time.monotonic() - t0, 1)
+        t0 = time.monotonic()
+        comp = ai.compact_ann_index(spark, path)
+        compact_sec = round(time.monotonic() - t0, 1)
+        out.update(
+            n_deleted=n_del,
+            delete_sec=del_sec,
+            serve_with_pending_tombstones_sec=serve_tombstoned_sec,
+            tombstoned_neighbors_served=bad,
+            compact_sec=compact_sec,
+            rows_after_fold=comp["rows"],
+            rows_tombstoned=comp["rows_tombstoned"],
+        )
+        if bad:
+            raise AssertionError(f"{bad} tombstoned neighbors served")
+    elif mode == "append":
         # incremental-maintenance cost: build a base index on a 90% md5
         # split, then time appending the 10% delta with frozen
         # quantizers — the number to compare against a full rebuild

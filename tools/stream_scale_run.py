@@ -27,11 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/tmp/stream_scale"
 
+# timeline warp: 5 h of activity then 1 h of silence, so per-user gaps
+# really exceed the 30-min session gap once per cycle
+_ACTIVE_US = 5 * 3600 * 1_000_000
+_QUIET_US = 3600 * 1_000_000
+
 
 def synth_events_dir(spark, n: int) -> str:
-    """Deterministic event corpus shaped like testdata events: ~n/100
-    users, 5 weighted event types, session-y timestamp gaps (mostly
-    seconds, occasionally > the 30-min session gap), 7-day span."""
+    """Deterministic event corpus shaped like testdata events: ~n/1000
+    users, 5 event types independent of user, ~90 s per-user event
+    spacing warped into 5h-active/1h-quiet cycles (~25 h of activity →
+    ~30 h span) so every user closes a session at every quiet hour."""
     from pyspark.sql import functions as F
 
     out = os.path.join(BASE, f"n{n}", "events")
@@ -48,22 +54,37 @@ def synth_events_dir(spark, n: int) -> str:
         spark.range(n)
         .withColumn("event_id", F.col("id"))
         .withColumn("h", F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10).cast("long"))
+        # type comes from an INDEPENDENT md5 slice: users is a multiple
+        # of 5, so typing by h%5 would give every user exactly one event
+        # type — and e.g. zero view→purchase attribution pairs exist
+        # (caught when the stream-stream ladder row first ran: the
+        # batch/stream pair sets agreed at 0 = 0, a vacuous proof)
+        .withColumn("h2", F.conv(F.substring(F.md5(F.col("id").cast("string")), 9, 8), 16, 10).cast("long"))
         .withColumn("user_id", F.col("h") % users)
         .withColumn("seq", (F.col("id") / users).cast("long"))
-        # gap: 1-60 s within a session, every ~50th event jumps 40-100 min
+        # jitter: 1-60 s of per-event displacement on the 90 s grid
+        .withColumn("gap_us", (F.lit(1) + F.col("h") % 60) * 1_000_000)
+        # REAL session structure (r10 harness fix): the linear 90 s grid
+        # has no per-user gap ever exceeding the 30-min session gap, so
+        # every user is ONE never-closing session — the 60-70k "sessions"
+        # earlier ladder runs emitted were artifacts of watermark-dropped
+        # rows carving artificial holes (see the mtime note below).  Warp
+        # the timeline into 5h-active / 1h-quiet cycles: sessions close at
+        # every quiet hour for every user, deterministically.
+        .withColumn("lin_us", F.col("seq") * F.lit(90_000_000))
         .withColumn(
-            "gap_us",
-            F.when(
-                F.col("h") % 50 == 0,
-                (F.lit(40 * 60) + (F.col("h") % 3600)) * 1_000_000,
-            ).otherwise((F.lit(1) + F.col("h") % 60) * 1_000_000),
+            "ts",
+            F.lit(base_ts)
+            + (F.col("lin_us") / F.lit(_ACTIVE_US)).cast("long")
+            * F.lit(_ACTIVE_US + _QUIET_US)
+            + F.col("lin_us") % F.lit(_ACTIVE_US)
+            + F.col("gap_us"),
         )
-        .withColumn("ts", F.lit(base_ts) + F.col("seq") * F.lit(90_000_000) + F.col("gap_us"))
         .withColumn(
             "event_type",
             F.element_at(
                 F.array(*[F.lit(t) for t in ("view", "click", "purchase", "signup", "logout")]),
-                (F.col("h") % 5 + 1).cast("int"),
+                (F.col("h2") % 5 + 1).cast("int"),
             ),
         )
         .withColumn("value", F.round((F.col("h") % 10_000) / 100.0, 2))
@@ -77,6 +98,20 @@ def synth_events_dir(spark, n: int) -> str:
     df.repartitionByRange(32, "ts").sortWithinPartitions("ts").write.mode(
         "overwrite"
     ).parquet(out)
+    # FileStreamSource admits files by MODIFICATION TIME, and 32
+    # concurrently-written parts land with ~identical mtimes — admission
+    # order then mixes early and late ts ranges, the watermark jumps
+    # ahead on the first late-range file, and every stateful twin
+    # silently drops the rows that arrive behind it (caught when the
+    # stream-stream join emitted 17% of the batch pair set: per-batch
+    # numRowsDroppedByWatermark ~20% with the watermark stuck for 4
+    # batches).  Range partition i holds ts range i, so stamping
+    # strictly increasing mtimes in part order makes admission mirror a
+    # real drop folder filling chronologically.
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    t0 = time.time() - 2 * len(parts)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out, f), (t0 + 2 * i, t0 + 2 * i))
     return out
 
 
