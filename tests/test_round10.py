@@ -143,6 +143,66 @@ class TestTombstoneDeletes:
         assert row.n_deleted > 0
         assert row.n_live == row.n_base + row.n_delta - row.n_deleted
 
+    def test_tombstone_antijoin_enters_plan_only_when_pending(self, spark, dpath):
+        # no tombstones → the serving scan is untouched (no join node);
+        # pending tombstones → one left-anti join BELOW the ADC kernel
+        raw = ai.table(spark, SF_SMALL, "embeddings")
+        clean = ai._live_codes(
+            spark, dpath, spark.read.parquet(os.path.join(dpath, "codes.parquet"))
+        )
+        assert "Join" not in clean._jdf.queryExecution().executedPlan().toString()
+        ai.delete_ann_index(spark, dpath, raw.where(F.col("vec_id") < 3), "t3")
+        dirty = ai._live_codes(
+            spark, dpath, spark.read.parquet(os.path.join(dpath, "codes.parquet"))
+        )
+        plan = dirty._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+class TestCentroidDriftFrames:
+    """The base-vs-batch drift monitor (the md5-half split of
+    q_embedding_drift cannot see an append batch by construction)."""
+
+    def test_reads_an_injected_shift(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        a_rows = [(int(i % 3), [float(v) for v in rng.normal(size=4)])
+                  for i in range(300)]
+        shift = np.array([2.0, 0.0, 0.0, 0.0])
+        b_rows = [(int(i % 3), [float(v) for v in rng.normal(size=4) + shift])
+                  for i in range(150)]
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+
+        schema = "label long, emb array<double>"
+        out = {
+            r.label: r
+            for r in V.centroid_drift_frames(
+                spark.createDataFrame(a_rows, schema),
+                spark.createDataFrame(b_rows, schema),
+            ).collect()
+        }
+        assert set(out) == {0, 1, 2}
+        for r in out.values():
+            assert r.n_a == 100 and r.n_b == 50
+            # injected drift 2.0 along dim 0; sampling noise ~ 1/sqrt(50)
+            assert 1.5 < r.centroid_drift < 2.5
+
+    def test_null_reads_near_zero(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(6)
+        rows = [(int(i % 2), [float(v) for v in rng.normal(size=4)])
+                for i in range(2000)]
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+
+        schema = "label long, emb array<double>"
+        a = spark.createDataFrame(rows[:1000], schema)
+        b = spark.createDataFrame(rows[1000:], schema)
+        drifts = [r.centroid_drift
+                  for r in V.centroid_drift_frames(a, b).collect()]
+        assert all(d < 0.5 for d in drifts)
+
 
 class TestLayoutMaintenance:
     """Advice-r9 fixes: crash repair, structural sibling match,
