@@ -914,14 +914,41 @@ def _live_codes(spark, path: str, codes: DataFrame) -> DataFrame:
     the exact top-k over the SURVIVING corpus — a deleted vector can
     neither be returned nor displace a live candidate out of a
     truncated per-cell list.  No tombstones → the scan is untouched
-    (the common case pays one listdir)."""
+    (the common case pays one listdir).
+
+    Suppression is SEQUENCED, not global: each delete batch records the
+    batch tags applied at delete time (meta ``delete_cover``) and the
+    anti-join keys on (vec_id, batch) — so a vector re-appended AFTER
+    its deletion serves again immediately (the index analogue of
+    merge_upsert_chain's re-insert-after-delete leg), while a global
+    vec_id anti-join would suppress the new row and the compaction fold
+    would then drop it permanently.  A del batch missing from the cover
+    map (its writer died between the rename and the meta write) falls
+    back to covering every batch present — the conservative direction
+    for a takedown."""
     dirs = _tombstone_dirs(path)
     if not dirs:
         return codes
+    with open(os.path.join(path, "meta.json")) as fh:
+        cover = json.load(fh).get("delete_cover", {})
+    all_batches = [
+        n.split("=", 1)[1]
+        for n in os.listdir(os.path.join(path, "codes.parquet"))
+        if n.startswith("batch=")
+    ]
+    pairs = [
+        (os.path.basename(d).split("=", 1)[1], b)
+        for d in dirs
+        for b in cover.get(os.path.basename(d).split("=", 1)[1], all_batches)
+    ]
+    covered = spark.createDataFrame(pairs, "del string, batch string")
     tomb = (
         spark.read.option("basePath", _tomb_root(path))
         .parquet(*dirs)
-        .select("vec_id")
+        .select("vec_id", F.col("del").cast("string").alias("del"))
+    )
+    supp = tomb.join(covered, "del").select(
+        "vec_id", F.col("batch").alias("_supp_batch")
     )
     size = sum(
         os.path.getsize(os.path.join(r, f))
@@ -930,8 +957,13 @@ def _live_codes(spark, path: str, codes: DataFrame) -> DataFrame:
         for f in fs
     )
     if size <= _TOMBSTONE_BROADCAST_MAX_BYTES:
-        tomb = F.broadcast(tomb)
-    return codes.join(tomb, "vec_id", "left_anti")
+        supp = F.broadcast(supp)
+    return codes.join(
+        supp,
+        (codes["vec_id"] == supp["vec_id"])
+        & (codes["batch"].cast("string") == supp["_supp_batch"]),
+        "left_anti",
+    )
 
 
 def delete_ann_index(spark, path: str, vec_ids, delete_tag: str) -> int:
@@ -975,6 +1007,14 @@ def delete_ann_index(spark, path: str, vec_ids, delete_tag: str) -> int:
             return 0  # re-check under the lock
         ids = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id")).distinct()
         n_del = ids.count()
+        # the delete covers exactly the batches applied so far: later
+        # appends of the same ids are NEW rows and must serve (the
+        # sequencing that makes re-insert-after-delete correct)
+        cover = sorted(
+            n.split("=", 1)[1]
+            for n in os.listdir(os.path.join(path, "codes.parquet"))
+            if n.startswith("batch=")
+        )
         tmp = os.path.join(path, f".del-tmp-{uuid.uuid4().hex}")
         ids.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.makedirs(_tomb_root(path), exist_ok=True)
@@ -985,6 +1025,7 @@ def delete_ann_index(spark, path: str, vec_ids, delete_tag: str) -> int:
             meta = json.load(fh)
         meta["n"] = max(1, meta["n"] - n_del)
         meta["deletes"] = meta.get("deletes", []) + [tag]
+        meta.setdefault("delete_cover", {})[tag] = cover
         tmp_meta = os.path.join(path, ".meta.json.tmp")
         with open(tmp_meta, "w") as fh:
             json.dump(meta, fh)
@@ -1061,11 +1102,15 @@ def compact_ann_index(spark, path: str) -> dict:
             with open(tmp_meta, "w") as fh:
                 json.dump(meta, fh)
             os.replace(tmp_meta, os.path.join(path, "meta.json"))
+        # keep `batch` through the tombstone anti-join (suppression keys
+        # on (vec_id, batch)); the fold itself then drops it
         codes = spark.read.parquet(codes_root).select(
-            "vec_id", "cell", "code", "nrm"
+            "vec_id", "cell", "code", "nrm", "batch"
         )
         n_before = codes.count()
-        live = _live_codes(spark, path, codes)
+        live = _live_codes(spark, path, codes).select(
+            "vec_id", "cell", "code", "nrm"
+        )
         tmp = os.path.join(path, f".compact-tmp-{uuid.uuid4().hex}")
         (
             live.repartition("cell")
@@ -1094,6 +1139,18 @@ def compact_ann_index(spark, path: str) -> dict:
             dead_t = os.path.join(path, f".dead-tombs-{uuid.uuid4().hex}")
             os.rename(troot, dead_t)
             os.utime(dead_t, None)
+        # the cover map referenced pre-fold batch tags; with the
+        # tombstone tree retired it is inert — clear it (the `deletes`
+        # ledger alone keeps replayed feeds no-ops).  Crash before this
+        # write is harmless: _live_codes short-circuits on no tombstones
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        if meta.get("delete_cover"):
+            meta["delete_cover"] = {}
+            tmp_meta = os.path.join(path, ".meta.json.tmp")
+            with open(tmp_meta, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp_meta, os.path.join(path, "meta.json"))
         return {
             "files_before": files_before,
             "files_after": _n_files(codes_root),
@@ -1155,9 +1212,20 @@ def q_ann_index_incremental(spark, sf_dir):
     n = corpus_rows(spark, sf_dir)
     n_del = raw.where(del_pred).count()
     meta, cent_mat, _books = load_ann_model(spark, path)
-    # a rerun sees the PRIOR run's fold: the codes already lack the
-    # takedown slice iff its tag is in the deletes ledger
-    n_expected = n - n_del if DEL_TAG in meta.get("deletes", []) else n
+    # the expected code count is derived from the LAYOUT's own state
+    # (batch dirs + ledgers + pending tombstones), not from this run's
+    # history — so the gate is resumable from any crash point and
+    # idempotent across reruns of every completed state
+    reinsert_applied = os.path.isdir(_batch_dir(path, "reinsert-x")) or (
+        "reinsert-x" in meta.get("batches", [])
+    )
+    pending_del = os.path.isdir(os.path.join(_tomb_root(path), f"del={DEL_TAG}"))
+    folded_del = DEL_TAG in meta.get("deletes", []) and not pending_del
+    n_expected = n + (1 if reinsert_applied else 0) - (n_del if folded_del else 0)
+    # the re-inserted vector appears twice until the fold collapses it
+    n_ids_expected = n_expected - (
+        1 if reinsert_applied and not folded_del else 0
+    )
     # meta['n'] is an ADVISORY sizing hint (a crash between the atomic
     # batch rename and the meta rewrite leaves it low, by design) — the
     # binding integrity check below counts the codes themselves
@@ -1169,27 +1237,48 @@ def q_ann_index_incremental(spark, sf_dir):
         F.max(F.length("code")).alias("max_len"),
         F.max("cell").alias("max_cell"),
     ).first()
-    if stats.n_codes != n_expected or stats.n_ids != n_expected:
+    if stats.n_codes != n_expected or stats.n_ids != n_ids_expected:
         raise AssertionError(
-            f"appended layout holds {stats.n_codes}/{stats.n_ids} != {n_expected}"
+            f"appended layout holds {stats.n_codes} codes / {stats.n_ids} ids, "
+            f"expected {n_expected}/{n_ids_expected}"
         )
     if stats.min_len != meta["m"] or stats.max_len != meta["m"]:
         raise AssertionError("code byte length drifted across batches")
     if stats.max_cell >= len(cent_mat):
         raise AssertionError("appended batch invented a cell id")
-    # --- the deletion round trip -------------------------------------
+    # --- the deletion round trip (+ re-insert-after-delete) -----------
     delete_ann_index(spark, path, raw.where(del_pred), DEL_TAG)
     if delete_ann_index(spark, path, raw.where(del_pred), DEL_TAG) != 0:
         raise AssertionError("duplicate delete re-applied its tombstones")
-    comp = compact_ann_index(spark, path)
-    if comp["rows"] != n - n_del:
+    # re-append ONE tombstoned vector as a fresh batch: suppression is
+    # sequenced by delete cover, so the new row must serve while every
+    # pre-delete copy stays suppressed (merge_upsert_chain's
+    # re-insert-after-delete leg, for the index)
+    x = raw.where(del_pred).agg(F.min("vec_id")).first()[0]
+    append_ann_index(spark, path, raw.where(F.col("vec_id") == x), "reinsert-x")
+    live_x = (
+        _live_codes(spark, path, spark.read.parquet(_ensure_codes_root(path)))
+        .where(F.col("vec_id") == x)
+        .count()
+    )
+    if live_x != 1:
         raise AssertionError(
-            f"compaction kept {comp['rows']} rows, expected {n - n_del}"
+            f"re-inserted vector serves {live_x} rows, expected exactly 1"
+        )
+    n_live_final = n - n_del + 1
+    comp = compact_ann_index(spark, path)
+    if comp["rows"] != n_live_final:
+        raise AssertionError(
+            f"compaction kept {comp['rows']} rows, expected {n_live_final}"
         )
     if _tombstone_dirs(path):
         raise AssertionError("tombstone tree survived compaction")
     if append_ann_index(spark, path, delta, "delta-bucket-0") != 0:
         raise AssertionError("replayed feed re-applied after compaction")
+    if append_ann_index(
+        spark, path, raw.where(F.col("vec_id") == x), "reinsert-x"
+    ) != 0:
+        raise AssertionError("replayed re-insert re-applied after compaction")
     if delete_ann_index(spark, path, raw.where(del_pred), DEL_TAG) != 0:
         raise AssertionError("replayed delete re-applied after compaction")
     if n <= _PQ_GATE_MAX_N:
@@ -1202,11 +1291,14 @@ def q_ann_index_incremental(spark, sf_dir):
             qmat,
             qnrm,
         ).localCheckpoint(eager=False)
-        if res.where(F.col("neighbor_id") % DEL_MOD == DEL_RESIDUE).count():
+        tombstoned = (F.col("neighbor_id") % DEL_MOD == DEL_RESIDUE) & (
+            F.col("neighbor_id") != x
+        )
+        if res.where(tombstoned).count():
             raise AssertionError("serving returned a tombstoned neighbor")
         exact_surv = (
             q_knn_cosine_topk(spark, sf_dir)
-            .where(~(F.col("neighbor_id") % DEL_MOD == DEL_RESIDUE))
+            .where(~tombstoned)
             .select("query_id", "neighbor_id")
         )
         n_exact = exact_surv.count()
@@ -1226,7 +1318,7 @@ def q_ann_index_incremental(spark, sf_dir):
                 int(n - n_applied),
                 int(n_applied),
                 int(n_del),
-                int(n - n_del),
+                int(n_live_final),
                 int(meta["m"]),
                 int(comp["files_after"]),
             )

@@ -101,8 +101,9 @@ def test_incremental_append_roundtrip(spark):
     row = ai.q_ann_index_incremental(spark, SF_SMALL).first()
     assert row.n_base + row.n_delta == 500
     assert row.n_delta > 0
-    # r10: the gate also runs the deletion round trip (tombstone + fold)
-    assert row.n_live == 500 - row.n_deleted and row.n_deleted > 0
+    # r10: the gate also runs the deletion round trip (tombstone + fold
+    # + one re-insert-after-delete, hence the +1)
+    assert row.n_live == 500 - row.n_deleted + 1 and row.n_deleted > 0
     # run it twice: second pass must hit the idempotence path cleanly
     row2 = ai.q_ann_index_incremental(spark, SF_SMALL).first()
     assert row2 == row

@@ -141,7 +141,8 @@ class TestTombstoneDeletes:
         # the declared driver gate end-to-end (append + delete + fold)
         row = ai.q_ann_index_incremental(spark, SF_SMALL).first()
         assert row.n_deleted > 0
-        assert row.n_live == row.n_base + row.n_delta - row.n_deleted
+        # +1: the gate re-inserts one tombstoned vector as a fresh batch
+        assert row.n_live == row.n_base + row.n_delta - row.n_deleted + 1
 
     def test_tombstone_antijoin_enters_plan_only_when_pending(self, spark, dpath):
         # no tombstones → the serving scan is untouched (no join node);
