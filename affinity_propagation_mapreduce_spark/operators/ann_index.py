@@ -14,11 +14,13 @@ as a reusable on-disk layout and adds a search-only serving path:
   crash-safe layout (events._layout_write_once: flock'd write-once,
   temp-dir/rename swap):
 
-      <path>/meta.json               build parameters + corpus size
-      <path>/centroids.parquet       (cell, c_emb)        ~sqrt(N)·d rows
-      <path>/codebooks.parquet       (m, code, vec)       M·KSUB rows
-      <path>/codes.parquet/cell=*/   (vec_id, code BINARY(M), nrm)
-      <path>/_SUCCESS                written LAST — readers gate on it
+      <path>/meta.json                 build params + corpus size + the
+                                       GENERATION pointer (v3)
+      <path>/centroids.parquet         (cell, c_emb)      ~sqrt(N)·d rows
+      <path>/codebooks.parquet         (m, code, vec)     M·KSUB rows
+      <path>/codes.g<G>.parquet/batch=*/cell=*/   (vec_id, code, nrm)
+      <path>/tombstones.g<G>.parquet/del=*/       pending delete id-lists
+      <path>/_SUCCESS                  written LAST — readers gate on it
 
   The codes table is directory-partitioned by coarse cell: a serving
   query probing ``p`` of ``nlist`` cells scans only those directories
@@ -51,7 +53,7 @@ as a reusable on-disk layout and adds a search-only serving path:
   pure overhead and flat's no-pruning recall is free.
 
 * ``delete_ann_index`` — tombstone batches (r9 verdict "What's
-  missing" #1): deletions land as ``tombstones.parquet/del=<tag>/``
+  missing" #1): deletions land as gen-scoped ``tombstones.g<G>.parquet/del=<tag>/``
   id-lists via the same write-to-temp + one-rename protocol as appends,
   are anti-joined out of every serving scan BEFORE the per-cell
   shortlist truncation (so the result is the exact top-k over the
@@ -105,11 +107,18 @@ from .vector import (
 # the version is part of the path, so stale indexes are never read.
 # v2: codes live under codes.parquet/batch=<tag>/cell=*/ — each batch
 # (base build or incremental append) is its OWN directory, landed by a
-# single atomic rename, which makes appends crash-atomic (review r9 #1)
-# (tombstone deletions + the meta 'deletes' ledger are additive — a
-# v2 layout without them reads unchanged, so the format stays 2 and
-# existing on-disk indexes keep serving)
-ANN_INDEX_FORMAT = 2
+# single atomic rename, which makes appends crash-atomic (review r9 #1).
+# v3 (advice r10 #1 + verdict r10 #3): the codes tree AND the tombstone
+# tree are GENERATION-scoped (codes.g<G>.parquet, tombstones.g<G>.parquet)
+# and readers resolve both through meta.json's `generation` pointer — one
+# meta read is one consistent snapshot, and compaction commits by a
+# single atomic os.replace of meta (gen bump + ledger merge + cover clear
+# in ONE write).  The v2 crash window — codes swapped but cover/tombstones
+# not yet retired, so a stale cover re-suppressed a re-inserted vector in
+# the freshly folded tree — cannot exist: a gen-G cover is never applied
+# to a gen-G+1 tree, and the repair machinery (_repair_codes_root) is gone
+# because no crash point leaves the pointer dangling.
+ANN_INDEX_FORMAT = 3
 
 _INDEX_BASE = "/tmp/spark_graft_ann"
 
@@ -124,6 +133,42 @@ def ann_index_path(sf_dir: str) -> str:
     ).hexdigest()[:16]
     safe = sf_dir.strip("/").replace("/", "_")
     return f"{_INDEX_BASE}/v{ANN_INDEX_FORMAT}/{safe}-{fp}"
+
+
+def _read_meta(path: str) -> dict:
+    """One meta.json read = one consistent layout snapshot (meta is only
+    ever replaced atomically via os.replace)."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def _gen_of(meta: dict) -> int:
+    return int(meta.get("generation", 0))
+
+
+def _codes_root_gen(path: str, gen: int) -> str:
+    return os.path.join(path, f"codes.g{gen}.parquet")
+
+
+def _tomb_root_gen(path: str, gen: int) -> str:
+    return os.path.join(path, f"tombstones.g{gen}.parquet")
+
+
+def codes_root(path: str) -> str:
+    """Resolve the CURRENT codes tree through the generation pointer.
+    Raises if the pointed-at tree is missing — with the v3 commit
+    protocol (tree renamed in before the meta flip, dead trees reaped
+    age-gated) that can only mean external tampering or a scan that
+    outlived the reap grace window."""
+    root = _codes_root_gen(path, _gen_of(_read_meta(path)))
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"ANN layout has no codes tree: {root}")
+    return root
+
+
+# matches a generation-scoped codes/tombstones tree; used by the scratch
+# reaper to collect superseded (gen != pointer) trees once quiesced
+_GEN_DIR_RE = re.compile(r"^(?:codes|tombstones)\.g(?P<gen>\d+)\.parquet$")
 
 
 def _norms(spark, sf_dir):
@@ -224,16 +269,18 @@ def build_ann_index(
         encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
         m_, ksub, _dsub = books.shape
         os.makedirs(tmp, exist_ok=True)
-        # the base codes land as their own batch=base directory (v2
-        # layout: every batch — build or append — is one directory,
-        # so appends can rename in atomically).  Sort within cell
-        # partitions by vec_id: tight row-group min/max stats.
+        # the base codes land as generation 0's own batch=base directory
+        # (v3 layout: every batch — build or append — is one directory,
+        # so appends can rename in atomically; the whole tree is
+        # generation-scoped so compaction can commit by flipping the
+        # meta pointer).  Sort within cell partitions by vec_id: tight
+        # row-group min/max stats.
         (
             encoded.repartition("cell")
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(os.path.join(tmp, "codes.parquet", "batch=base"))
+            .parquet(os.path.join(tmp, "codes.g0.parquet", "batch=base"))
         )
         spark.createDataFrame(
             [(i, [float(v) for v in c]) for i, c in enumerate(cent_mat)],
@@ -255,6 +302,7 @@ def build_ann_index(
             json.dump(
                 {
                     "format": ANN_INDEX_FORMAT,
+                    "generation": 0,
                     "n": n,
                     "nlist": int(len(cent_mat)),
                     "m": int(m_),
@@ -365,64 +413,23 @@ def _reap_superseded_indexes(current_path: str) -> None:
 
 
 # scratch dirs a crashed writer can leave INSIDE a layout.  All are
-# dot-prefixed (invisible to parquet readers of codes.parquet /
-# tombstones.parquet); `.compact-dead-` is reserved for swapped-out
-# CODES trees so the crash-repair path can restore one unambiguously.
+# dot-prefixed (invisible to parquet readers of the gen trees);
+# `.compact-dead-` / `.dead-tombs-` are legacy v2 names, still reaped.
 _SCRATCH_PREFIXES = (".batch-tmp-", ".compact-tmp-", ".compact-dead-",
                      ".del-tmp-", ".dead-tombs-")
 
 
-def _repair_codes_root(path: str) -> bool:
-    """MUST hold the layout flock.  A compaction that crashed between
-    its two renames leaves the layout with a root _SUCCESS but NO
-    codes.parquet (advice r9 #1 — build_ann_index would short-circuit
-    as complete and every read would fail permanently).  Restore the
-    newest swapped-out codes tree; returns True if a repair happened."""
-    codes_root = os.path.join(path, "codes.parquet")
-    if os.path.isdir(codes_root):
-        return False
-    dead = [
-        os.path.join(path, n)
-        for n in os.listdir(path)
-        if n.startswith(".compact-dead-")
-        and os.path.isdir(os.path.join(path, n))
-    ]
-    if not dead:
-        return False
-    dead.sort(key=os.path.getmtime)
-    os.rename(dead[-1], codes_root)
-    return True
-
-
-def _ensure_codes_root(path: str) -> str:
-    """Reader-side guard: the codes tree is missing only after a crashed
-    compaction, so take the layout lock briefly and run the repair."""
-    import time
-
-    from .events import _flock_layout_lock, _release_layout_lock
-
-    codes_root = os.path.join(path, "codes.parquet")
-    if os.path.isdir(codes_root):
-        return codes_root
-    fd = _flock_layout_lock(f"{path}.lock", time.time() + 60)
-    try:
-        _repair_codes_root(path)
-    finally:
-        _release_layout_lock(fd)
-    if not os.path.isdir(codes_root):
-        raise FileNotFoundError(f"ANN layout has no codes tree: {codes_root}")
-    return codes_root
-
-
 def _reap_layout_scratch(path: str) -> None:
     """MUST hold the layout flock.  Remove aged scratch dirs inside the
-    layout (advice r9 #4 — crashed appends/compactions previously leaked
-    .batch-tmp-*/.compact-tmp-*/.compact-dead-* forever).  The age gate
-    doubles as the reader grace for a just-swapped dead codes tree
-    (advice r9 #3): compaction no longer rmtree's it inline — it is
-    utime-stamped at swap time and reaped here once quiesced.  A dead
-    tree that is the REPAIR source (codes.parquet missing) is never
-    touched: _repair_codes_root runs first under the same lock."""
+    layout (crashed appends/compactions leave .batch-tmp-*/.compact-tmp-*
+    behind) AND superseded generation trees: after a compaction commits
+    gen G+1, the gen-G codes/tombstone trees are unreferenced — they are
+    utime-stamped at commit time and collected here once quiesced past
+    the read grace window, so an in-flight scan that resolved the gen-G
+    snapshot keeps its files.  An ORPHAN gen tree (gen > pointer: its
+    compaction died between the tree rename and the meta flip) is
+    equally unreferenced — readers only ever resolve through the
+    pointer — and is collected the same way."""
     import shutil
     import time
 
@@ -431,8 +438,18 @@ def _reap_layout_scratch(path: str) -> None:
         names = os.listdir(path)
     except OSError:
         return
+    try:
+        current_gen = _gen_of(_read_meta(path))
+    except OSError:
+        current_gen = None
     for name in names:
-        if not name.startswith(_SCRATCH_PREFIXES):
+        m = _GEN_DIR_RE.match(name)
+        if name.startswith(_SCRATCH_PREFIXES):
+            pass
+        elif m is not None and current_gen is not None:
+            if int(m.group("gen")) == current_gen:
+                continue  # the live tree — never touched
+        else:
             continue
         victim = os.path.join(path, name)
         try:
@@ -601,6 +618,38 @@ def auto_n_probe(nlist: int) -> int:
     return min(int(nlist), max(AUTO_PROBE_MIN, int(nlist) // AUTO_PROBE_NLIST_FRAC))
 
 
+# |Q|-aware probe schedule (r10 verdict "What's missing" #1): the
+# recall-first width is the right default for interactive batches, but a
+# bulk re-scoring job pays ADC work ∝ |Q| · n_probe · N/nlist — at
+# N=10M/|Q|=10k the auto-34 width measured 187.8 s where probe-8 read
+# 77.9 s.  SCAN_BUDGET_ROWS is the per-serve scored-row budget past
+# which the width narrows (calibrated on that 10M ladder: 10k queries ×
+# 8 cells × ~1.1k occupancy ≈ 9e7 scored rows ≈ the 77.9 s wall);
+# PROBE_THROUGHPUT_MIN floors the narrowing at the old explicit-override
+# width so recall degrades no further than the measured probe-8 row.
+SCAN_BUDGET_ROWS = 100_000_000
+PROBE_THROUGHPUT_MIN = 8
+
+
+def plan_n_probe(nlist: int, n: int, n_queries: int, mode: str = "auto") -> int:
+    """Resolve the serving probe width from index geometry AND query
+    batch size.  ``mode="recall"`` pins the recall-first auto width
+    regardless of |Q| (the pre-r11 behavior); ``mode="auto"`` narrows
+    toward PROBE_THROUGHPUT_MIN once |Q| · width · occupancy crosses
+    SCAN_BUDGET_ROWS, so bulk batches get the measured throughput wall
+    without the caller reading BASELINE.md."""
+    w = auto_n_probe(nlist)
+    if mode == "recall" or n_queries <= 0:
+        return w
+    if mode != "auto":
+        raise ValueError(f"unknown probe mode {mode!r}")
+    occupancy = max(1.0, float(n) / max(1, int(nlist)))
+    budget_w = int(SCAN_BUDGET_ROWS / (n_queries * occupancy))
+    if budget_w < w:
+        w = max(min(PROBE_THROUGHPUT_MIN, w), budget_w)
+    return max(1, min(w, int(nlist)))
+
+
 def choose_search_mode(nlist: int, n_probe: int) -> str:
     """'ivf' (cell-pruned) or 'flat' (full ADC scan) — the BASELINE.md
     §ann-serving selection rule as code (r9 verdict #4)."""
@@ -631,10 +680,14 @@ def search_ann_index(
         n_probe = auto_n_probe(meta["nlist"])
     shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
     cell_to_q = _probe_map(cent_mat, qmat, n_probe)
-    codes_root = _ensure_codes_root(path)
+    # the whole serve resolves ONE meta snapshot: codes tree, tombstone
+    # tree, and delete cover all come from the generation this load saw
+    croot = _codes_root_gen(path, _gen_of(meta))
+    if not os.path.isdir(croot):
+        raise FileNotFoundError(f"ANN layout has no codes tree: {croot}")
     batches = [
-        os.path.join(codes_root, b)
-        for b in os.listdir(codes_root)
+        os.path.join(croot, b)
+        for b in os.listdir(croot)
         if b.startswith("batch=")
     ]
     probed_dirs = [
@@ -646,11 +699,11 @@ def search_ann_index(
     if not probed_dirs:  # every probed cell empty in every batch
         return spark.createDataFrame([], "query_id long, neighbor_id long")
     codes = (
-        spark.read.option("basePath", codes_root)
+        spark.read.option("basePath", croot)
         .parquet(*probed_dirs)
         .where(F.col("cell").isin([int(c) for c in cell_to_q]))
     )
-    codes = _live_codes(spark, path, codes)
+    codes = _live_codes(spark, path, codes, meta)
     return _adc_scan(
         spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
     )
@@ -664,8 +717,10 @@ def search_flat_pq(spark, path: str, qids, qmat, qnrm):
     BASELINE.md §ann-serving."""
     meta, _cent, books = load_ann_model(spark, path)
     shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
-    codes = spark.read.parquet(_ensure_codes_root(path))
-    codes = _live_codes(spark, path, codes)
+    croot = _codes_root_gen(path, _gen_of(meta))
+    if not os.path.isdir(croot):
+        raise FileNotFoundError(f"ANN layout has no codes tree: {croot}")
+    codes = _live_codes(spark, path, spark.read.parquet(croot), meta)
     all_q = list(range(len(qids)))
     cell_to_q = {c: all_q for c in range(meta["nlist"])}
     return _adc_scan(
@@ -673,19 +728,24 @@ def search_flat_pq(spark, path: str, qids, qmat, qnrm):
     )
 
 
-def search_auto(spark, path: str, qids, qmat, qnrm, n_probe: int | None = None):
+def search_auto(
+    spark, path: str, qids, qmat, qnrm,
+    n_probe: int | None = None, mode: str = "auto",
+):
     """Apply the measured selection rule and serve: resolves the probe
-    width (auto unless overridden), picks flat vs IVF-pruned via
-    ``choose_search_mode``, and returns ``(shortlist_df, mode)`` so
-    callers/gates can see which path served the batch."""
-    with open(os.path.join(path, "meta.json")) as fh:
-        nlist = json.load(fh)["nlist"]
+    width from the index geometry AND the query batch size
+    (``plan_n_probe`` — ``mode="recall"`` pins the recall-first width,
+    an explicit ``n_probe`` overrides everything), picks flat vs
+    IVF-pruned via ``choose_search_mode``, and returns
+    ``(shortlist_df, mode)`` so callers/gates can see which path served
+    the batch."""
+    meta = _read_meta(path)
     if n_probe is None:
-        n_probe = auto_n_probe(nlist)
-    mode = choose_search_mode(nlist, n_probe)
-    if mode == "flat":
-        return search_flat_pq(spark, path, qids, qmat, qnrm), mode
-    return search_ann_index(spark, path, qids, qmat, qnrm, n_probe=n_probe), mode
+        n_probe = plan_n_probe(meta["nlist"], meta["n"], len(qids), mode)
+    smode = choose_search_mode(meta["nlist"], n_probe)
+    if smode == "flat":
+        return search_flat_pq(spark, path, qids, qmat, qnrm), smode
+    return search_ann_index(spark, path, qids, qmat, qnrm, n_probe=n_probe), smode
 
 
 def _query_rows(spark, sf_dir, n_queries=N_QUERIES):
@@ -746,7 +806,7 @@ def q_ann_index_stats(spark, sf_dir):
     compression ratio is the PQ claim made checkable)."""
     path = build_ann_index(spark, sf_dir)
     meta, cent_mat, _books = load_ann_model(spark, path)
-    codes = spark.read.parquet(_ensure_codes_root(path))
+    codes = spark.read.parquet(_codes_root_gen(path, _gen_of(meta)))
     stats = codes.agg(
         F.count("*").alias("n_codes"),
         F.countDistinct("vec_id").alias("n_ids"),
@@ -796,8 +856,10 @@ def _safe_tag(batch_tag: str) -> str:
     return re.sub(r"[^A-Za-z0-9_.-]", "-", batch_tag)
 
 
-def _batch_dir(path: str, batch_tag: str) -> str:
-    return os.path.join(path, "codes.parquet", f"batch={_safe_tag(batch_tag)}")
+def _batch_dir(path: str, batch_tag: str, gen: int | None = None) -> str:
+    if gen is None:
+        gen = _gen_of(_read_meta(path))
+    return os.path.join(_codes_root_gen(path, gen), f"batch={_safe_tag(batch_tag)}")
 
 
 def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
@@ -837,13 +899,15 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
         _release_layout_lock,
     )
 
-    target = _batch_dir(path, batch_tag)
     tag = _safe_tag(batch_tag)
     meta, cent_mat, books = load_ann_model(spark, path)
-    # applied = batch dir exists (crash window: rename landed, meta
-    # write didn't) OR tag in the ledger (compaction folded the dir
-    # away but recorded the tag first)
-    if os.path.isdir(target) or tag in meta.get("batches", []):
+    # applied = batch dir exists IN THE CURRENT GENERATION (crash window:
+    # rename landed, meta write didn't) OR tag in the ledger (compaction
+    # folded the dir away but merged the tag into the ledger atomically
+    # at the generation flip)
+    if os.path.isdir(_batch_dir(path, tag, _gen_of(meta))) or tag in meta.get(
+        "batches", []
+    ):
         return 0
     sup_ch = build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
     emb = emb_raw.select(
@@ -851,10 +915,9 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
     )
     fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
     try:
-        _repair_codes_root(path)  # crashed-compaction restore (advice r9 #1)
-        _reap_layout_scratch(path)  # aged tmp/dead dirs (advice r9 #3/#4)
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
+        _reap_layout_scratch(path)  # aged tmp dirs + superseded gen trees
+        meta = _read_meta(path)
+        target = _batch_dir(path, tag, _gen_of(meta))
         if os.path.isdir(target) or tag in meta.get("batches", []):
             return 0  # re-check under the lock
         encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
@@ -869,8 +932,7 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
             .parquet(tmp)
         )
         os.rename(tmp, target)  # the commit point
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
+        meta = _read_meta(path)
         meta["n"] = meta["n"] + n_new
         meta["batches"] = meta.get("batches", []) + [tag]
         tmp_meta = os.path.join(path, ".meta.json.tmp")
@@ -885,19 +947,22 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
 
 # --- tombstone deletions (takedowns / dedup survivors changing) --------------
 
-# tombstone id-lists below this on-disk size broadcast into the serving
-# anti-join (one hash table per executor, no shuffle of the codes scan);
-# above it the join falls back to a keyed shuffle — correct either way,
-# and compaction is the pressure valve that folds tombstones to zero.
+# tombstone anti-join broadcast gate: the broadcast side is the
+# tombstones EXPANDED across their covered batches (rows × |cover|) and
+# decompressed into one hash table per executor — so the gate estimates
+# the EXPANDED in-memory size (advice r10 #2: raw parquet bytes of the
+# id-lists under-count by the cover factor after many appends), at
+# ~64 B per (vec_id, batch-string) hash-table entry.  Above the gate the
+# join falls back to a keyed shuffle — correct either way, and
+# compaction is the pressure valve that folds tombstones to zero.
 _TOMBSTONE_BROADCAST_MAX_BYTES = 64 << 20
+_TOMBSTONE_ROW_BYTES = 64
 
 
-def _tomb_root(path: str) -> str:
-    return os.path.join(path, "tombstones.parquet")
-
-
-def _tombstone_dirs(path: str) -> list[str]:
-    troot = _tomb_root(path)
+def _tombstone_dirs(path: str, gen: int | None = None) -> list[str]:
+    if gen is None:
+        gen = _gen_of(_read_meta(path))
+    troot = _tomb_root_gen(path, gen)
     try:
         return sorted(
             os.path.join(troot, n)
@@ -908,7 +973,28 @@ def _tombstone_dirs(path: str) -> list[str]:
         return []
 
 
-def _live_codes(spark, path: str, codes: DataFrame) -> DataFrame:
+def _tombstone_rows(dirs: list[str]) -> dict[str, int]:
+    """Row count per delete tag, read from the parquet footers (no scan
+    job) — feeds the expanded-size broadcast gate."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for d in dirs:
+        tag = os.path.basename(d).split("=", 1)[1]
+        n = 0
+        for r, _sub, fs in os.walk(d):
+            for f in fs:
+                if not (f.endswith(".parquet") or f.startswith("part-")):
+                    continue
+                try:
+                    n += pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                except Exception:  # non-parquet stray — count by bytes later
+                    continue
+        out[tag] = n
+    return out
+
+
+def _live_codes(spark, path: str, codes: DataFrame, meta: dict | None = None) -> DataFrame:
     """Anti-join pending tombstones out of a codes scan.  Runs BEFORE
     the ADC kernel's per-cell shortlist truncation, so serving returns
     the exact top-k over the SURVIVING corpus — a deleted vector can
@@ -924,16 +1010,21 @@ def _live_codes(spark, path: str, codes: DataFrame) -> DataFrame:
     vec_id anti-join would suppress the new row and the compaction fold
     would then drop it permanently.  A del batch missing from the cover
     map (its writer died between the rename and the meta write) falls
-    back to covering every batch present — the conservative direction
-    for a takedown."""
-    dirs = _tombstone_dirs(path)
+    back to covering every batch present in ITS generation — the
+    conservative direction for a takedown, and bounded to the snapshot:
+    tombstones, cover, and codes all resolve from ONE meta read, so a
+    gen-G cover can never suppress rows of a later generation's folded
+    tree (advice r10 #1 — the v2 crash window this design removes)."""
+    if meta is None:
+        meta = _read_meta(path)
+    gen = _gen_of(meta)
+    dirs = _tombstone_dirs(path, gen)
     if not dirs:
         return codes
-    with open(os.path.join(path, "meta.json")) as fh:
-        cover = json.load(fh).get("delete_cover", {})
+    cover = meta.get("delete_cover", {})
     all_batches = [
         n.split("=", 1)[1]
-        for n in os.listdir(os.path.join(path, "codes.parquet"))
+        for n in os.listdir(_codes_root_gen(path, gen))
         if n.startswith("batch=")
     ]
     pairs = [
@@ -943,20 +1034,18 @@ def _live_codes(spark, path: str, codes: DataFrame) -> DataFrame:
     ]
     covered = spark.createDataFrame(pairs, "del string, batch string")
     tomb = (
-        spark.read.option("basePath", _tomb_root(path))
+        spark.read.option("basePath", _tomb_root_gen(path, gen))
         .parquet(*dirs)
         .select("vec_id", F.col("del").cast("string").alias("del"))
     )
     supp = tomb.join(covered, "del").select(
         "vec_id", F.col("batch").alias("_supp_batch")
     )
-    size = sum(
-        os.path.getsize(os.path.join(r, f))
-        for d in dirs
-        for r, _sub, fs in os.walk(d)
-        for f in fs
+    rows = _tombstone_rows(dirs)
+    expanded = sum(
+        rows.get(tag, 0) * len(cover.get(tag, all_batches)) for tag in rows
     )
-    if size <= _TOMBSTONE_BROADCAST_MAX_BYTES:
+    if expanded * _TOMBSTONE_ROW_BYTES <= _TOMBSTONE_BROADCAST_MAX_BYTES:
         supp = F.broadcast(supp)
     return codes.join(
         supp,
@@ -970,7 +1059,7 @@ def delete_ann_index(spark, path: str, vec_ids, delete_tag: str) -> int:
     """Delete vectors from a persisted index WITHOUT rebuilding it (r9
     verdict "What's missing" #1 — takedowns and dedup-survivor churn in
     a daily crawl).  ``vec_ids`` is a DataFrame with a ``vec_id``
-    column; the distinct ids land as a ``tombstones.parquet/del=<tag>/``
+    column; the distinct ids land as a ``tombstones.g<G>.parquet/del=<tag>/``
     batch via write-to-temp + ONE atomic rename — the same crash-atomic
     protocol as appends, with the same applied-check (dir existence, or
     the tag in meta's ``deletes`` ledger once compaction folds the dir
@@ -992,37 +1081,55 @@ def delete_ann_index(spark, path: str, vec_ids, delete_tag: str) -> int:
     )
 
     tag = _safe_tag(delete_tag)
-    target = os.path.join(_tomb_root(path), f"del={tag}")
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
+    meta = _read_meta(path)
+    gen = _gen_of(meta)
+    target = os.path.join(_tomb_root_gen(path, gen), f"del={tag}")
     if os.path.isdir(target) or tag in meta.get("deletes", []):
         return 0
     fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
     try:
-        _repair_codes_root(path)
         _reap_layout_scratch(path)
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
+        meta = _read_meta(path)
+        gen = _gen_of(meta)
+        target = os.path.join(_tomb_root_gen(path, gen), f"del={tag}")
         if os.path.isdir(target) or tag in meta.get("deletes", []):
             return 0  # re-check under the lock
         ids = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id")).distinct()
-        n_del = ids.count()
+        # the advisory meta['n'] decrement counts only ids NOT already
+        # tombstoned in this generation (advice r10 #4: overlapping
+        # deletes under different tags were double-decrementing n and
+        # shrinking the ADC shortlist sizing); ids absent from the
+        # corpus still count here — compaction resynchronizes n from
+        # the folded row count, atomically with the generation flip
+        prior_dirs = _tombstone_dirs(path, gen)
+        if prior_dirs:
+            prior = (
+                spark.read.option("basePath", _tomb_root_gen(path, gen))
+                .parquet(*prior_dirs)
+                .select("vec_id")
+            )
+            fresh = ids.join(prior, "vec_id", "left_anti")
+        else:
+            fresh = ids
+        n_del = fresh.count()
         # the delete covers exactly the batches applied so far: later
         # appends of the same ids are NEW rows and must serve (the
-        # sequencing that makes re-insert-after-delete correct)
+        # sequencing that makes re-insert-after-delete correct).  The
+        # tag's id-list is the FULL supplied set — an id tombstoned
+        # under an earlier tag, re-appended, then deleted again must be
+        # suppressed in the new batches only this wider cover sees.
         cover = sorted(
             n.split("=", 1)[1]
-            for n in os.listdir(os.path.join(path, "codes.parquet"))
+            for n in os.listdir(_codes_root_gen(path, gen))
             if n.startswith("batch=")
         )
         tmp = os.path.join(path, f".del-tmp-{uuid.uuid4().hex}")
         ids.coalesce(1).write.mode("overwrite").parquet(tmp)
-        os.makedirs(_tomb_root(path), exist_ok=True)
+        os.makedirs(_tomb_root_gen(path, gen), exist_ok=True)
         os.rename(tmp, target)  # the commit point
         # meta advances best-effort after the rename (ledger for the
         # post-compaction applied-check; n only sizes the ADC shortlist)
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
+        meta = _read_meta(path)
         meta["n"] = max(1, meta["n"] - n_del)
         meta["deletes"] = meta.get("deletes", []) + [tag]
         meta.setdefault("delete_cover", {})[tag] = cover
@@ -1042,19 +1149,23 @@ def compact_ann_index(spark, path: str) -> dict:
     small-file decay events.compact_small_files handles for plain
     tables, here with the batch dimension folded away.  Rewrites ALL
     batches — minus any pending tombstones, which fold away here — into
-    a single fresh ``batch=base`` tree (one sorted file tree, partition
-    pruning unchanged) via write-to-temp + a two-rename swap of the
-    whole codes.parquet directory under the layout flock.  The swapped-
-    out dead tree is NOT deleted inline: Spark readers resolve paths
-    driver-side but open files at task time (advice r9 #3), so the dead
-    tree is utime-stamped and left for the age-gated scratch reap — an
-    in-flight scan of the old tree keeps its files for the grace
-    window.  A compaction that crashes between the two renames is
-    repaired by ``_repair_codes_root`` on the next lock acquisition
-    (advice r9 #1).  Returns before/after file counts plus the rows
-    kept/tombstoned.  Surviving rows are preserved EXACTLY (count-gated
-    in-function; the declared incremental gate re-checks integrity
-    end-to-end)."""
+    a single fresh ``batch=base`` tree under the NEXT generation's
+    codes root, then commits with ONE atomic ``os.replace`` of
+    meta.json that simultaneously bumps the generation pointer, merges
+    the batch/delete ledgers, clears the delete-cover map, and
+    resynchronizes the advisory row count ``n`` to the folded count
+    (advice r10 #1 + #4, verdict r10 #3).  Readers resolve every tree
+    through the pointer, so there is NO intermediate state to observe
+    or repair: a crash before the meta flip leaves an unreferenced
+    orphan tree (reaped age-gated, or replaced by the next compaction);
+    a crash after it left a fully committed layout.  The superseded
+    gen-G codes/tombstone trees are utime-stamped at commit and left
+    for the age-gated reap — an in-flight scan that resolved the gen-G
+    snapshot keeps its files for the grace window (advice r9 #3).
+    Returns before/after file counts plus the rows kept/tombstoned.
+    Surviving rows are preserved EXACTLY (count-gated in-function; the
+    declared incremental gate re-checks integrity end-to-end)."""
+    import shutil
     import time
     import uuid
 
@@ -1063,8 +1174,6 @@ def compact_ann_index(spark, path: str) -> dict:
         _flock_layout_lock,
         _release_layout_lock,
     )
-
-    codes_root = os.path.join(path, "codes.parquet")
 
     def _n_files(p):
         return sum(
@@ -1076,39 +1185,34 @@ def compact_ann_index(spark, path: str) -> dict:
 
     fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
     try:
-        _repair_codes_root(path)
         _reap_layout_scratch(path)
-        files_before = _n_files(codes_root)
-        # fold-safety for the batch + delete ledgers: record every
-        # batch/tombstone directory in meta BEFORE the fold erases the
-        # directories — dir existence is the crash-window applied-check,
-        # the ledger the post-compaction one; a tag applied but not yet
-        # in the ledger (writer died between rename and meta write)
-        # gets repaired here
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
+        meta = _read_meta(path)
+        gen = _gen_of(meta)
+        old_root = _codes_root_gen(path, gen)
+        old_troot = _tomb_root_gen(path, gen)
+        files_before = _n_files(old_root)
+        # ledger repair: a tag applied (dir renamed in) whose best-effort
+        # meta write died is merged into the ledgers here; the merge
+        # commits atomically WITH the fold below, so no pre-fold meta
+        # write is needed
         dir_tags = [
             name.split("=", 1)[1]
-            for name in os.listdir(codes_root)
+            for name in os.listdir(old_root)
             if name.startswith("batch=") and name != "batch=base"
         ]
-        del_tags = [os.path.basename(d).split("=", 1)[1] for d in _tombstone_dirs(path)]
+        del_tags = [
+            os.path.basename(d).split("=", 1)[1]
+            for d in _tombstone_dirs(path, gen)
+        ]
         merged = list(dict.fromkeys(meta.get("batches", []) + dir_tags))
         merged_del = list(dict.fromkeys(meta.get("deletes", []) + del_tags))
-        if merged != meta.get("batches", []) or merged_del != meta.get("deletes", []):
-            meta["batches"] = merged
-            meta["deletes"] = merged_del
-            tmp_meta = os.path.join(path, ".meta.json.tmp")
-            with open(tmp_meta, "w") as fh:
-                json.dump(meta, fh)
-            os.replace(tmp_meta, os.path.join(path, "meta.json"))
         # keep `batch` through the tombstone anti-join (suppression keys
         # on (vec_id, batch)); the fold itself then drops it
-        codes = spark.read.parquet(codes_root).select(
+        codes = spark.read.parquet(old_root).select(
             "vec_id", "cell", "code", "nrm", "batch"
         )
         n_before = codes.count()
-        live = _live_codes(spark, path, codes).select(
+        live = _live_codes(spark, path, codes, meta).select(
             "vec_id", "cell", "code", "nrm"
         )
         tmp = os.path.join(path, f".compact-tmp-{uuid.uuid4().hex}")
@@ -1125,35 +1229,31 @@ def compact_ann_index(spark, path: str) -> dict:
             raise AssertionError(
                 f"compaction changed the live row count {n_live} -> {n_after}"
             )
-        dead = os.path.join(path, f".compact-dead-{uuid.uuid4().hex}")
-        os.rename(codes_root, dead)
-        os.rename(tmp, codes_root)
-        # stamp NOW: a renamed dir keeps its old mtime, which would make
-        # the age-gated reap eat it immediately and reopen the reader race
-        os.utime(dead, None)
-        # tombstones are folded — retire the whole tombstone tree the
-        # same way (dot-prefixed + stamped, reaped once quiesced); the
-        # deletes ledger keeps replayed feeds no-ops
-        troot = _tomb_root(path)
-        if os.path.isdir(troot):
-            dead_t = os.path.join(path, f".dead-tombs-{uuid.uuid4().hex}")
-            os.rename(troot, dead_t)
-            os.utime(dead_t, None)
-        # the cover map referenced pre-fold batch tags; with the
-        # tombstone tree retired it is inert — clear it (the `deletes`
-        # ledger alone keeps replayed feeds no-ops).  Crash before this
-        # write is harmless: _live_codes short-circuits on no tombstones
-        with open(os.path.join(path, "meta.json")) as fh:
-            meta = json.load(fh)
-        if meta.get("delete_cover"):
-            meta["delete_cover"] = {}
-            tmp_meta = os.path.join(path, ".meta.json.tmp")
-            with open(tmp_meta, "w") as fh:
-                json.dump(meta, fh)
-            os.replace(tmp_meta, os.path.join(path, "meta.json"))
+        new_root = _codes_root_gen(path, gen + 1)
+        if os.path.isdir(new_root):
+            # unreferenced orphan of a predecessor that died before its
+            # meta flip (the pointer still reads gen) — safe to replace
+            shutil.rmtree(new_root)
+        os.rename(tmp, new_root)
+        meta = _read_meta(path)
+        meta["generation"] = gen + 1
+        meta["batches"] = merged
+        meta["deletes"] = merged_del
+        meta["delete_cover"] = {}
+        meta["n"] = int(n_after)  # resync the advisory count (advice r10 #4)
+        tmp_meta = os.path.join(path, ".meta.json.tmp")
+        with open(tmp_meta, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp_meta, os.path.join(path, "meta.json"))  # THE commit
+        # stamp the superseded trees NOW (rename/creation time is long
+        # past): the age-gated reap must see a fresh mtime so in-flight
+        # gen-G readers keep their files for the grace window
+        for dead in (old_root, old_troot):
+            if os.path.isdir(dead):
+                os.utime(dead, None)
         return {
             "files_before": files_before,
-            "files_after": _n_files(codes_root),
+            "files_after": _n_files(new_root),
             "rows": int(n_after),
             "rows_tombstoned": int(n_before - n_live),
         }
@@ -1216,10 +1316,13 @@ def q_ann_index_incremental(spark, sf_dir):
     # (batch dirs + ledgers + pending tombstones), not from this run's
     # history — so the gate is resumable from any crash point and
     # idempotent across reruns of every completed state
-    reinsert_applied = os.path.isdir(_batch_dir(path, "reinsert-x")) or (
+    gen = _gen_of(meta)
+    reinsert_applied = os.path.isdir(_batch_dir(path, "reinsert-x", gen)) or (
         "reinsert-x" in meta.get("batches", [])
     )
-    pending_del = os.path.isdir(os.path.join(_tomb_root(path), f"del={DEL_TAG}"))
+    pending_del = os.path.isdir(
+        os.path.join(_tomb_root_gen(path, gen), f"del={DEL_TAG}")
+    )
     folded_del = DEL_TAG in meta.get("deletes", []) and not pending_del
     n_expected = n + (1 if reinsert_applied else 0) - (n_del if folded_del else 0)
     # the re-inserted vector appears twice until the fold collapses it
@@ -1229,7 +1332,7 @@ def q_ann_index_incremental(spark, sf_dir):
     # meta['n'] is an ADVISORY sizing hint (a crash between the atomic
     # batch rename and the meta rewrite leaves it low, by design) — the
     # binding integrity check below counts the codes themselves
-    codes = spark.read.parquet(_ensure_codes_root(path))
+    codes = spark.read.parquet(codes_root(path))
     stats = codes.agg(
         F.count("*").alias("n_codes"),
         F.countDistinct("vec_id").alias("n_ids"),
@@ -1257,7 +1360,7 @@ def q_ann_index_incremental(spark, sf_dir):
     x = raw.where(del_pred).agg(F.min("vec_id")).first()[0]
     append_ann_index(spark, path, raw.where(F.col("vec_id") == x), "reinsert-x")
     live_x = (
-        _live_codes(spark, path, spark.read.parquet(_ensure_codes_root(path)))
+        _live_codes(spark, path, spark.read.parquet(codes_root(path)))
         .where(F.col("vec_id") == x)
         .count()
     )

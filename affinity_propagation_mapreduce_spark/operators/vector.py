@@ -1395,14 +1395,29 @@ def centroid_drift_frames(emb_a, emb_b):
         .join(emb_b.groupBy("label").agg(F.count("*").alias("n_b")), "label", "full_outer")
         .na.fill(0, ["n_a", "n_b"])
     )
+    # FULL-outer centroid join (advice r10 #3): a label present in only
+    # one frame — a brand-new cluster appearing in an append batch is
+    # the strongest drift signal there is — must surface, not vanish
+    # into an inner join.  One-sided labels report drift = +inf (the
+    # sentinel alerting thresholds always trip on) with the missing
+    # side's n at 0.
     d = F.col("cval_a") - F.col("cval_b")
+    one_sided = F.sum(
+        F.when(
+            F.col("cval_a").isNull() | F.col("cval_b").isNull(), 1
+        ).otherwise(0)
+    )
     drift = (
         _cent(emb_a, "a")
-        .join(_cent(emb_b, "b"), ["label", "dim"])
+        .join(_cent(emb_b, "b"), ["label", "dim"], "full_outer")
         .groupBy("label")
-        .agg(F.round(F.sqrt(F.sum(d * d)), 6).alias("centroid_drift"))
+        .agg(
+            F.when(one_sided > 0, F.lit(float("inf")))
+            .otherwise(F.round(F.sqrt(F.sum(d * d)), 6))
+            .alias("centroid_drift")
+        )
     )
-    return drift.join(sizes, "label").select(
+    return drift.join(sizes, "label", "full_outer").select(
         "label", "n_a", "n_b", "centroid_drift"
     )
 

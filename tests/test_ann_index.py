@@ -33,9 +33,11 @@ def test_build_idempotent_and_complete(spark):
     p1 = ai.build_ann_index(spark, SF_SMALL)
     p2 = ai.build_ann_index(spark, SF_SMALL)
     assert p1 == p2
-    for part in ("_SUCCESS", "meta.json", "codes.parquet",
+    for part in ("_SUCCESS", "meta.json",
                  "centroids.parquet", "codebooks.parquet"):
         assert os.path.exists(os.path.join(p1, part)), part
+    # the codes tree resolves through the generation pointer (v3)
+    assert os.path.isdir(ai.codes_root(p1))
 
 
 def test_index_path_is_content_addressed():
@@ -83,7 +85,7 @@ def test_served_scan_is_partition_pruned(spark):
     cell_to_q = ai._probe_map(cent_mat, qmat, ai.IVFPQ_QUERY_PROBE)
     from pyspark.sql import functions as F
 
-    codes = spark.read.parquet(os.path.join(path, "codes.parquet")).where(
+    codes = spark.read.parquet(ai.codes_root(path)).where(
         F.col("cell").isin([int(c) for c in cell_to_q])
     )
     plan = codes._jdf.queryExecution().executedPlan().toString()
@@ -133,7 +135,7 @@ def test_compaction_folds_batches_and_keeps_ledger(spark):
     assert comp["rows_tombstoned"] == 0
     batch_dirs = [
         n
-        for n in os.listdir(os.path.join(path, "codes.parquet"))
+        for n in os.listdir(ai.codes_root(path))
         if n.startswith("batch=") and n != "batch=base"
     ]
     assert batch_dirs == []
@@ -185,7 +187,7 @@ def test_direct_path_read_equals_root_scan(spark):
     shortlist = max(ai.PQ_SHORTLIST, meta["n"] // ai.PQ_SHORTLIST_FRAC)
     # the reference probe map must mirror the serve default (r10: auto)
     cell_to_q = ai._probe_map(cent_mat, qmat, ai.auto_n_probe(meta["nlist"]))
-    root = spark.read.parquet(os.path.join(path, "codes.parquet")).where(
+    root = spark.read.parquet(ai.codes_root(path)).where(
         F.col("cell").isin([int(c) for c in cell_to_q])
     )
     ref = ai._adc_scan(

@@ -149,12 +149,12 @@ class TestTombstoneDeletes:
         # pending tombstones → one left-anti join BELOW the ADC kernel
         raw = ai.table(spark, SF_SMALL, "embeddings")
         clean = ai._live_codes(
-            spark, dpath, spark.read.parquet(os.path.join(dpath, "codes.parquet"))
+            spark, dpath, spark.read.parquet(ai.codes_root(dpath))
         )
         assert "Join" not in clean._jdf.queryExecution().executedPlan().toString()
         ai.delete_ann_index(spark, dpath, raw.where(F.col("vec_id") < 3), "t3")
         dirty = ai._live_codes(
-            spark, dpath, spark.read.parquet(os.path.join(dpath, "codes.parquet"))
+            spark, dpath, spark.read.parquet(ai.codes_root(dpath))
         )
         plan = dirty._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
@@ -206,8 +206,8 @@ class TestCentroidDriftFrames:
 
 
 class TestLayoutMaintenance:
-    """Advice-r9 fixes: crash repair, structural sibling match,
-    age-gated scratch reap."""
+    """Layout maintenance invariants: v3 generation-pointer commits
+    (r11), structural sibling match, age-gated scratch reap."""
 
     def _mini_layout(self, spark, tmp_path, name="idx"):
         path = str(tmp_path / name)
@@ -215,41 +215,74 @@ class TestLayoutMaintenance:
         ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw)
         return path
 
-    def test_crashed_compaction_swap_is_repaired(self, spark, tmp_path):
-        # advice r9 #1: simulate a crash between compaction's two
-        # renames — codes.parquet gone, only a .compact-dead-* tree left
+    def test_crashed_compaction_is_invisible_to_readers(self, spark, tmp_path):
+        # v3 (advice r10 #1): a compaction that dies AFTER renaming its
+        # new tree in but BEFORE the meta flip leaves an unreferenced
+        # orphan — the pointer still reads gen G, so serving is
+        # untouched, and the next compaction replaces the orphan and
+        # commits cleanly.  No repair path exists or is needed.
         path = self._mini_layout(spark, tmp_path)
-        codes = os.path.join(path, "codes.parquet")
-        dead = os.path.join(path, ".compact-dead-simulated")
-        os.rename(codes, dead)
-        assert not os.path.isdir(codes)
+        gen = ai._gen_of(ai._read_meta(path))
+        orphan = ai._codes_root_gen(path, gen + 1)
+        os.makedirs(os.path.join(orphan, "batch=bogus"))  # simulated crash
         qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
-        res = ai.search_ann_index(spark, path, qids, qmat, qnrm)
-        assert res.count() > 0  # the read repaired and served
-        assert os.path.isdir(codes) and not os.path.isdir(dead)
+        before = ai.search_ann_index(spark, path, qids, qmat, qnrm).count()
+        assert before > 0  # served gen G, orphan never consulted
+        comp = ai.compact_ann_index(spark, path)
+        assert comp["rows"] == 500
+        assert ai._gen_of(ai._read_meta(path)) == gen + 1
+        # the orphan's bogus content was replaced by the real fold
+        assert not os.path.isdir(os.path.join(orphan, "batch=bogus"))
+        assert ai.search_ann_index(spark, path, qids, qmat, qnrm).count() > 0
 
-    def test_repair_prefers_newest_dead_tree(self, tmp_path):
-        path = str(tmp_path / "layout")
-        os.makedirs(os.path.join(path, ".compact-dead-old"))
-        time.sleep(0.05)
-        os.makedirs(os.path.join(path, ".compact-dead-new"))
-        assert ai._repair_codes_root(path) is True
-        assert os.path.isdir(os.path.join(path, "codes.parquet"))
-        assert os.path.isdir(os.path.join(path, ".compact-dead-old"))
-        assert not os.path.isdir(os.path.join(path, ".compact-dead-new"))
+    def test_compaction_commit_is_one_meta_flip(self, spark, tmp_path):
+        # the commit point is the atomic meta replace: generation bump,
+        # ledger merge, cover clear, and advisory-n resync land together
+        path = self._mini_layout(spark, tmp_path)
+        raw = ai.table(spark, SF_SMALL, "embeddings")
+        ai.delete_ann_index(spark, path, raw.where(F.col("vec_id") < 5), "tg")
+        meta0 = ai._read_meta(path)
+        assert meta0["delete_cover"]["tg"] and meta0["n"] == 495
+        comp = ai.compact_ann_index(spark, path)
+        meta1 = ai._read_meta(path)
+        assert meta1["generation"] == meta0.get("generation", 0) + 1
+        assert meta1["delete_cover"] == {}
+        assert "tg" in meta1["deletes"]
+        assert meta1["n"] == comp["rows"] == 495
+        # the superseded gen tree is stamped for the age-gated reap, not
+        # deleted inline (in-flight gen-G readers keep their files)
+        old_root = ai._codes_root_gen(path, meta0.get("generation", 0))
+        assert os.path.isdir(old_root)
+        assert time.time() - os.path.getmtime(old_root) < 60
+
+    def test_scratch_reap_collects_superseded_generations(self, spark, tmp_path):
+        path = self._mini_layout(spark, tmp_path)
+        ai.compact_ann_index(spark, path)  # gen 0 -> 1
+        old_root = ai._codes_root_gen(path, 0)
+        new_root = ai._codes_root_gen(path, 1)
+        stale = time.time() - ai._REAP_GRACE_SEC - 60
+        os.utime(old_root, (stale, stale))
+        os.utime(new_root, (stale, stale))  # quiesced but CURRENT
+        orphan = ai._codes_root_gen(path, 7)
+        os.makedirs(orphan)
+        os.utime(orphan, (stale, stale))
+        ai._reap_layout_scratch(path)
+        assert not os.path.isdir(old_root)  # superseded + quiesced: reaped
+        assert not os.path.isdir(orphan)  # unreferenced orphan: reaped
+        assert os.path.isdir(new_root)  # the pointed-at tree: never touched
 
     def test_scratch_reap_is_age_gated(self, tmp_path):
         path = str(tmp_path / "layout")
-        os.makedirs(os.path.join(path, "codes.parquet"))
+        os.makedirs(path)
         old = os.path.join(path, ".batch-tmp-old")
-        fresh = os.path.join(path, ".compact-dead-fresh")
+        fresh = os.path.join(path, ".compact-tmp-fresh")
         os.makedirs(old)
         os.makedirs(fresh)
         stale = time.time() - ai._REAP_GRACE_SEC - 60
         os.utime(old, (stale, stale))
         ai._reap_layout_scratch(path)
         assert not os.path.isdir(old)  # aged orphan reaped (advice #4)
-        assert os.path.isdir(fresh)  # in-grace dead tree kept (advice #3)
+        assert os.path.isdir(fresh)  # in-grace scratch kept (advice #3)
 
     def test_sibling_match_is_structural(self, tmp_path):
         # advice r9 #2: /data/x's reaper must not eat /data/x-y's index

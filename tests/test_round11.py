@@ -1,0 +1,177 @@
+"""Round-11 verdict items: the |Q|-aware serving probe schedule (#2),
+generation-pointer layout commits (#3 — structural tests live in
+test_round10.TestLayoutMaintenance), and the advice-r10 fixes (expanded
+broadcast gate, one-sided drift sentinel, advisory-n resync)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+
+from .conftest import SF_SMALL
+
+
+class TestProbeSchedule:
+    """r10 verdict "What's missing" #1: the recall-first auto width cost
+    187.8 s at 10M/|Q|=10k where probe-8 read 77.9 s — the default must
+    narrow with the query batch so bulk callers get the throughput wall
+    without reading BASELINE.md."""
+
+    def test_small_batches_keep_the_recall_width(self):
+        # interactive batches (the 12-17 s flat-wall ladder rows) are
+        # nowhere near the scan budget: the auto width is unchanged
+        for nlist, n in ((2828, 1_000_000), (8944, 10_000_000),
+                         (12649, 20_000_000)):
+            for q in (1, 10, 100):
+                assert ai.plan_n_probe(nlist, n, q) == ai.auto_n_probe(nlist)
+
+    def test_bulk_batch_narrows_to_the_measured_winner(self):
+        # the calibration point: 10M (nlist=8944, occupancy ~1118) at
+        # |Q|=10k must resolve to the measured probe-8 wall (77.9 s vs
+        # 187.8 s at auto-34 — BASELINE.md §ann-serving)
+        assert ai.plan_n_probe(8944, 10_000_000, 10_000) == 8
+        # 20M at |Q|=10k likewise floors at the throughput width
+        assert ai.plan_n_probe(12649, 20_000_000, 10_000) == 8
+
+    def test_schedule_is_monotone_in_batch_size(self):
+        widths = [ai.plan_n_probe(8944, 10_000_000, q)
+                  for q in (10, 100, 1_000, 3_000, 10_000, 100_000)]
+        assert widths == sorted(widths, reverse=True)
+        assert widths[0] == ai.auto_n_probe(8944)
+        assert widths[-1] == ai.PROBE_THROUGHPUT_MIN
+
+    def test_recall_mode_pins_the_auto_width(self):
+        # a recall-stance caller opts out of narrowing entirely
+        for q in (10, 10_000, 1_000_000):
+            assert (
+                ai.plan_n_probe(8944, 10_000_000, q, mode="recall")
+                == ai.auto_n_probe(8944)
+            )
+
+    def test_width_never_leaves_bounds(self):
+        for nlist in (5, 64, 2828, 8944, 100_000):
+            for n in (1_000, 10_000_000, 1_000_000_000):
+                for q in (0, 1, 10_000, 10_000_000):
+                    w = ai.plan_n_probe(nlist, n, q)
+                    assert 1 <= w <= nlist
+                    assert w <= ai.auto_n_probe(nlist)
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError):
+            ai.plan_n_probe(2828, 1_000_000, 10, mode="speed")
+
+    def test_search_auto_recall_mode_matches_explicit_width(self, spark):
+        path = ai.build_ann_index(spark, SF_SMALL)
+        meta = ai._read_meta(path)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        a, mode_a = ai.search_auto(spark, path, qids, qmat, qnrm, mode="recall")
+        b, mode_b = ai.search_auto(
+            spark, path, qids, qmat, qnrm,
+            n_probe=ai.auto_n_probe(meta["nlist"]),
+        )
+        assert mode_a == mode_b
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestAdviceR10:
+    @pytest.fixture()
+    def dpath(self, spark, tmp_path):
+        path = str(tmp_path / "idx")
+        raw = ai.table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+        ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw)
+        return path
+
+    def test_overlapping_deletes_do_not_double_decrement_n(self, spark, dpath):
+        # advice r10 #4: ids already tombstoned under an earlier tag must
+        # not decrement the advisory n again (it sizes the ADC shortlist)
+        raw = ai.table(spark, SF_SMALL, "embeddings")
+        assert ai.delete_ann_index(
+            spark, dpath, raw.where(F.col("vec_id") < 10), "d1"
+        ) == 10
+        # overlap: 5 of these 10 are already tombstoned
+        assert ai.delete_ann_index(
+            spark, dpath, raw.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 15)),
+            "d2",
+        ) == 5
+        assert ai._read_meta(dpath)["n"] == 500 - 15
+        # compaction resynchronizes n from the folded count atomically
+        comp = ai.compact_ann_index(spark, dpath)
+        assert comp["rows_tombstoned"] == 15
+        assert ai._read_meta(dpath)["n"] == 485 == comp["rows"]
+
+    def test_broadcast_gate_uses_expanded_size(self, spark, dpath, monkeypatch):
+        # advice r10 #2: the broadcast side is tombstones × covered
+        # batches in memory, not the raw parquet bytes.  Shrink the gate
+        # so the expanded estimate crosses it and pin that the anti-join
+        # falls back to a shuffle join (correctness unchanged).
+        raw = ai.table(spark, SF_SMALL, "embeddings")
+        ai.delete_ann_index(spark, dpath, raw.where(F.col("vec_id") < 50), "big")
+        dirs = ai._tombstone_dirs(dpath)
+        assert sum(ai._tombstone_rows(dirs).values()) == 50
+        monkeypatch.setattr(ai, "_TOMBSTONE_BROADCAST_MAX_BYTES", 100)
+        dirty = ai._live_codes(spark, dpath, spark.read.parquet(ai.codes_root(dpath)))
+        # above the gate our code must not FORCE the broadcast (Catalyst
+        # may still pick one from its own size estimate at toy scale —
+        # at the multi-GB expansions the gate guards against, it won't)
+        analyzed = dirty._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+        monkeypatch.setattr(ai, "_TOMBSTONE_BROADCAST_MAX_BYTES", 64 << 20)
+        hinted = ai._live_codes(spark, dpath, spark.read.parquet(ai.codes_root(dpath)))
+        assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+        # served result still drops exactly the tombstoned rows
+        assert dirty.where(F.col("vec_id") < 50).count() == 0
+        assert dirty.count() == 450
+
+    def test_one_sided_drift_label_surfaces_with_sentinel(self, spark):
+        # advice r10 #3: a label present only in the new batch is the
+        # strongest drift signal — it must emit n_a=0 and +inf drift,
+        # not vanish into an inner join
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+
+        schema = "label long, emb array<double>"
+        a = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (0, [0.8, 0.2]), (1, [0.0, 1.0])], schema
+        )
+        b = spark.createDataFrame(
+            [(0, [1.0, 0.1]), (2, [5.0, 5.0]), (2, [5.1, 4.9])], schema
+        )
+        out = {r.label: r for r in V.centroid_drift_frames(a, b).collect()}
+        assert set(out) == {0, 1, 2}
+        assert out[2].n_a == 0 and out[2].n_b == 2
+        assert math.isinf(out[2].centroid_drift)
+        assert out[1].n_a == 1 and out[1].n_b == 0
+        assert math.isinf(out[1].centroid_drift)
+        assert out[0].n_a == 2 and out[0].n_b == 1
+        assert math.isfinite(out[0].centroid_drift)
+
+
+class TestSnapshotReads:
+    """v3: one meta read = one consistent snapshot — a serve planned
+    against gen G keeps returning gen-G results even after a compaction
+    commits gen G+1 (the old tree survives the reap grace window)."""
+
+    def test_serve_planned_before_compaction_still_runs(self, spark, tmp_path):
+        path = str(tmp_path / "idx")
+        raw = ai.table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+        ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        # plan (lazily) against gen 0, then commit gen 1, then execute
+        planned = ai.search_ann_index(spark, path, qids, qmat, qnrm)
+        ai.delete_ann_index(
+            spark, path, raw.where(F.col("vec_id") % 7 == 0), "churn"
+        )
+        ai.compact_ann_index(spark, path)
+        assert ai._gen_of(ai._read_meta(path)) == 1
+        assert planned.count() > 0  # gen-0 files still on disk (grace)
+        # a FRESH serve resolves gen 1 and sees the deletion folded in
+        fresh = ai.search_ann_index(spark, path, qids, qmat, qnrm)
+        assert fresh.where(
+            (F.col("neighbor_id") % 7 == 0)
+        ).count() == 0
