@@ -1080,11 +1080,23 @@ def delete_ann_index(spark, path: str, vec_ids, delete_tag: str) -> int:
         _release_layout_lock,
     )
 
+    def _applied(meta: dict, target: str) -> bool:
+        # fully applied = ledgered (pending-with-cover, or folded).  A
+        # tombstone dir WITHOUT its ledger entry is a delete that died
+        # between the rename and the meta write — the replay must
+        # COMPLETE the bookkeeping, not no-op: with no cover recorded,
+        # _live_codes falls back to covering every batch, and a
+        # re-insert landed after the crash would be folded away for
+        # good (found by the tools/ann_churn_run.py drill design).
+        return tag in meta.get("deletes", []) and (
+            not os.path.isdir(target) or tag in meta.get("delete_cover", {})
+        )
+
     tag = _safe_tag(delete_tag)
     meta = _read_meta(path)
     gen = _gen_of(meta)
     target = os.path.join(_tomb_root_gen(path, gen), f"del={tag}")
-    if os.path.isdir(target) or tag in meta.get("deletes", []):
+    if _applied(meta, target):
         return 0
     fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
     try:
@@ -1092,8 +1104,28 @@ def delete_ann_index(spark, path: str, vec_ids, delete_tag: str) -> int:
         meta = _read_meta(path)
         gen = _gen_of(meta)
         target = os.path.join(_tomb_root_gen(path, gen), f"del={tag}")
-        if os.path.isdir(target) or tag in meta.get("deletes", []):
+        if _applied(meta, target):
             return 0  # re-check under the lock
+        if os.path.isdir(target):
+            # crash-window repair: the id-list landed, the meta write
+            # didn't.  Record the ledger + a cover of the batches
+            # present NOW — possibly wider than at the original delete
+            # (batches appended during the crash window get covered:
+            # the conservative takedown direction, bounded to the
+            # window instead of lasting until the fold).  n stays
+            # untouched (advisory; compaction resyncs it exactly).
+            cover = sorted(
+                n.split("=", 1)[1]
+                for n in os.listdir(_codes_root_gen(path, gen))
+                if n.startswith("batch=")
+            )
+            meta["deletes"] = meta.get("deletes", []) + [tag]
+            meta.setdefault("delete_cover", {})[tag] = cover
+            tmp_meta = os.path.join(path, ".meta.json.tmp")
+            with open(tmp_meta, "w") as fh:
+                json.dump(meta, fh)
+            os.replace(tmp_meta, os.path.join(path, "meta.json"))
+            return 0
         ids = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id")).distinct()
         # the advisory meta['n'] decrement counts only ids NOT already
         # tombstoned in this generation (advice r10 #4: overlapping

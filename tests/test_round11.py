@@ -129,6 +129,35 @@ class TestAdviceR10:
         assert dirty.where(F.col("vec_id") < 50).count() == 0
         assert dirty.count() == 450
 
+    def test_crashed_delete_replay_completes_the_cover(self, spark, dpath):
+        # a delete killed between its tombstone rename and meta write
+        # replays by COMPLETING the ledger/cover bookkeeping — without
+        # it, the conservative all-batch fallback would fold away a
+        # later legitimate re-insert (found designing ann_churn_run.py)
+        raw = ai.table(spark, SF_SMALL, "embeddings")
+        ai.delete_ann_index(spark, dpath, raw.where(F.col("vec_id") < 4), "dx")
+        meta = ai._read_meta(dpath)
+        # simulate the crash: un-write the meta bookkeeping
+        meta["deletes"].remove("dx")
+        del meta["delete_cover"]["dx"]
+        meta["n"] = 500
+        with open(os.path.join(dpath, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        # replay: no new tombstones, but ledger + cover are repaired
+        assert ai.delete_ann_index(
+            spark, dpath, raw.where(F.col("vec_id") < 4), "dx"
+        ) == 0
+        meta = ai._read_meta(dpath)
+        assert "dx" in meta["deletes"] and meta["delete_cover"]["dx"]
+        # re-insert AFTER the repaired delete serves and survives a fold
+        ai.append_ann_index(
+            spark, dpath, raw.where(F.col("vec_id") == 1), "re-1"
+        )
+        comp = ai.compact_ann_index(spark, dpath)
+        assert comp["rows"] == 500 - 4 + 1
+        live = spark.read.parquet(ai.codes_root(dpath))
+        assert live.where(F.col("vec_id") == 1).count() == 1
+
     def test_one_sided_drift_label_surfaces_with_sentinel(self, spark):
         # advice r10 #3: a label present only in the new batch is the
         # strongest drift signal — it must emit n_a=0 and +inf drift,

@@ -158,6 +158,36 @@ def main():
             for f in fs
         )
         out.update(nlist=meta["nlist"], pq_m=meta["m"], index_bytes=sz)
+    elif mode == "warm":
+        # persistent-session serving ladder (r10 verdict #5): the 12-17 s
+        # small-|Q| walls are session-startup-dominated — a production
+        # deployment keeps the session and sees the steady state.  Serve
+        # `n_probe`-many batches (default 5) of |Q|=n_q in ONE session
+        # with distinct query slices so no Spark-side result cache can
+        # flatter the number, and report per-batch walls.
+        path = ai.ann_index_path(sf_dir)
+        assert os.path.isfile(os.path.join(path, "_SUCCESS")), "build first"
+        n_batches = n_probe or 5
+        walls = []
+        for b in range(n_batches):
+            t0 = time.monotonic()
+            qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=n_q * (b + 1))
+            sel = slice(b * n_q, (b + 1) * n_q)
+            qids, qmat, qnrm = qids[sel], qmat[sel], qnrm[sel]
+            shortlist, smode = ai.search_auto(spark, path, qids, qmat, qnrm)
+            res = ai._exact_rerank(
+                spark, ai._norms(spark, sf_dir), shortlist, qids, qmat, qnrm
+            ).localCheckpoint(eager=True)
+            rows = res.count()
+            walls.append(round(time.monotonic() - t0, 1))
+        out.update(
+            n_queries=n_q,
+            batch_walls_sec=walls,
+            cold_sec=walls[0],
+            steady_sec=round(min(walls[1:]), 1),
+            serve_mode=smode,
+            rows_last=rows,
+        )
     else:
         path = ai.ann_index_path(sf_dir)
         assert os.path.isfile(os.path.join(path, "_SUCCESS")), "build first"
@@ -166,6 +196,15 @@ def main():
         if mode == "serve":
             kw = {"n_probe": n_probe} if n_probe else {}
             shortlist = ai.search_ann_index(spark, path, qids, qmat, qnrm, **kw)
+        elif mode == "auto":
+            # the r11 |Q|-aware default: plan_n_probe narrows for bulk
+            # batches; record the width the schedule actually resolved
+            shortlist, smode = ai.search_auto(spark, path, qids, qmat, qnrm)
+            meta = ai._read_meta(path)
+            out.update(
+                serve_mode=smode,
+                planned_n_probe=ai.plan_n_probe(meta["nlist"], meta["n"], n_q),
+            )
         else:
             shortlist = ai.search_flat_pq(spark, path, qids, qmat, qnrm)
         res = ai._exact_rerank(
