@@ -36,7 +36,7 @@ def synth_dir(n: int, d: int = 16, k_true: int = 32) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(BASE, f"n{n}")
+    out = os.path.join(BASE, f"n{n}" + (f"-d{d}" if d != 16 else ""))
     path = os.path.join(out, "embeddings.parquet")
     if os.path.exists(path):
         return out

@@ -46,7 +46,8 @@ def main():
     mode, n = sys.argv[1], int(sys.argv[2])
     n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     n_probe = int(sys.argv[4]) if len(sys.argv) > 4 else None
-    sf_dir = synth_dir(n)
+    d = int(os.environ.get("ANN_SERVE_DIM", "16"))  # realistic-dim rows
+    sf_dir = synth_dir(n, d=d)
 
     from affinity_propagation_mapreduce_spark.operators import ann_index as ai
     from affinity_propagation_mapreduce_spark.session import get_spark
@@ -54,6 +55,8 @@ def main():
     spark = get_spark(f"ann-serve-{mode}-{n}")
     spark.sparkContext.setLogLevel("ERROR")
     out = {"mode": mode, "n": n}
+    if d != 16:
+        out["d"] = d
 
     if mode == "delete":
         # deletion cost (r9 verdict #3): tombstone a 5% slice of an
