@@ -118,7 +118,11 @@ from .vector import (
 # the freshly folded tree — cannot exist: a gen-G cover is never applied
 # to a gen-G+1 tree, and the repair machinery (_repair_codes_root) is gone
 # because no crash point leaves the pointer dangling.
-ANN_INDEX_FORMAT = 3
+# v4: quantizer-parameter change only (layout identical to v3) — PQ
+# subspace width is pinned to 2 dims above d=64 (the r11 offline sweep:
+# dsub=4 reads 0.30 recall at d=128 where dsub=2 reads 0.96), and the
+# format bump keeps any pre-rule high-d index from being served.
+ANN_INDEX_FORMAT = 4
 
 _INDEX_BASE = "/tmp/spark_graft_ann"
 

@@ -458,8 +458,15 @@ def _pq_train_codebooks(spark, sf_dir, emb=None):
     # adapt the subspace count to the dimension: PQ_M when it divides d
     # with >=2 dims per subspace (d=64 -> 16x4), else the largest such
     # divisor (scale corpora are d=16 -> 8x2; the earlier >=4 rule gave
-    # them only 4 subspaces and recall collapsed to 0.08 at N=500k)
-    m_eff = PQ_M
+    # them only 4 subspaces and recall collapsed to 0.08 at N=500k).
+    # ABOVE d=64 the subspace width must stay at 2 (r11 offline sweep on
+    # the 1M d=128 corpus: recall@5 0.96 at dsub=2 vs 0.30 at dsub=4 and
+    # 0.04 at dsub=8 — per-subspace ADC distortion grows with width
+    # while the discriminating signal thins with d; d<=64 keeps the
+    # measured-good PQ_M cap, 0.92-0.96 recall to 50M vectors).  Code
+    # bytes grow to d/2 (d=128 -> 64 B vs 512 B raw f4: ~7x, still
+    # shortlist+rerank-bounded).
+    m_eff = d // 2 if d > 64 else PQ_M
     while m_eff > 1 and (d % m_eff != 0 or d // m_eff < 2):
         m_eff //= 2
     dsub = d // m_eff
