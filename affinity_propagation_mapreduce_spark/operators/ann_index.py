@@ -184,13 +184,19 @@ def _norms(spark, sf_dir):
     )
 
 
-def _encode_codes(spark, emb, cent_mat, sup_ch, books):
+def _encode_codes(spark, emb, cent_mat, sup_ch, books, with_raw: bool = False):
     """Encode (vec_id, emb) rows against FIXED quantizers: home cell via
     the (two-level) coarse assignment, PQ byte codes per subspace, true
     norm computed in the kernel (numpy — NOT the interpreted JVM fold:
     feeding a fold-computed nrm column would evaluate it per corpus row
-    and the kernel ignored it anyway).  Returns (encoded_df, broadcast);
-    the caller destroys the broadcast after the consuming action."""
+    and the kernel ignored it anyway).  ``with_raw`` carries the
+    full-precision vector through as one more column — parquet is
+    columnar, so the ADC scan's column pruning never touches those
+    bytes, while the exact rerank can read them from the PROBED
+    partitions instead of rescanning the whole corpus (the d=768 warm
+    serve was corpus-scan-bound at 50 s; see serve_topk).  Returns
+    (encoded_df, broadcast); the caller destroys the broadcast after
+    the consuming action."""
     m_, _ksub, dsub = books.shape
     bc = spark.sparkContext.broadcast((cent_mat, sup_ch, books))
 
@@ -223,28 +229,35 @@ def _encode_codes(spark, emb, cent_mat, sup_ch, books):
                     + (bks[m] * bks[m]).sum(axis=1)[None, :]
                 )
                 codes[:, m] = d2c.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": ids,
-                    "cell": home.astype("i8"),
-                    "code": [row.tobytes() for row in codes],
-                    "nrm": nrm,
-                }
-            )
+            out = {
+                "vec_id": ids,
+                "cell": home.astype("i8"),
+                "code": [row.tobytes() for row in codes],
+                "nrm": nrm,
+            }
+            if with_raw:
+                out["emb"] = list(x)
+            yield pd.DataFrame(out)
 
-    encoded = emb.mapInPandas(
-        encode, "vec_id long, cell long, code binary, nrm double"
-    )
+    schema = "vec_id long, cell long, code binary, nrm double"
+    if with_raw:
+        schema += ", emb array<double>"
+    encoded = emb.mapInPandas(encode, schema)
     return encoded, bc
 
 
 def build_ann_index(
-    spark, sf_dir: str, path: str | None = None, emb_raw=None
+    spark, sf_dir: str, path: str | None = None, emb_raw=None,
+    store_raw: bool = False,
 ) -> str:
     """Train + encode + persist; returns the layout path.  Idempotent and
     crash-safe (flock'd write-once); a complete layout short-circuits.
     ``emb_raw`` (vec_id, embedding) overrides the corpus — the
     incremental path builds its base index from a subset.
+    ``store_raw`` keeps the full-precision vector as one more column of
+    the codes tree (columnar: the ADC scan never reads those bytes) so
+    ``serve_topk`` reranks from the probed partitions instead of
+    rescanning the corpus — the serving-store shape for wide embeddings.
 
     ALL expensive work (training collects AND the corpus encode) runs
     inside write_fn, i.e. under the layout flock AFTER the _SUCCESS
@@ -270,7 +283,9 @@ def build_ann_index(
         emb = raw.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
-        encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
+        encoded, bc = _encode_codes(
+            spark, emb, cent_mat, sup_ch, books, with_raw=store_raw
+        )
         m_, ksub, _dsub = books.shape
         os.makedirs(tmp, exist_ok=True)
         # the base codes land as generation 0's own batch=base directory
@@ -312,6 +327,7 @@ def build_ann_index(
                     "m": int(m_),
                     "ksub": int(ksub),
                     "dsub": int(books.shape[2]),
+                    "raw": bool(store_raw),
                 },
                 fh,
             )
@@ -660,6 +676,22 @@ def choose_search_mode(nlist: int, n_probe: int) -> str:
     return "flat" if n_probe >= nlist * FLAT_MODE_PROBE_FRAC else "ivf"
 
 
+def _probed_cell_dirs(croot: str, cells) -> list[str]:
+    """Direct paths of the probed cell directories across every batch —
+    file listing touches O(batches · probed) dirs, never all nlist."""
+    batches = [
+        os.path.join(croot, b)
+        for b in os.listdir(croot)
+        if b.startswith("batch=")
+    ]
+    return [
+        d
+        for b in batches
+        for c in cells
+        if os.path.isdir(d := os.path.join(b, f"cell={int(c)}"))
+    ]
+
+
 def search_ann_index(
     spark, path: str, qids, qmat, qnrm, n_probe: int | None = None
 ):
@@ -689,17 +721,7 @@ def search_ann_index(
     croot = _codes_root_gen(path, _gen_of(meta))
     if not os.path.isdir(croot):
         raise FileNotFoundError(f"ANN layout has no codes tree: {croot}")
-    batches = [
-        os.path.join(croot, b)
-        for b in os.listdir(croot)
-        if b.startswith("batch=")
-    ]
-    probed_dirs = [
-        d
-        for b in batches
-        for c in cell_to_q
-        if os.path.isdir(d := os.path.join(b, f"cell={int(c)}"))
-    ]
+    probed_dirs = _probed_cell_dirs(croot, cell_to_q)
     if not probed_dirs:  # every probed cell empty in every batch
         return spark.createDataFrame([], "query_id long, neighbor_id long")
     codes = (
@@ -752,6 +774,60 @@ def search_auto(
     return search_ann_index(spark, path, qids, qmat, qnrm, n_probe=n_probe), smode
 
 
+def raw_rerank_frame(spark, path: str, meta: dict, cells):
+    """(vec_id, emb, nrm) for the probed cells, read from the layout's
+    own raw column (store_raw builds) — live rows only, direct-path
+    dirs.  Per-serve read cost ∝ probed mass, never corpus size."""
+    croot = _codes_root_gen(path, _gen_of(meta))
+    dirs = _probed_cell_dirs(croot, cells)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "vec_id long, emb array<double>, nrm double"
+        )
+    df = (
+        spark.read.option("basePath", croot)
+        .parquet(*dirs)
+        .where(F.col("cell").isin([int(c) for c in cells]))
+    )
+    df = _live_codes(spark, path, df, meta)
+    return df.select("vec_id", "emb", "nrm")
+
+
+def serve_topk(
+    spark, path: str, qids, qmat, qnrm,
+    n_probe: int | None = None, mode: str = "auto", norms_df=None,
+):
+    """The full serving pipeline: |Q|-aware shortlist (``search_auto``
+    semantics) + exact rerank.  A ``store_raw`` layout reranks from the
+    PROBED partitions of its own codes tree — the serving-store shape:
+    at 1M × d=768 the corpus-rescan rerank held the warm serve at ~50 s
+    (a 3 GB scan per batch) while the probed partitions are ~1/100th of
+    that.  Non-raw layouts rerank against ``norms_df`` (vec_id, emb,
+    nrm) — the caller's full-precision store."""
+    meta = _read_meta(path)
+    if n_probe is None:
+        n_probe = plan_n_probe(meta["nlist"], meta["n"], len(qids), mode)
+    smode = choose_search_mode(meta["nlist"], n_probe)
+    if smode == "flat":
+        shortlist = search_flat_pq(spark, path, qids, qmat, qnrm)
+        cells = list(range(meta["nlist"]))
+    else:
+        shortlist = search_ann_index(
+            spark, path, qids, qmat, qnrm, n_probe=n_probe
+        )
+        _m, cent_mat, _b = load_ann_model(spark, path)
+        # recomputing the probe map costs one driver-side |Q|×nlist
+        # distance pass — small next to the ADC scan it gates
+        cells = list(_probe_map(cent_mat, qmat, n_probe))
+    if norms_df is None and meta.get("raw"):
+        norms_df = raw_rerank_frame(spark, path, meta, cells)
+    if norms_df is None:
+        raise ValueError(
+            "non-raw layout needs norms_df (vec_id, emb, nrm) to rerank"
+        )
+    return _exact_rerank(spark, norms_df, shortlist, qids, qmat, qnrm)
+
+
 def _query_rows(spark, sf_dir, n_queries=N_QUERIES):
     rows = (
         _norms(spark, sf_dir)
@@ -771,12 +847,14 @@ def knn_cosine_served(spark, sf_dir):
     amortizes to zero across calls/processes on the same corpus), then
     search-only + exact re-rank.  Same (query_id, neighbor_id, cosine,
     rn) contract as every knn_cosine_* query.  Serves through
-    ``search_auto`` — the probe width and the flat-vs-pruned choice are
-    the measured defaults, not caller knobs."""
+    ``serve_topk`` — the probe width and the flat-vs-pruned choice are
+    the measured defaults, not caller knobs; the shared testdata index
+    is built without store_raw, so the rerank reads the corpus."""
     path = build_ann_index(spark, sf_dir)
     qids, qmat, qnrm = _query_rows(spark, sf_dir)
-    shortlist_df, _mode = search_auto(spark, path, qids, qmat, qnrm)
-    return _exact_rerank(spark, _norms(spark, sf_dir), shortlist_df, qids, qmat, qnrm)
+    return serve_topk(
+        spark, path, qids, qmat, qnrm, norms_df=_norms(spark, sf_dir)
+    )
 
 
 def q_knn_cosine_served(spark, sf_dir):
@@ -924,7 +1002,10 @@ def append_ann_index(spark, path: str, emb_raw, batch_tag: str) -> int:
         target = _batch_dir(path, tag, _gen_of(meta))
         if os.path.isdir(target) or tag in meta.get("batches", []):
             return 0  # re-check under the lock
-        encoded, bc = _encode_codes(spark, emb, cent_mat, sup_ch, books)
+        encoded, bc = _encode_codes(
+            spark, emb, cent_mat, sup_ch, books,
+            with_raw=bool(meta.get("raw")),
+        )
         encoded = encoded.localCheckpoint(eager=True)  # one encode pass
         n_new = encoded.count()
         tmp = os.path.join(path, f".batch-tmp-{uuid.uuid4().hex}")
@@ -1243,14 +1324,14 @@ def compact_ann_index(spark, path: str) -> dict:
         merged = list(dict.fromkeys(meta.get("batches", []) + dir_tags))
         merged_del = list(dict.fromkeys(meta.get("deletes", []) + del_tags))
         # keep `batch` through the tombstone anti-join (suppression keys
-        # on (vec_id, batch)); the fold itself then drops it
-        codes = spark.read.parquet(old_root).select(
-            "vec_id", "cell", "code", "nrm", "batch"
+        # on (vec_id, batch)); the fold itself then drops it.  A raw
+        # layout carries its emb column through the fold unchanged.
+        data_cols = ["vec_id", "cell", "code", "nrm"] + (
+            ["emb"] if meta.get("raw") else []
         )
+        codes = spark.read.parquet(old_root).select(*data_cols, "batch")
         n_before = codes.count()
-        live = _live_codes(spark, path, codes, meta).select(
-            "vec_id", "cell", "code", "nrm"
-        )
+        live = _live_codes(spark, path, codes, meta).select(*data_cols)
         tmp = os.path.join(path, f".compact-tmp-{uuid.uuid4().hex}")
         (
             live.repartition("cell")

@@ -272,6 +272,66 @@ class TestRealCodecs:
         assert (mm.decode_image(mm.encode_bmp(img)) == img).all()
 
 
+class TestRawServingStore:
+    """store_raw keeps the full-precision vector as one more column of
+    the codes tree: the ADC scan column-prunes it (columnar parquet),
+    and serve_topk reranks from the PROBED partitions instead of
+    rescanning the corpus — the fix for the d=768 corpus-scan-bound
+    warm serve (50 s → probed-mass-bound)."""
+
+    @pytest.fixture()
+    def rpath(self, spark, tmp_path):
+        path = str(tmp_path / "raw-idx")
+        raw = ai.table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+        ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw, store_raw=True)
+        return path
+
+    def test_raw_rerank_equals_corpus_rerank(self, spark, rpath):
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        via_raw = ai.serve_topk(spark, rpath, qids, qmat, qnrm)
+        via_corpus = ai.serve_topk(
+            spark, rpath, qids, qmat, qnrm,
+            norms_df=ai._norms(spark, SF_SMALL),
+        )
+        # force the corpus path by pretending the layout is non-raw:
+        # both serves must produce the identical top-k
+        meta = ai._read_meta(rpath)
+        assert meta["raw"] is True
+        a = {(r.query_id, r.rn, r.neighbor_id) for r in via_raw.collect()}
+        b = {(r.query_id, r.rn, r.neighbor_id) for r in via_corpus.collect()}
+        assert a == b and len(a) > 0
+
+    def test_adc_scan_prunes_the_raw_column(self, spark, rpath):
+        # the serving scan must never read emb bytes: ReadSchema of the
+        # probed codes scan excludes the raw column
+        croot = ai.codes_root(rpath)
+        codes = spark.read.parquet(croot).select("vec_id", "cell", "code", "nrm")
+        plan = codes._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema" in plan and "emb" not in plan
+
+    def test_raw_column_survives_the_maintenance_cycle(self, spark, rpath):
+        raw = ai.table(spark, SF_SMALL, "embeddings")
+        sel = raw.where(F.col("vec_id") >= 498)
+        ai.append_ann_index(spark, rpath, sel, "extra")  # no-op: ids exist
+        ai.delete_ann_index(spark, rpath, raw.where(F.col("vec_id") < 3), "d")
+        comp = ai.compact_ann_index(spark, rpath)
+        assert comp["rows_tombstoned"] == 3
+        folded = spark.read.parquet(ai.codes_root(rpath))
+        assert "emb" in folded.columns
+        assert folded.where(F.col("emb").isNull()).count() == 0
+        # and the serve still works end-to-end off the folded raw tree
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        res = ai.serve_topk(spark, rpath, qids, qmat, qnrm)
+        assert res.where(F.col("neighbor_id") < 3).count() == 0
+        assert res.count() > 0
+
+    def test_non_raw_layout_requires_norms(self, spark):
+        path = ai.build_ann_index(spark, SF_SMALL)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        with pytest.raises(ValueError):
+            ai.serve_topk(spark, path, qids, qmat, qnrm)
+
+
 class TestSnapshotReads:
     """v3: one meta read = one consistent snapshot — a serve planned
     against gen G keeps returning gen-G results even after a compaction

@@ -144,7 +144,10 @@ def main():
             n_appended=n_new,
         )
     elif mode == "build":
+        store_raw = bool(int(os.environ.get("ANN_STORE_RAW", "0")))
         path = ai.ann_index_path(sf_dir)
+        if store_raw:
+            path += "-raw"
         if os.path.isdir(path):  # timed builds are cold builds
             shutil.rmtree(path)
             try:
@@ -152,8 +155,11 @@ def main():
             except OSError:
                 pass
         t0 = time.monotonic()
-        path = ai.build_ann_index(spark, sf_dir)
+        path = ai.build_ann_index(spark, sf_dir, path=path if store_raw else None,
+                                  store_raw=store_raw)
         out["wall_sec"] = round(time.monotonic() - t0, 1)
+        if store_raw:
+            out["store_raw"] = True
         meta, cent, _books = ai.load_ann_model(spark, path)
         sz = sum(
             os.path.getsize(os.path.join(r, f))
@@ -168,8 +174,12 @@ def main():
         # `n_probe`-many batches (default 5) of |Q|=n_q in ONE session
         # with distinct query slices so no Spark-side result cache can
         # flatter the number, and report per-batch walls.
-        path = ai.ann_index_path(sf_dir)
+        store_raw = bool(int(os.environ.get("ANN_STORE_RAW", "0")))
+        path = ai.ann_index_path(sf_dir) + ("-raw" if store_raw else "")
         assert os.path.isfile(os.path.join(path, "_SUCCESS")), "build first"
+        if store_raw:
+            out["store_raw"] = True
+        meta = ai._read_meta(path)
         n_batches = n_probe or 5
         walls = []
         for b in range(n_batches):
@@ -177,22 +187,25 @@ def main():
             qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=n_q * (b + 1))
             sel = slice(b * n_q, (b + 1) * n_q)
             qids, qmat, qnrm = qids[sel], qmat[sel], qnrm[sel]
-            shortlist, smode = ai.search_auto(spark, path, qids, qmat, qnrm)
-            res = ai._exact_rerank(
-                spark, ai._norms(spark, sf_dir), shortlist, qids, qmat, qnrm
+            res = ai.serve_topk(
+                spark, path, qids, qmat, qnrm,
+                norms_df=None if meta.get("raw") else ai._norms(spark, sf_dir),
             ).localCheckpoint(eager=True)
             rows = res.count()
             walls.append(round(time.monotonic() - t0, 1))
+        w = ai.plan_n_probe(meta["nlist"], meta["n"], n_q)
         out.update(
             n_queries=n_q,
             batch_walls_sec=walls,
             cold_sec=walls[0],
             steady_sec=round(min(walls[1:]), 1),
-            serve_mode=smode,
+            serve_mode=ai.choose_search_mode(meta["nlist"], w),
             rows_last=rows,
         )
     else:
         path = ai.ann_index_path(sf_dir)
+        if mode == "auto" and bool(int(os.environ.get("ANN_STORE_RAW", "0"))):
+            path += "-raw"
         assert os.path.isfile(os.path.join(path, "_SUCCESS")), "build first"
         t0 = time.monotonic()
         qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=n_q)
@@ -201,13 +214,26 @@ def main():
             shortlist = ai.search_ann_index(spark, path, qids, qmat, qnrm, **kw)
         elif mode == "auto":
             # the r11 |Q|-aware default: plan_n_probe narrows for bulk
-            # batches; record the width the schedule actually resolved
-            shortlist, smode = ai.search_auto(spark, path, qids, qmat, qnrm)
+            # batches; record the width the schedule actually resolved.
+            # serve_topk reranks from the layout's own raw column when
+            # present, else from the corpus.
             meta = ai._read_meta(path)
+            w = ai.plan_n_probe(meta["nlist"], meta["n"], n_q)
+            res = ai.serve_topk(
+                spark, path, qids, qmat, qnrm,
+                norms_df=None if meta.get("raw") else ai._norms(spark, sf_dir),
+            ).localCheckpoint(eager=True)
+            rows = res.count()
             out.update(
-                serve_mode=smode,
-                planned_n_probe=ai.plan_n_probe(meta["nlist"], meta["n"], n_q),
+                serve_mode=ai.choose_search_mode(meta["nlist"], w),
+                planned_n_probe=w,
+                n_queries=n_q,
+                wall_sec=round(time.monotonic() - t0, 1),
+                rows=rows,
+                recall_first10=_recall_first10(spark, sf_dir, res),
             )
+            print(json.dumps(out), flush=True)
+            return
         else:
             shortlist = ai.search_flat_pq(spark, path, qids, qmat, qnrm)
         res = ai._exact_rerank(
