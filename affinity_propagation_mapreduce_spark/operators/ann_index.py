@@ -236,12 +236,15 @@ def _encode_codes(spark, emb, cent_mat, sup_ch, books, with_raw: bool = False):
                 "nrm": nrm,
             }
             if with_raw:
-                out["emb"] = list(x)
+                # float32, matching the corpus's own storage precision
+                # (every corpus here lands f4; f8->f4 of an f4 source is
+                # lossless, and storing f8 would double the raw bytes)
+                out["emb"] = list(x.astype("f4"))
             yield pd.DataFrame(out)
 
     schema = "vec_id long, cell long, code binary, nrm double"
     if with_raw:
-        schema += ", emb array<double>"
+        schema += ", emb array<float>"
     encoded = emb.mapInPandas(encode, schema)
     return encoded, bc
 
@@ -790,7 +793,9 @@ def raw_rerank_frame(spark, path: str, meta: dict, cells):
         .where(F.col("cell").isin([int(c) for c in cells]))
     )
     df = _live_codes(spark, path, df, meta)
-    return df.select("vec_id", "emb", "nrm")
+    return df.select(
+        "vec_id", F.col("emb").cast("array<double>").alias("emb"), "nrm"
+    )
 
 
 def serve_topk(
