@@ -268,6 +268,17 @@ def build_ann_index(
     losers skip the compute, not just the write (review r9 #7)."""
     path = path or ann_index_path(sf_dir)
     if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        # the short-circuit must honour the request: a store_raw=True
+        # build against a previously-built NON-raw layout would silently
+        # hand back a raw=false index whose mismatch only surfaces later
+        # as serve_topk's "non-raw layout needs norms_df" (advice r11 #3)
+        existing_raw = bool(_read_meta(path).get("raw", False))
+        if store_raw and not existing_raw:
+            raise ValueError(
+                f"layout at {path} is complete but was built without "
+                "store_raw; build the raw serving store at a distinct "
+                "path (e.g. suffix '-raw') or remove the old layout"
+            )
         return path
 
     def write_fn(tmp: str) -> None:
@@ -653,23 +664,66 @@ def auto_n_probe(nlist: int) -> int:
 SCAN_BUDGET_ROWS = 100_000_000
 PROBE_THROUGHPUT_MIN = 8
 
+# Bulk-serving recall floor (r11 verdict "What's missing" #1): the
+# throughput narrowing above serves measured recall 0.54/0.74 at
+# 10M/20M bulk — a DECLARED trade, but until r12 nothing enforced it,
+# so a bulk caller got half-recall silently.  The floor below turns the
+# measured width→recall curve into a contract: mode="auto" narrows only
+# to the floor-satisfying width; the probe-8 wall now requires the
+# explicit mode="throughput" (or min_recall=None / an explicit n_probe).
+# Calibration (tools/ann_serve_run.py bulk sweeps, BASELINE §round-12):
+# recall at the HALF-auto width measured ≥ the 0.8 floor at every
+# ladder rung where probe-8 fell below it (10M: w=17 vs w=8; see the
+# BASELINE row), while recall ≥0.9 is only measured AT the full auto
+# width (0.88-0.96 across 1M-50M) — so ≥0.9 requests pin the auto width.
+BULK_RECALL_FLOOR = 0.8
+FLOOR_WIDTH_FRAC = 0.5  # width fraction of auto_n_probe that meets the floor
+# recall band measured at the PROBE_THROUGHPUT_MIN width (the old
+# schedule's silent bulk recall): requests at/below this band may
+# legitimately narrow all the way down
+THROUGHPUT_WIDTH_RECALL = 0.54
 
-def plan_n_probe(nlist: int, n: int, n_queries: int, mode: str = "auto") -> int:
+
+def min_width_for_recall(nlist: int, min_recall: float | None) -> int:
+    """Narrowest probe width the measured curve supports for a recall
+    floor — the schedule may never narrow below this in mode="auto".
+    None waives the floor (the explicit-throughput stance)."""
+    w = auto_n_probe(nlist)
+    if min_recall is None or min_recall <= THROUGHPUT_WIDTH_RECALL:
+        return min(PROBE_THROUGHPUT_MIN, w)
+    if min_recall <= BULK_RECALL_FLOOR:
+        return max(
+            min(PROBE_THROUGHPUT_MIN, w), int(np.ceil(w * FLOOR_WIDTH_FRAC))
+        )
+    # above the measured half-width floor only the full recall-first
+    # width has measured evidence (0.88-0.96 at auto across the ladder)
+    return w
+
+
+def plan_n_probe(
+    nlist: int, n: int, n_queries: int, mode: str = "auto",
+    min_recall: float | None = BULK_RECALL_FLOOR,
+) -> int:
     """Resolve the serving probe width from index geometry AND query
     batch size.  ``mode="recall"`` pins the recall-first auto width
     regardless of |Q| (the pre-r11 behavior); ``mode="auto"`` narrows
-    toward PROBE_THROUGHPUT_MIN once |Q| · width · occupancy crosses
-    SCAN_BUDGET_ROWS, so bulk batches get the measured throughput wall
-    without the caller reading BASELINE.md."""
+    once |Q| · width · occupancy crosses SCAN_BUDGET_ROWS, but never
+    below ``min_width_for_recall(nlist, min_recall)`` — the bulk recall
+    floor is a CONTRACT (default ≥0.8), not a footnote;
+    ``mode="throughput"`` waives the floor and narrows to the measured
+    probe-8 wall (recall 0.54-0.74 at 10M/20M bulk — the caller opts
+    into that band explicitly)."""
     w = auto_n_probe(nlist)
     if mode == "recall" or n_queries <= 0:
         return w
-    if mode != "auto":
+    if mode == "throughput":
+        min_recall = None
+    elif mode != "auto":
         raise ValueError(f"unknown probe mode {mode!r}")
     occupancy = max(1.0, float(n) / max(1, int(nlist)))
     budget_w = int(SCAN_BUDGET_ROWS / (n_queries * occupancy))
     if budget_w < w:
-        w = max(min(PROBE_THROUGHPUT_MIN, w), budget_w)
+        w = max(min_width_for_recall(nlist, min_recall), budget_w)
     return max(1, min(w, int(nlist)))
 
 
@@ -696,7 +750,8 @@ def _probed_cell_dirs(croot: str, cells) -> list[str]:
 
 
 def search_ann_index(
-    spark, path: str, qids, qmat, qnrm, n_probe: int | None = None
+    spark, path: str, qids, qmat, qnrm, n_probe: int | None = None,
+    model=None, cell_to_q=None,
 ):
     """Search-only IVF-PQ over a persisted index: probe-cell pruning →
     broadcast-LUT ADC scan → per-query shortlist.  Returns the shortlist
@@ -713,12 +768,22 @@ def search_ann_index(
     directories first (one listing task per directory — ~9k tasks at
     N=10M before a single byte of codes is read).  The `cell` filter
     stays on as a semantic guard; it prunes nothing the path list
-    hasn't already."""
-    meta, cent_mat, books = load_ann_model(spark, path)
+    hasn't already.
+
+    ``model`` (the ``load_ann_model`` triple) and ``cell_to_q`` (the
+    driver-side probe map) let a caller that already resolved them —
+    ``serve_topk`` — thread ONE meta snapshot and ONE probe map through
+    the whole serve instead of re-reading/recomputing here (r11 verdict
+    "missing" #2: three meta reads per serve left generation atomicity
+    resting on an invariant argument, not a mechanism)."""
+    if model is None:
+        model = load_ann_model(spark, path)
+    meta, cent_mat, books = model
     if n_probe is None:
         n_probe = auto_n_probe(meta["nlist"])
     shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
-    cell_to_q = _probe_map(cent_mat, qmat, n_probe)
+    if cell_to_q is None:
+        cell_to_q = _probe_map(cent_mat, qmat, n_probe)
     # the whole serve resolves ONE meta snapshot: codes tree, tombstone
     # tree, and delete cover all come from the generation this load saw
     croot = _codes_root_gen(path, _gen_of(meta))
@@ -738,13 +803,16 @@ def search_ann_index(
     )
 
 
-def search_flat_pq(spark, path: str, qids, qmat, qnrm):
+def search_flat_pq(spark, path: str, qids, qmat, qnrm, model=None):
     """Flat ADC over the same persisted codes — NO cell pruning (every
     query scores every code).  The |Q|-crossover counterpart of
     search_ann_index: flat pays O(|Q|·N) ADC but no recall loss from
     pruning; IVF pays O(|Q|·nprobe·N/nlist).  Measured curve in
-    BASELINE.md §ann-serving."""
-    meta, _cent, books = load_ann_model(spark, path)
+    BASELINE.md §ann-serving.  ``model`` threads a caller's one meta
+    snapshot (see search_ann_index)."""
+    if model is None:
+        model = load_ann_model(spark, path)
+    meta, _cent, books = model
     shortlist = max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
     croot = _codes_root_gen(path, _gen_of(meta))
     if not os.path.isdir(croot):
@@ -760,21 +828,33 @@ def search_flat_pq(spark, path: str, qids, qmat, qnrm):
 def search_auto(
     spark, path: str, qids, qmat, qnrm,
     n_probe: int | None = None, mode: str = "auto",
+    min_recall: float | None = BULK_RECALL_FLOOR, model=None,
 ):
     """Apply the measured selection rule and serve: resolves the probe
     width from the index geometry AND the query batch size
     (``plan_n_probe`` — ``mode="recall"`` pins the recall-first width,
-    an explicit ``n_probe`` overrides everything), picks flat vs
-    IVF-pruned via ``choose_search_mode``, and returns
-    ``(shortlist_df, mode)`` so callers/gates can see which path served
-    the batch."""
-    meta = _read_meta(path)
+    ``mode="throughput"`` waives the bulk recall floor, an explicit
+    ``n_probe`` overrides everything), picks flat vs IVF-pruned via
+    ``choose_search_mode``, and returns ``(shortlist_df, mode)`` so
+    callers/gates can see which path served the batch.  The whole
+    search resolves ONE model snapshot (loaded here unless the caller
+    threads its own)."""
+    if model is None:
+        model = load_ann_model(spark, path)
+    meta = model[0]
     if n_probe is None:
-        n_probe = plan_n_probe(meta["nlist"], meta["n"], len(qids), mode)
+        n_probe = plan_n_probe(
+            meta["nlist"], meta["n"], len(qids), mode, min_recall=min_recall
+        )
     smode = choose_search_mode(meta["nlist"], n_probe)
     if smode == "flat":
-        return search_flat_pq(spark, path, qids, qmat, qnrm), smode
-    return search_ann_index(spark, path, qids, qmat, qnrm, n_probe=n_probe), smode
+        return search_flat_pq(spark, path, qids, qmat, qnrm, model=model), smode
+    return (
+        search_ann_index(
+            spark, path, qids, qmat, qnrm, n_probe=n_probe, model=model
+        ),
+        smode,
+    )
 
 
 def raw_rerank_frame(spark, path: str, meta: dict, cells):
@@ -801,6 +881,7 @@ def raw_rerank_frame(spark, path: str, meta: dict, cells):
 def serve_topk(
     spark, path: str, qids, qmat, qnrm,
     n_probe: int | None = None, mode: str = "auto", norms_df=None,
+    min_recall: float | None = BULK_RECALL_FLOOR,
 ):
     """The full serving pipeline: |Q|-aware shortlist (``search_auto``
     semantics) + exact rerank.  A ``store_raw`` layout reranks from the
@@ -808,22 +889,37 @@ def serve_topk(
     at 1M × d=768 the corpus-rescan rerank held the warm serve at ~50 s
     (a 3 GB scan per batch) while the probed partitions are ~1/100th of
     that.  Non-raw layouts rerank against ``norms_df`` (vec_id, emb,
-    nrm) — the caller's full-precision store."""
-    meta = _read_meta(path)
+    nrm) — the caller's full-precision store.
+
+    GENERATION-ATOMIC BY CONSTRUCTION (r11 verdict "missing" #2): the
+    model — and with it meta.json — is read exactly ONCE here; the
+    shortlist scan, tombstone anti-join, and raw rerank all resolve
+    from this single snapshot, so a compaction flipping the generation
+    mid-serve cannot split the serve across two trees.  The probe map
+    is likewise computed once and shared between the ADC scan and the
+    rerank's partition list.
+
+    Recall stance: ``mode="auto"`` may narrow the probe width for bulk
+    batches but never below the BULK_RECALL_FLOOR-satisfying width;
+    ``mode="throughput"`` (or ``min_recall=None``) opts into the
+    probe-8 wall at its measured 0.54-0.74 bulk recall band."""
+    model = load_ann_model(spark, path)
+    meta, cent_mat, _books = model
     if n_probe is None:
-        n_probe = plan_n_probe(meta["nlist"], meta["n"], len(qids), mode)
+        n_probe = plan_n_probe(
+            meta["nlist"], meta["n"], len(qids), mode, min_recall=min_recall
+        )
     smode = choose_search_mode(meta["nlist"], n_probe)
     if smode == "flat":
-        shortlist = search_flat_pq(spark, path, qids, qmat, qnrm)
+        shortlist = search_flat_pq(spark, path, qids, qmat, qnrm, model=model)
         cells = list(range(meta["nlist"]))
     else:
+        cell_to_q = _probe_map(cent_mat, qmat, n_probe)
         shortlist = search_ann_index(
-            spark, path, qids, qmat, qnrm, n_probe=n_probe
+            spark, path, qids, qmat, qnrm, n_probe=n_probe,
+            model=model, cell_to_q=cell_to_q,
         )
-        _m, cent_mat, _b = load_ann_model(spark, path)
-        # recomputing the probe map costs one driver-side |Q|×nlist
-        # distance pass — small next to the ADC scan it gates
-        cells = list(_probe_map(cent_mat, qmat, n_probe))
+        cells = list(cell_to_q)
     if norms_df is None and meta.get("raw"):
         norms_df = raw_rerank_frame(spark, path, meta, cells)
     if norms_df is None:
@@ -1069,6 +1165,12 @@ def _tombstone_rows(dirs: list[str]) -> dict[str, int]:
     import pyarrow.parquet as pq
 
     out: dict[str, int] = {}
+    # tombstone rows are (vec_id int64, batch string) — conservative
+    # LOWER bound on bytes/row so an unreadable footer OVERcounts rows
+    # and pushes the expanded-size gate toward the shuffle path (the
+    # safe direction: a broadcast of an undercounted anti-join side is
+    # the executor-OOM the gate exists to prevent, advice r11 #2)
+    _FALLBACK_BYTES_PER_ROW = 8
     for d in dirs:
         tag = os.path.basename(d).split("=", 1)[1]
         n = 0
@@ -1076,10 +1178,16 @@ def _tombstone_rows(dirs: list[str]) -> dict[str, int]:
             for f in fs:
                 if not (f.endswith(".parquet") or f.startswith("part-")):
                     continue
+                fp = os.path.join(r, f)
                 try:
-                    n += pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
-                except Exception:  # non-parquet stray — count by bytes later
-                    continue
+                    n += pq.ParquetFile(fp).metadata.num_rows
+                except Exception:
+                    # unreadable footer — estimate by bytes so the
+                    # batch still counts toward the gate
+                    try:
+                        n += max(1, os.path.getsize(fp) // _FALLBACK_BYTES_PER_ROW)
+                    except OSError:
+                        continue
         out[tag] = n
     return out
 
@@ -1363,16 +1471,20 @@ def compact_ann_index(spark, path: str) -> dict:
         meta["deletes"] = merged_del
         meta["delete_cover"] = {}
         meta["n"] = int(n_after)  # resync the advisory count (advice r10 #4)
+        # stamp the soon-to-be-superseded trees BEFORE the meta flip
+        # (advice r11 #1): their rename/creation time is long past, and
+        # the age-gated reap must see a fresh mtime so in-flight gen-G
+        # readers keep their files for the grace window.  Stamping
+        # still-live trees is harmless if the commit below never lands;
+        # stamping AFTER left a crash window where the next lock-holder
+        # reaped them instantly.
+        for dead in (old_root, old_troot):
+            if os.path.isdir(dead):
+                os.utime(dead, None)
         tmp_meta = os.path.join(path, ".meta.json.tmp")
         with open(tmp_meta, "w") as fh:
             json.dump(meta, fh)
         os.replace(tmp_meta, os.path.join(path, "meta.json"))  # THE commit
-        # stamp the superseded trees NOW (rename/creation time is long
-        # past): the age-gated reap must see a fresh mtime so in-flight
-        # gen-G readers keep their files for the grace window
-        for dead in (old_root, old_troot):
-            if os.path.isdir(dead):
-                os.utime(dead, None)
         return {
             "files_before": files_before,
             "files_after": _n_files(new_root),
@@ -1553,6 +1665,151 @@ def q_ann_index_incremental(spark, sf_dir):
     )
 
 
+STREAM_INGEST_FILES = 4  # delta feed files → micro-batches (1 file/trigger)
+
+
+def q_ann_index_stream_ingest(spark, sf_dir):
+    """Rows-only, SELF-VERIFYING: the streaming ANN ingest twin (r11
+    verdict "What's missing" #3) — the production crawl shape is a
+    STREAM of embedding batches folding into the served index, and every
+    other F-row already has a streaming twin.  The corpus splits into
+    the standard 90% base / 10% delta (md5 bucket); the base index is
+    built twice from identical deterministic training (batch twin +
+    stream twin), then the delta reaches each twin differently:
+
+      batch twin : one ``append_ann_index`` of the whole delta
+      stream twin: the delta written as STREAM_INGEST_FILES drop files,
+                   admitted by a real Structured Streaming file source
+                   (availableNow, maxFilesPerTrigger=1 → several
+                   micro-batches), each micro-batch folded via
+                   ``foreachBatch`` → ``append_ann_index`` under its
+                   batch-id tag — the tags make replays (checkpoint
+                   recovery, gate reruns) no-ops, i.e. exactly-once by
+                   idempotence, same device as the churn drill.
+
+    The gate RAISES unless (a) the stream twin actually folded ≥2
+    micro-batches (multi-batch admission, the r10 lesson that a single
+    batch proves nothing), (b) the served top-k of the two twins is
+    IDENTICAL as a multiset (exceptAll both directions — frozen
+    quantizers make the fold order-invariant, so equality is exact, not
+    recall-floored), and (c) at verification scale the served top-k
+    clears the shared recall floor vs the exact answer.  Returns one
+    scalar summary row."""
+    import shutil
+    import uuid
+
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % INCR_DELTA_BUCKETS
+    )
+    base = raw.where(bucket != 0)
+    delta = raw.where(bucket == 0)
+    path_b = ann_index_path(sf_dir) + "-sing-b"
+    path_s = ann_index_path(sf_dir) + "-sing-s"
+    # identical deterministic training (md5-ordered sample, lowest-id
+    # init) → the two twins share quantizers without a layout copy
+    build_ann_index(spark, sf_dir, path=path_b, emb_raw=base)
+    build_ann_index(spark, sf_dir, path=path_s, emb_raw=base)
+    append_ann_index(spark, path_b, delta, "ingest-all")
+
+    feed = path_s + "-feed"
+    ckpt = path_s + "-ckpt"
+    if not os.path.isfile(os.path.join(feed, "_SUCCESS")):
+        tmp = feed + f".tmp-{uuid.uuid4().hex}"
+        (
+            delta.repartitionByRange(STREAM_INGEST_FILES, "vec_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        if os.path.isdir(feed):
+            shutil.rmtree(feed)
+        os.rename(tmp, feed)
+
+    def _fold(df, batch_id):
+        if df.isEmpty():
+            return
+        append_ann_index(
+            spark, path_s, df.select("vec_id", "embedding"),
+            f"ingest-stream-{batch_id}",
+        )
+
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("ANN ingest stream did not drain in 300s")
+    meta_s = _read_meta(path_s)
+    stream_tags = [
+        t for t in meta_s.get("batches", []) if t.startswith("ingest-stream-")
+    ]
+    if len(stream_tags) < 2:
+        raise AssertionError(
+            f"stream twin folded {len(stream_tags)} micro-batches — "
+            "multi-batch admission did not engage"
+        )
+    n_codes_b = spark.read.parquet(codes_root(path_b)).count()
+    n_codes_s = spark.read.parquet(codes_root(path_s)).count()
+    if n_codes_b != n_codes_s:
+        raise AssertionError(
+            f"twin layouts diverged: {n_codes_b} vs {n_codes_s} codes"
+        )
+    qids, qmat, qnrm = _query_rows(spark, sf_dir)
+    norms = _norms(spark, sf_dir)
+    served = {}
+    for name, p in (("batch", path_b), ("stream", path_s)):
+        served[name] = _exact_rerank(
+            spark, norms, search_ann_index(spark, p, qids, qmat, qnrm),
+            qids, qmat, qnrm,
+        ).select("query_id", "neighbor_id").localCheckpoint(eager=False)
+    n_diff = (
+        served["batch"].exceptAll(served["stream"]).count()
+        + served["stream"].exceptAll(served["batch"]).count()
+    )
+    if n_diff:
+        raise AssertionError(
+            f"stream-ingested index serves a different top-k: {n_diff} "
+            "rows diverge from the batch twin"
+        )
+    n_rows = served["stream"].count()
+    n = corpus_rows(spark, sf_dir)
+    if n <= _PQ_GATE_MAX_N:
+        exact = q_knn_cosine_topk(spark, sf_dir).select(
+            "query_id", "neighbor_id"
+        )
+        n_exact = exact.count()
+        hit = exact.join(
+            served["stream"], ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        floor = RECALL_FLOORS["knn_cosine_served"]
+        if n_exact == 0 or hit / n_exact < floor:
+            raise AssertionError(
+                f"stream-ingested index recall collapsed: {hit}/{n_exact}"
+            )
+    return spark.createDataFrame(
+        [
+            (
+                int(base.count()),
+                int(delta.count()),
+                int(len(stream_tags)),
+                int(n_codes_s),
+                int(n_rows),
+            )
+        ],
+        "n_base long, n_delta long, n_stream_batches long, "
+        "n_codes long, n_topk_rows long",
+    )
+
+
 QUERIES = {
     # rows-only (iterative quantizer training — no SQL mirror), all
     # self-verifying: recall floor / build-integrity / idempotent-append
@@ -1560,6 +1817,7 @@ QUERIES = {
     "knn_cosine_served": q_knn_cosine_served,
     "ann_index_stats": q_ann_index_stats,
     "ann_index_incremental": q_ann_index_incremental,
+    "ann_index_stream_ingest": q_ann_index_stream_ingest,
 }
 
 ORACLES: dict[str, str] = {}

@@ -34,18 +34,21 @@ class TestProbeSchedule:
 
     def test_bulk_batch_narrows_to_the_measured_winner(self):
         # the calibration point: 10M (nlist=8944, occupancy ~1118) at
-        # |Q|=10k must resolve to the measured probe-8 wall (77.9 s vs
-        # 187.8 s at auto-34 — BASELINE.md §ann-serving)
-        assert ai.plan_n_probe(8944, 10_000_000, 10_000) == 8
+        # |Q|=10k resolves to the measured probe-8 wall (77.9 s vs
+        # 187.8 s at auto-34 — BASELINE.md §ann-serving) — under the
+        # EXPLICIT throughput stance since r12; the default schedule
+        # stops at the recall-floor width (test_round12.TestRecallFloor)
+        assert ai.plan_n_probe(8944, 10_000_000, 10_000, mode="throughput") == 8
         # 20M at |Q|=10k likewise floors at the throughput width
-        assert ai.plan_n_probe(12649, 20_000_000, 10_000) == 8
+        assert ai.plan_n_probe(12649, 20_000_000, 10_000, mode="throughput") == 8
 
     def test_schedule_is_monotone_in_batch_size(self):
-        widths = [ai.plan_n_probe(8944, 10_000_000, q)
-                  for q in (10, 100, 1_000, 3_000, 10_000, 100_000)]
-        assert widths == sorted(widths, reverse=True)
-        assert widths[0] == ai.auto_n_probe(8944)
-        assert widths[-1] == ai.PROBE_THROUGHPUT_MIN
+        for kw in ({}, {"mode": "throughput"}):
+            widths = [ai.plan_n_probe(8944, 10_000_000, q, **kw)
+                      for q in (10, 100, 1_000, 3_000, 10_000, 100_000)]
+            assert widths == sorted(widths, reverse=True)
+            assert widths[0] == ai.auto_n_probe(8944)
+        assert widths[-1] == ai.PROBE_THROUGHPUT_MIN  # throughput stance
 
     def test_recall_mode_pins_the_auto_width(self):
         # a recall-stance caller opts out of narrowing entirely

@@ -1,0 +1,263 @@
+"""Round-12 verdict items: the bulk-serving recall floor (#2), one meta
+snapshot threaded through the serve path (#3), the odd-d PQ degeneracy
+guard (#6), and the advice-r11 fixes (pre-commit mtime stamp, tombstone
+byte fallback, store_raw short-circuit mismatch)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+from affinity_propagation_mapreduce_spark.operators import vector as V
+
+from .conftest import SF_SMALL
+
+
+class TestRecallFloor:
+    """r11 verdict "What's missing" #1: the throughput narrowing served
+    0.54 recall at 10M bulk with no gate on it.  The floor makes the
+    measured width→recall curve a contract: mode="auto" never narrows
+    below the BULK_RECALL_FLOOR-satisfying width; the probe-8 wall is
+    now an explicit opt-in (mode="throughput" / min_recall=None)."""
+
+    def test_default_schedule_never_serves_below_the_floor(self):
+        # the law the verdict asked to pin: for ANY geometry and ANY
+        # batch size, the default schedule resolves at or above the
+        # floor-satisfying width — no silent half-recall serves
+        for nlist in (5, 64, 2828, 8944, 12649, 100_000):
+            lo = ai.min_width_for_recall(nlist, ai.BULK_RECALL_FLOOR)
+            for n in (1_000, 1_000_000, 10_000_000, 1_000_000_000):
+                for q in (1, 10, 1_000, 10_000, 10_000_000):
+                    assert ai.plan_n_probe(nlist, n, q) >= lo
+
+    def test_bulk_calibration_point_resolves_to_the_floor_width(self):
+        # 10M (nlist=8944, auto=34): budget arithmetic alone would give
+        # probe-8 (0.54 recall measured); the default stops at the
+        # half-auto floor width instead (recall ≥ the 0.8 floor —
+        # BASELINE §round-12 bulk sweep)
+        assert ai.plan_n_probe(8944, 10_000_000, 10_000) == 17
+        assert ai.plan_n_probe(8944, 10_000_000, 10_000, mode="throughput") == 8
+
+    def test_min_recall_none_matches_throughput_mode(self):
+        for q in (10, 10_000, 1_000_000):
+            assert ai.plan_n_probe(
+                8944, 10_000_000, q, min_recall=None
+            ) == ai.plan_n_probe(8944, 10_000_000, q, mode="throughput")
+
+    def test_high_floor_pins_the_recall_width(self):
+        # above the measured half-width band only the full auto width
+        # has evidence (0.88-0.96 across the ladder)
+        assert (
+            ai.min_width_for_recall(8944, 0.9) == ai.auto_n_probe(8944)
+        )
+        assert ai.plan_n_probe(
+            8944, 10_000_000, 10_000, min_recall=0.9
+        ) == ai.auto_n_probe(8944)
+
+    def test_low_floor_allows_the_throughput_width(self):
+        # a request at/below the measured probe-8 recall band may
+        # legitimately narrow all the way down
+        assert ai.min_width_for_recall(8944, 0.5) == ai.PROBE_THROUGHPUT_MIN
+        assert ai.plan_n_probe(8944, 10_000_000, 10_000, min_recall=0.5) == 8
+
+    def test_floor_width_bounded_by_auto_width(self):
+        for nlist in (5, 64, 2828, 8944, 100_000):
+            w = ai.auto_n_probe(nlist)
+            for mr in (None, 0.3, 0.54, 0.8, 0.9, 0.99):
+                assert 1 <= ai.min_width_for_recall(nlist, mr) <= w
+
+
+class TestSnapshotThreading:
+    """r11 verdict "What's missing" #2: a serve used to read meta up to
+    3×; a concurrent compaction flipping the generation mid-serve was
+    value-safe only by invariant argument.  serve_topk now loads ONE
+    model snapshot and threads it through shortlist, tombstone
+    anti-join, and rerank."""
+
+    @pytest.fixture()
+    def rpath(self, spark, tmp_path):
+        path = str(tmp_path / "raw-idx")
+        raw = ai.table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+        ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw, store_raw=True)
+        return path
+
+    def test_serve_loads_the_model_exactly_once(self, spark, rpath, monkeypatch):
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        calls = {"load": 0}
+        real_load = ai.load_ann_model
+
+        def counting_load(spark_, path_):
+            calls["load"] += 1
+            return real_load(spark_, path_)
+
+        monkeypatch.setattr(ai, "load_ann_model", counting_load)
+        # _read_meta must not run at all inside a serve: every consumer
+        # gets the threaded snapshot
+        monkeypatch.setattr(
+            ai, "_read_meta",
+            lambda p: (_ for _ in ()).throw(
+                AssertionError("serve path re-read meta.json")
+            ),
+        )
+        res = ai.serve_topk(spark, rpath, qids, qmat, qnrm)
+        assert res.count() > 0
+        assert calls["load"] == 1
+
+    def test_generation_flip_mid_serve_reads_one_snapshot(
+        self, spark, rpath, monkeypatch
+    ):
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        baseline = sorted(
+            tuple(r) for r in ai.serve_topk(spark, rpath, qids, qmat, qnrm)
+            .select("query_id", "neighbor_id").collect()
+        )
+        # tombstone ids that actually sit in the served top-k (skipping
+        # the query ids themselves) so the flip below rewrites results
+        dead_ids = sorted(
+            {nb for _q, nb in baseline if nb >= len(qids)}
+        )[:20]
+        dead = spark.createDataFrame(
+            [(int(v),) for v in dead_ids], "vec_id long"
+        )
+        ai.delete_ann_index(spark, rpath, dead, "flip-drill")
+        after_delete = sorted(
+            tuple(r) for r in ai.serve_topk(spark, rpath, qids, qmat, qnrm)
+            .select("query_id", "neighbor_id").collect()
+        )
+        gen_before = ai._gen_of(ai._read_meta(rpath))
+
+        real_load = ai.load_ann_model
+        state = {"loads": 0}
+
+        def load_then_compact(spark_, path_):
+            model = real_load(spark_, path_)
+            if state["loads"] == 0:
+                # the race: compaction commits (generation flips) AFTER
+                # the serve took its snapshot but BEFORE the scan runs
+                ai.compact_ann_index(spark_, path_)
+                assert ai._gen_of(ai._read_meta(path_)) == gen_before + 1
+            state["loads"] += 1
+            return model
+
+        monkeypatch.setattr(ai, "load_ann_model", load_then_compact)
+        raced = sorted(
+            tuple(r) for r in ai.serve_topk(spark, rpath, qids, qmat, qnrm)
+            .select("query_id", "neighbor_id").collect()
+        )
+        assert state["loads"] == 1  # one snapshot — the mechanism itself
+        # the raced serve reads gen-G end to end: same result as the
+        # undisturbed post-delete serve (the live set is unchanged by
+        # compaction, and no file of the snapshot generation vanished)
+        assert raced == after_delete
+        assert baseline != after_delete  # the delete actually bit
+
+
+class TestAdviceR11:
+    def test_store_raw_mismatch_on_complete_layout_raises(self, spark, tmp_path):
+        path = str(tmp_path / "nonraw-idx")
+        raw = ai.table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+        ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw)
+        # same path, raw requested: the short-circuit must refuse, not
+        # silently hand back a raw=false layout
+        with pytest.raises(ValueError, match="store_raw"):
+            ai.build_ann_index(
+                spark, SF_SMALL, path=path, emb_raw=raw, store_raw=True
+            )
+        # re-requesting the matching flavor still short-circuits fine
+        assert ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw) == path
+
+    def test_tombstone_rows_estimates_unreadable_files_by_bytes(self, tmp_path):
+        d = tmp_path / "tombstones.g0.parquet" / "del=broken"
+        d.mkdir(parents=True)
+        (d / "part-00000.parquet").write_bytes(b"\x00" * 8000)  # not parquet
+        rows = ai._tombstone_rows([str(d)])
+        # 8000 bytes / 8 B-per-row lower bound → 1000 estimated rows:
+        # an unreadable footer OVERcounts toward the shuffle path, never
+        # undercounts toward a broadcast OOM
+        assert rows["broken"] == 1000
+
+    def test_compaction_stamps_old_trees_before_the_commit(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = str(tmp_path / "stamp-idx")
+        raw = ai.table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+        ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw)
+        gen = ai._gen_of(ai._read_meta(path))
+        old_root = ai._codes_root_gen(path, gen)
+        stale = time.time() - 10_000
+        os.utime(old_root, (stale, stale))
+
+        real_replace = os.replace
+
+        def dying_replace(src, dst):
+            if dst.endswith("meta.json"):
+                raise OSError("crash between stamp and commit")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(ai.os, "replace", dying_replace)
+        with pytest.raises(OSError, match="crash between"):
+            ai.compact_ann_index(spark, path)
+        monkeypatch.undo()
+        # the stamp landed BEFORE the (failed) commit: even though the
+        # meta flip never happened, the still-live tree has a fresh
+        # mtime — and in the crash-after-commit window the reaper now
+        # sees a fresh superseded tree instead of a 10ks-stale one
+        assert os.path.getmtime(old_root) > stale + 5_000
+
+
+class TestStreamIngestTwin:
+    """r11 verdict "What's missing" #3: the index append path was
+    batch-only; the production crawl shape is a stream of embedding
+    batches folding into the served index."""
+
+    def test_stream_ingest_serves_the_batch_twin_topk(self, spark):
+        # the gate itself raises on <2 micro-batches, layout divergence,
+        # served top-k inequality, or a recall collapse — reaching the
+        # summary row IS the equality proof; re-assert the headline
+        # numbers here so the test documents them
+        row = ai.q_ann_index_stream_ingest(spark, SF_SMALL).first()
+        assert row.n_stream_batches >= 2
+        assert row.n_codes == row.n_base + row.n_delta
+        assert row.n_topk_rows > 0
+
+    def test_stream_ingest_gate_is_idempotent(self, spark):
+        # second run against the persisted layouts: every append
+        # no-ops (tags), the feed and checkpoint are reused, and the
+        # gate still passes with identical numbers
+        a = ai.q_ann_index_stream_ingest(spark, SF_SMALL).first()
+        b = ai.q_ann_index_stream_ingest(spark, SF_SMALL).first()
+        assert tuple(a) == tuple(b)
+
+
+class TestOddDimensionGuard:
+    """r11 verdict "What's wrong" #3: an odd/prime d > 64 collapsed the
+    m_eff halving loop to one d-wide subspace — recall death by
+    construction.  The rule now refuses loudly."""
+
+    def test_odd_d_above_64_raises(self, spark):
+        for d in (127, 65, 75):
+            emb = spark.range(40).select(
+                F.col("id").alias("vec_id"),
+                F.array(*[F.rand(seed=int(i)) for i in range(d)]).alias(
+                    "embedding"
+                ),
+            )
+            with pytest.raises(ValueError, match="degenerates"):
+                V._pq_train_codebooks(spark, None, emb=emb)
+
+    def test_even_d_above_64_keeps_two_dim_subspaces(self, spark):
+        for d, m_expected in ((66, 33), (98, 49)):
+            emb = spark.range(40).select(
+                F.col("id").alias("vec_id"),
+                F.array(*[F.rand(seed=int(i)) for i in range(d)]).alias(
+                    "embedding"
+                ),
+            )
+            books = V._pq_train_codebooks(spark, None, emb=emb)
+            assert books.shape[0] == m_expected
+            assert books.shape[2] == 2

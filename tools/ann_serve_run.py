@@ -198,7 +198,9 @@ def main():
             n_queries=n_q,
             batch_walls_sec=walls,
             cold_sec=walls[0],
-            steady_sec=round(min(walls[1:]), 1),
+            # a single-batch run has no steady window — report its one
+            # wall instead of raising after the serves already ran
+            steady_sec=round(min(walls[1:]) if len(walls) > 1 else walls[0], 1),
             serve_mode=ai.choose_search_mode(meta["nlist"], w),
             rows_last=rows,
         )
@@ -218,13 +220,15 @@ def main():
             # serve_topk reranks from the layout's own raw column when
             # present, else from the corpus.
             meta = ai._read_meta(path)
-            w = ai.plan_n_probe(meta["nlist"], meta["n"], n_q)
+            pmode = os.environ.get("ANN_PROBE_MODE", "auto")
+            w = ai.plan_n_probe(meta["nlist"], meta["n"], n_q, mode=pmode)
             res = ai.serve_topk(
-                spark, path, qids, qmat, qnrm,
+                spark, path, qids, qmat, qnrm, mode=pmode,
                 norms_df=None if meta.get("raw") else ai._norms(spark, sf_dir),
             ).localCheckpoint(eager=True)
             rows = res.count()
             out.update(
+                probe_mode=pmode,
                 serve_mode=ai.choose_search_mode(meta["nlist"], w),
                 planned_n_probe=w,
                 n_queries=n_q,
