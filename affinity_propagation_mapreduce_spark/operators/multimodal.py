@@ -519,6 +519,106 @@ WHERE asset_id <> canonical_id
 """
 
 
+# --- M8 perceptual near-dup over decoded CONTENT (r11 verdict #8) -----------
+
+PHASH_GROUPS = 50  # perceptual groups planted across the corpus
+PHASH_SIDE = 16    # image side → 8×8 grid of 2×2-pixel blocks
+
+
+def q_media_phash_neardup(spark, sf_dir):
+    """Perceptual-fingerprint near-dup detection over DECODED pixels —
+    multimodal dedup on content, where media_dedup_exact only catches
+    byte-identical re-uploads.  Each asset synthesizes a 16×16 BMP whose
+    pattern comes from its perceptual group (doc_id % 50) plus a
+    per-asset UNIFORM brightness offset (doc_id % 7; 7 is coprime to
+    the group stride, so group members genuinely differ byte-wise) —
+    different bytes, same percept, the re-encode/brightness-shift
+    duplication shape.
+
+    The fingerprint is the classic block-mean hash in pure integer
+    arithmetic: decode the real BMP (the codec round trip is in the
+    hot path — a BGR/padding/flip bug changes the hash and turns the
+    driver row red), gray = r+g+b per pixel, 8×8 grid of block sums,
+    bit_b = (64·block_sum > total_sum).  A uniform offset c shifts
+    64·block_sum and total_sum by exactly 64·c·|block| = c·W·H each, so
+    group members share all 64 bits BY CONSTRUCTION — the hash is
+    provably invariant to the planted perturbation, giving the oracle a
+    closed form.  At 100 TB the shape is the right one: the decode +
+    hash is map-side per asset (payload bytes never shuffle), and only
+    (asset_id, 64-bit fingerprint) pairs reach the groupBy.
+
+    Returns one row per asset: its fingerprint, the perceptual group
+    size, the lowest-id canonical, and a dup flag."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        side = PHASH_SIDE
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                g, noise = doc_id % PHASH_GROUPS, doc_id % 7
+                i = np.arange(side * side * 3, dtype="i8")
+                v = ((g * 37 + i) * 11) % 249 + noise  # ≤ 254, no wrap
+                img = v.reshape(side, side, 3).astype(np.uint8)
+                dec = decode_image(encode_bmp(img))  # REAL codec round trip
+                gray = dec.astype("i8").sum(axis=2)
+                bsum = gray.reshape(8, side // 8, 8, side // 8).sum(axis=(1, 3))
+                total = int(gray.sum())
+                bits = (64 * bsum > total).reshape(64)
+                ids.append(doc_id)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"asset_id": ids, "phash": hashes})
+
+    ph = docs.mapInPandas(kernel, "asset_id long, phash string")
+    grp = ph.groupBy("phash").agg(
+        F.count("*").alias("group_size"),
+        F.min("asset_id").alias("canonical_id"),
+    )
+    return ph.join(grp, "phash").select(
+        "asset_id",
+        "phash",
+        "group_size",
+        "canonical_id",
+        (F.col("asset_id") != F.col("canonical_id"))
+        .cast("long")
+        .alias("is_dup"),
+    )
+
+
+O_PHASH_NEARDUP = """
+WITH px AS (
+  SELECT doc_id, unnest(range(0, 768)) AS i FROM documents),
+vals AS (
+  SELECT doc_id, (i // 3) AS pix,
+         ((doc_id % 50) * 37 + i) * 11 % 249 + (doc_id % 7) AS v
+  FROM px),
+gray AS (
+  SELECT doc_id, pix, sum(v) AS gr FROM vals GROUP BY 1, 2),
+blocks AS (
+  SELECT doc_id,
+         ((pix // 16) // 2) * 8 + ((pix % 16) // 2) AS b,
+         sum(gr) AS bsum
+  FROM gray GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(bsum) AS total FROM blocks GROUP BY 1),
+bits AS (
+  SELECT blocks.doc_id, blocks.b,
+         CASE WHEN 64 * blocks.bsum > tot.total THEN '1' ELSE '0' END AS bit
+  FROM blocks JOIN tot USING (doc_id)),
+ph AS (
+  SELECT doc_id, string_agg(bit, '' ORDER BY b) AS phash
+  FROM bits GROUP BY doc_id),
+grp AS (
+  SELECT phash, CAST(count(*) AS BIGINT) AS group_size,
+         min(doc_id) AS canonical_id
+  FROM ph GROUP BY phash)
+SELECT ph.doc_id AS asset_id, ph.phash AS phash, grp.group_size,
+       grp.canonical_id,
+       CAST(ph.doc_id <> grp.canonical_id AS BIGINT) AS is_dup
+FROM ph JOIN grp USING (phash)
+"""
+
+
 QUERIES = {
     "media_profile": q_media_profile,
     "media_fingerprint": q_media_fingerprint,
@@ -527,6 +627,7 @@ QUERIES = {
     "media_decode_wav": q_media_decode_wav,
     "media_frame_sample": q_media_frame_sample,
     "media_dedup_exact": q_media_dedup_exact,
+    "media_phash_neardup": q_media_phash_neardup,
 }
 
 ORACLES = {
@@ -537,4 +638,5 @@ ORACLES = {
     "media_decode_wav": O_DECODE_WAV,
     "media_frame_sample": O_FRAME_SAMPLE,
     "media_dedup_exact": O_MEDIA_DEDUP,
+    "media_phash_neardup": O_PHASH_NEARDUP,
 }
