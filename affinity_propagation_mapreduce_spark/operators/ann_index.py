@@ -671,11 +671,14 @@ PROBE_THROUGHPUT_MIN = 8
 # measured width→recall curve into a contract: mode="auto" narrows only
 # to the floor-satisfying width; the probe-8 wall now requires the
 # explicit mode="throughput" (or min_recall=None / an explicit n_probe).
-# Calibration (tools/ann_serve_run.py bulk sweeps, BASELINE §round-12):
-# recall at the HALF-auto width measured ≥ the 0.8 floor at every
-# ladder rung where probe-8 fell below it (10M: w=17 vs w=8; see the
-# BASELINE row), while recall ≥0.9 is only measured AT the full auto
-# width (0.88-0.96 across 1M-50M) — so ≥0.9 requests pin the auto width.
+# Calibration (tools/ann_serve_run.py width sweeps, BASELINE §round-12):
+# 10M (auto=34): w=8→0.54, 12→0.78, 17→0.84, 24→0.90, 34→0.94;
+# 1M (auto=32): w=8→0.80, 16→0.90, 32→0.92 (r9 knob curve).  The
+# HALF-auto width clears the 0.8 floor at every measured rung while
+# probe-8 falls below it from 10M up — hence FLOOR_WIDTH_FRAC=0.5.
+# Recall ≥0.9 is only reliably measured at ~0.7·auto and above, so
+# requests above the floor band pin the full auto width (0.88-0.96
+# measured across 1M-50M).
 BULK_RECALL_FLOOR = 0.8
 FLOOR_WIDTH_FRAC = 0.5  # width fraction of auto_n_probe that meets the floor
 # recall band measured at the PROBE_THROUGHPUT_MIN width (the old

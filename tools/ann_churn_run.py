@@ -276,5 +276,137 @@ def main() -> None:
     }), flush=True)
 
 
+# ---- compaction-race variant (r11 verdict "missing" #2 done-criterion) ----
+#
+#   python tools/ann_churn_run.py 100000 --race
+#
+# A STORE_RAW layout (so serves exercise the full one-snapshot path:
+# shortlist + tombstone anti-join + raw rerank) is hammered by a racer
+# that appends a slice, compacts, deletes the previous slice, compacts —
+# every iteration flips the generation TWICE — while a reader serves
+# continuously via serve_topk.  Asserts zero serve errors across the
+# generation churn and the exact sequenced live set at the end.
+
+RACE_ROUNDS = 8
+RACE_MOD = 101  # slice i = vec_id % RACE_MOD == i; base = the rest
+
+
+def _race_slices(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = raw.where(F.col("vec_id") % RACE_MOD >= RACE_ROUNDS)
+    slices = {
+        i: raw.where(F.col("vec_id") % RACE_MOD == i)
+        for i in range(RACE_ROUNDS)
+    }
+    return raw, base, slices
+
+
+def race_server(n: int, path: str, stop_flag: str) -> None:
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+    from affinity_propagation_mapreduce_spark.session import get_spark
+
+    sf_dir = synth_dir(n)
+    spark = get_spark(f"ann-race-srv-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=8)
+    serves = 0
+    while not os.path.exists(stop_flag):
+        # the full serving pipeline on the raw layout: one model
+        # snapshot end-to-end, raw rerank from probed partitions
+        res = ai.serve_topk(spark, path, qids, qmat, qnrm)
+        per_q = res.groupBy("query_id").count().count()
+        assert per_q == len(qids), f"serve returned {per_q}/{len(qids)} queries"
+        serves += 1
+        print(f"SERVES={serves}", flush=True)
+    print(f"SERVER_CLEAN serves={serves}", flush=True)
+
+
+def race_main(n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+    from affinity_propagation_mapreduce_spark.session import get_spark
+
+    sf_dir = synth_dir(n)
+    spark = get_spark(f"ann-race-{n}")
+    spark.sparkContext.setLogLevel("ERROR")
+    raw, base, slices = _race_slices(spark, sf_dir)
+    path = f"/tmp/spark_graft_ann/race-n{n}"
+    shutil.rmtree(path, ignore_errors=True)
+    for f in (f"{path}.lock", f"{path}.flag"):
+        try:
+            os.remove(f)
+        except OSError:
+            pass
+    t0 = time.monotonic()
+    ai.build_ann_index(spark, sf_dir, path=path, emb_raw=base, store_raw=True)
+    build_sec = round(time.monotonic() - t0, 1)
+
+    me = os.path.abspath(__file__)
+    stop_flag = f"{path}.flag"
+    srv = subprocess.Popen(
+        [sys.executable, me, str(n), "--race-server", path, stop_flag],
+        start_new_session=True,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    gen0 = ai._gen_of(ai._read_meta(path))
+    t0 = time.monotonic()
+    try:
+        for i in range(RACE_ROUNDS):
+            ai.append_ann_index(spark, path, slices[i], f"race-a{i}")
+            ai.compact_ann_index(spark, path)
+            if i > 0:
+                ai.delete_ann_index(spark, path, slices[i - 1], f"race-d{i - 1}")
+                ai.compact_ann_index(spark, path)
+    finally:
+        with open(stop_flag, "w"):
+            pass
+        srv_out, _ = srv.communicate(timeout=600)
+    race_sec = round(time.monotonic() - t0, 1)
+    assert srv.returncode == 0, f"server crashed during race:\n{srv_out[-2000:]}"
+    serves = sum(1 for ln in srv_out.splitlines() if ln.startswith("SERVES="))
+    assert serves > 0, "server never completed a serve during the race"
+
+    meta = ai._read_meta(path)
+    flips = ai._gen_of(meta) - gen0
+    assert flips == 2 * RACE_ROUNDS - 1, f"expected {2*RACE_ROUNDS-1} flips, got {flips}"
+    # sequenced live set: base ∪ last slice (every earlier slice was
+    # deleted AFTER its append, so its cover includes it)
+    expected = base.select("vec_id").union(
+        slices[RACE_ROUNDS - 1].select("vec_id")
+    )
+    n_expected = expected.count()
+    codes = spark.read.parquet(ai.codes_root(path))
+    n_codes = codes.count()
+    missing = expected.join(codes.select("vec_id"), "vec_id", "left_anti").count()
+    extra = codes.select("vec_id").join(expected, "vec_id", "left_anti").count()
+    assert missing == 0, f"{missing} live rows LOST across the race"
+    assert extra == 0, f"{extra} dead rows RESURRECTED across the race"
+    assert n_codes == n_expected, (n_codes, n_expected)
+    assert not ai._tombstone_dirs(path), "tombstones pending after final fold"
+    print(json.dumps({
+        "mode": "compact-race",
+        "n": n,
+        "build_sec": build_sec,
+        "race_sec": race_sec,
+        "generation_flips": flips,
+        "serves_during_race": serves,
+        "rows_live": n_codes,
+        "rows_expected": n_expected,
+        "ledgers_consistent": True,
+    }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "--race":
+        race_main(int(sys.argv[1]))
+    elif len(sys.argv) > 2 and sys.argv[2] == "--race-server":
+        race_server(int(sys.argv[1]), sys.argv[3], sys.argv[4])
+    else:
+        main()
