@@ -41,6 +41,11 @@ def synth_dir(n: int, d: int = 16, k_true: int = 32) -> str:
     if os.path.exists(path):
         return out
     os.makedirs(out, exist_ok=True)
+    if n * d > 500_000_000:
+        # one-shot generation allocates several n×d f8 arrays (61 GB
+        # EACH at 10M×768) — stream the corpus in ~1 GB chunks instead
+        _synth_chunked(path, n, d, k_true)
+        return out
     rng = np.random.default_rng(11)
     centers = rng.normal(size=(k_true, d))
     lab = np.arange(n) % k_true
@@ -58,6 +63,49 @@ def synth_dir(n: int, d: int = 16, k_true: int = 32) -> str:
     )
     pq.write_table(tbl, path)
     return out
+
+
+def _synth_chunked(path: str, n: int, d: int, k_true: int) -> None:
+    """Chunk-streamed variant of the corpus synth for n·d beyond what
+    one-shot numpy can hold (the 50M×16 run peaked ~90 GB RSS with
+    every intermediate resident; 10M×768 would OOM outright).  Same
+    clustered shape and lowid regime (labels drawn per-chunk from a
+    chunk-seeded rng are uncorrelated with vec_id); f4 end-to-end and a
+    ListArray built from one flat buffer — no per-row python lists.
+    ~5 GB peak RSS regardless of corpus size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_rng = np.random.default_rng(11)
+    centers = base_rng.normal(size=(k_true, d)).astype("f4")
+    chunk = max(1, 250_000_000 // d)
+    writer = None
+    try:
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            m = hi - lo
+            crng = np.random.default_rng((11, lo))
+            lab = crng.integers(0, k_true, size=m)
+            pts = centers[lab] + 0.6 * crng.standard_normal(
+                (m, d), dtype="f4"
+            )
+            offsets = np.arange(0, (m + 1) * d, d, dtype="i4")
+            emb = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(pts.reshape(-1))
+            )
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array(np.arange(lo, hi, dtype="i8")),
+                    "embedding": emb,
+                    "label": pa.array(lab.astype("i4")),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(path, tbl.schema)
+            writer.write_table(tbl)
+    finally:
+        if writer is not None:
+            writer.close()
 
 
 class PeakState:
