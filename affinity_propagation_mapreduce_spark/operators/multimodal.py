@@ -571,18 +571,23 @@ def q_media_phash_neardup(spark, sf_dir):
             yield pd.DataFrame({"asset_id": ids, "phash": hashes})
 
     ph = docs.mapInPandas(kernel, "asset_id long, phash string")
-    grp = ph.groupBy("phash").agg(
-        F.count("*").alias("group_size"),
-        F.min("asset_id").alias("canonical_id"),
-    )
-    return ph.join(grp, "phash").select(
+    # group stats via a fingerprint-partitioned window, NOT
+    # groupBy+join: the self-join shape runs the decode kernel once per
+    # join side and tempts AQE into broadcasting a corpus-sized frame
+    # (observed in the pinned plan before this formulation) — the
+    # window shuffles (id, hash) pairs exactly once and the kernel runs
+    # exactly once
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash")
+    return ph.select(
         "asset_id",
         "phash",
-        "group_size",
-        "canonical_id",
-        (F.col("asset_id") != F.col("canonical_id"))
-        .cast("long")
-        .alias("is_dup"),
+        F.count("*").over(w).alias("group_size"),
+        F.min("asset_id").over(w).alias("canonical_id"),
+    ).withColumn(
+        "is_dup",
+        (F.col("asset_id") != F.col("canonical_id")).cast("long"),
     )
 
 
