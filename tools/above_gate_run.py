@@ -102,7 +102,12 @@ def _synth_chunked(path: str, n: int, d: int, k_true: int) -> None:
             )
             if writer is None:
                 writer = pq.ParquetWriter(path, tbl.schema)
-            writer.write_table(tbl)
+            # cap row groups so a group's embedding column chunk stays
+            # ~100 MB: writing one group per 1 GB chunk made 32
+            # concurrent scan tasks buffer ~1 GB each and OOM'd the
+            # executor heap at 10M×768
+            rows_per_group = max(1024, 25_000_000 // d)
+            writer.write_table(tbl, row_group_size=rows_per_group)
     finally:
         if writer is not None:
             writer.close()
