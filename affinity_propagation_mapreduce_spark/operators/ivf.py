@@ -93,6 +93,40 @@ def cost_balanced_nlist(n: int, nprobe: int) -> int:
     return max(16, int(round(math.sqrt(nprobe * n))))
 
 
+def md5_sample_rows(emb: DataFrame, k: int) -> list:
+    """Deterministic md5-ordered sample of ``k`` rows, scale-safe.
+
+    The naive ``orderBy(md5).limit(k).collect()`` makes EVERY scan task
+    ship its own partial top-k to the driver — at 10M × d=768 that is
+    ~9 GiB of serialized results (72 tasks × 71k wide rows) and trips
+    spark.driver.maxResultSize before a byte of training runs.  A
+    hash-prefix threshold pre-filter bounds the candidate set first:
+    rows whose 32-bit md5 prefix falls below ~8k/n of the hash space
+    (expected ~8·k rows).  Prefix order dominates full-string order, so
+    if the filtered set holds ≥ k rows it provably contains the true
+    top-k by full md5 — the selected sample is IDENTICAL to the
+    unfiltered formulation (quantizers, and every hash downstream of
+    them, are unchanged); if the filter under-selects (astronomically
+    unlikely at 8× margin) the unfiltered path runs as a fallback."""
+    order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    sel = emb
+    n = emb.count()
+    if n > 4 * k > 0:
+        t = min(1 << 32, int((1 << 32) * 8.0 * k / n) + 1)
+        pref = (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long")
+        )
+        filtered = emb.where(pref < t)
+        if filtered.count() >= k:
+            sel = filtered
+    rows = sel.orderBy(*order).limit(k).collect()
+    rows.sort(key=lambda r: r.vec_id)
+    return rows
+
+
 def train_centroids(
     emb: DataFrame,
     nlist: int,
@@ -114,13 +148,9 @@ def train_centroids(
     pseudo-centroids miss (recall comparison in tests/test_ann_recall.py);
     the lowest-id scheme remains the declared oracle-mirrorable variant.
     """
-    rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(nlist * sample_per_cell)
-        .collect()
+    rows = md5_sample_rows(
+        emb.select("vec_id", "embedding"), nlist * sample_per_cell
     )
-    rows.sort(key=lambda r: r.vec_id)
     pts = np.array([r.embedding for r in rows], dtype="f8")
     nlist = min(nlist, len(pts))
     cent = pts[:nlist].copy()

@@ -447,12 +447,11 @@ def _pq_train_codebooks(spark, sf_dir, emb=None):
 
     if emb is None:
         emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(PQ_TRAIN_SAMPLE)
-        .collect()
-    )
-    rows.sort(key=lambda r: r.vec_id)
+    from .ivf import md5_sample_rows
+
+    # scale-safe sampler: hash-threshold pre-filter, sample identical
+    # to the plain orderBy+limit (see md5_sample_rows)
+    rows = md5_sample_rows(emb, PQ_TRAIN_SAMPLE)
     pts = np.array([list(r.embedding) for r in rows], dtype="f8")
     d = pts.shape[1]
     # adapt the subspace count to the dimension: PQ_M when it divides d
