@@ -101,18 +101,20 @@ def md5_sample_rows(emb: DataFrame, k: int) -> list:
     ~9 GiB of serialized results (72 tasks × 71k wide rows) and trips
     spark.driver.maxResultSize before a byte of training runs.  A
     hash-prefix threshold pre-filter bounds the candidate set first:
-    rows whose 32-bit md5 prefix falls below ~8k/n of the hash space
-    (expected ~8·k rows).  Prefix order dominates full-string order, so
-    if the filtered set holds ≥ k rows it provably contains the true
-    top-k by full md5 — the selected sample is IDENTICAL to the
-    unfiltered formulation (quantizers, and every hash downstream of
-    them, are unchanged); if the filter under-selects (astronomically
-    unlikely at 8× margin) the unfiltered path runs as a fallback."""
+    rows whose 32-bit md5 prefix falls below ~2k/n of the hash space
+    (expected ~2·k rows — the margin itself is driver-bound through the
+    limit's partial results, so it stays small).  Prefix order dominates
+    full-string order, so if the filtered set holds ≥ k rows it provably
+    contains the true top-k by full md5 — the selected sample is
+    IDENTICAL to the unfiltered formulation (quantizers, and every hash
+    downstream of them, are unchanged); if the filter under-selects
+    (Chernoff ~e^{-k/4} at 2× margin) the unfiltered path runs as a
+    fallback."""
     order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
     sel = emb
     n = emb.count()
     if n > 4 * k > 0:
-        t = min(1 << 32, int((1 << 32) * 8.0 * k / n) + 1)
+        t = min(1 << 32, int((1 << 32) * 2.0 * k / n) + 1)
         pref = (
             F.conv(
                 F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),

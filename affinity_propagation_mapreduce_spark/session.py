@@ -38,6 +38,11 @@ def get_spark(app_name: str = "affinity-propagation-mapreduce-spark") -> SparkSe
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # quantizer-training samples are legitimately driver-sized
+        # O(nlist·d) data — ~440 MB at 10M×768 — and the sampling
+        # limit's per-task partials ride the same cap; 1g default trips
+        # at wide d while the driver heap has plenty of room
+        .config("spark.driver.maxResultSize", "4g")
         # long sessions generate many codegen classes (iterative AP most
         # of all); the default 240m JIT code cache fills and the compiler
         # silently shuts off, making every later query 3-5x slower
