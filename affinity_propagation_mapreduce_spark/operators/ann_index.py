@@ -929,7 +929,10 @@ def serve_topk(
         raise ValueError(
             "non-raw layout needs norms_df (vec_id, emb, nrm) to rerank"
         )
-    return _exact_rerank(spark, norms_df, shortlist, qids, qmat, qnrm)
+    sl_rows = len(qids) * max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
+    return _exact_rerank(
+        spark, norms_df, shortlist, qids, qmat, qnrm, shortlist_rows=sl_rows
+    )
 
 
 def _query_rows(spark, sf_dir, n_queries=N_QUERIES):

@@ -611,7 +611,8 @@ def knn_cosine_pq(spark, sf_dir):
     return _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm)
 
 
-def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm):
+def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
+                  shortlist_rows: int | None = None):
     """Exact top-k over an ADC shortlist: only the shortlist rows touch
     full-precision vectors (a key-join against the corpus), cosine is
     the JVM fold (bitwise = the declared exact queries), final top-k by
@@ -622,14 +623,26 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm):
     precomputed ``nrm`` column through the join would make the corpus
     scan evaluate the interpreted fold for EVERY row — at N=1M that one
     column dominated the serving wall — while post-join it runs on
-    |Q|·shortlist rows only."""
+    |Q|·shortlist rows only.
+
+    ``shortlist_rows``: the caller's |Q|·shortlist estimate.  When it is
+    broadcast-sized the shortlist side gets an explicit hint, turning
+    the corpus join map-side — without it the planner shuffles the
+    CORPUS for a sort-merge join against a few-thousand-row shortlist
+    (at 10M×d=768 that is a ~29 GB shuffle write for an interactive
+    |Q|=10 batch, which filled the disk before returning a row).  Bulk
+    batches (estimate above the cap) keep the keyed shuffle: a 40M-row
+    shortlist is not broadcastable and the shuffle is the honest cost."""
     qdf = spark.createDataFrame(
         [(int(i), list(map(float, e)), float(n)) for i, e, n in
          zip(qids, qmat, qnrm)],
         "query_id long, q_emb array<double>, q_nrm double",
     )
+    sl = shortlist_df
+    if shortlist_rows is not None and shortlist_rows <= 8_000_000:
+        sl = F.broadcast(sl)
     cand = (
-        shortlist_df.join(
+        sl.join(
             norms.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("emb").alias("n_emb"),

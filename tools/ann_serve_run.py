@@ -240,8 +240,12 @@ def main():
             return
         else:
             shortlist = ai.search_flat_pq(spark, path, qids, qmat, qnrm)
+        meta_sl = ai._read_meta(path)
         res = ai._exact_rerank(
-            spark, ai._norms(spark, sf_dir), shortlist, qids, qmat, qnrm
+            spark, ai._norms(spark, sf_dir), shortlist, qids, qmat, qnrm,
+            shortlist_rows=n_q * max(
+                ai.PQ_SHORTLIST, meta_sl["n"] // ai.PQ_SHORTLIST_FRAC
+            ),
         ).localCheckpoint(eager=True)
         rows = res.count()
         out.update(
