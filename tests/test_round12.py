@@ -157,6 +157,43 @@ class TestSnapshotThreading:
         assert baseline != after_delete  # the delete actually bit
 
 
+class TestRerankJoinShape:
+    def test_interactive_rerank_broadcasts_the_shortlist(self, spark):
+        # at 10M×d=768 the sort-merge formulation shuffled the 29 GB
+        # corpus against a 40k-row shortlist and filled the disk; the
+        # interactive path must broadcast the shortlist side
+        path = ai.build_ann_index(spark, SF_SMALL)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        res = ai.serve_topk(
+            spark, path, qids, qmat, qnrm, norms_df=ai._norms(spark, SF_SMALL)
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the corpus side must not be exchanged for the rerank join:
+        # the only sort-merge joins allowed are none at this |Q|
+        assert "SortMergeJoin" not in plan
+
+    def test_bulk_rerank_keeps_the_keyed_shuffle(self, spark):
+        # a shortlist estimated above the broadcast cap must NOT be
+        # force-broadcast (a 40M-row broadcast is an executor OOM)
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            _exact_rerank,
+        )
+
+        path = ai.build_ann_index(spark, SF_SMALL)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        sl = ai.search_ann_index(spark, path, qids, qmat, qnrm)
+        res = _exact_rerank(
+            spark, ai._norms(spark, SF_SMALL), sl, qids, qmat, qnrm,
+            shortlist_rows=50_000_000,
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # no explicit broadcast of the shortlist side (AQE may still
+        # pick one at runtime from true sizes — that's its call; the
+        # HINT must not force it)
+        assert "ResolvedHint" not in plan
+
+
 class TestAdviceR11:
     def test_store_raw_mismatch_on_complete_layout_raises(self, spark, tmp_path):
         path = str(tmp_path / "nonraw-idx")
