@@ -541,11 +541,21 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
         bks, qi_, qm_, qn_, c2q = bc.value
         qm3 = qm_.reshape(len(qi_), m_, dsub)
         lut_chunks: dict[int, np.ndarray] = {}
+        # bound the per-worker LUT cache: a chunk is 256·m·ksub doubles
+        # — 4 MB at d=16 but ~200 MB at d=768, and 32 workers each
+        # caching every block of a 10k-query batch OOM-killed the JVM
+        # at 5M×768 (kernel global OOM, not heap).  FIFO-evict past a
+        # ~512 MB budget; blocks are revisited cell-by-cell in
+        # ascending order, so recency keeps the hit rate high.
+        chunk_bytes = 256 * m_ * bks.shape[1] * 8
+        max_chunks = max(1, 512_000_000 // chunk_bytes)
 
         def lut_for(lo: int) -> np.ndarray:
             got = lut_chunks.get(lo)
             if got is None:
                 got = np.einsum("qmd,mcd->qmc", qm3[lo : lo + 256], bks)
+                if len(lut_chunks) >= max_chunks:
+                    lut_chunks.pop(next(iter(lut_chunks)))
                 lut_chunks[lo] = got
             return got
 
