@@ -36,6 +36,7 @@ ROWS_ONLY = {
     "ann_recall_gate",         # recall floor gate over approximate paths
     "ivf_dup_subset_gate",     # bitwise subset gate, raises on violation
     "stream_batch_equiv_gate",  # runs the five remaining streaming twins
+    "ann_index_stream_ingest",  # real structured stream folds the index
 }
 
 AP_KEYS = sorted(k for k in QUERIES if k.startswith("ap_"))
