@@ -251,7 +251,7 @@ def _encode_codes(spark, emb, cent_mat, sup_ch, books, with_raw: bool = False):
 
 def build_ann_index(
     spark, sf_dir: str, path: str | None = None, emb_raw=None,
-    store_raw: bool = False,
+    store_raw: bool = False, n_hint: int | None = None,
 ) -> str:
     """Train + encode + persist; returns the layout path.  Idempotent and
     crash-safe (flock'd write-once); a complete layout short-circuits.
@@ -261,6 +261,14 @@ def build_ann_index(
     the codes tree (columnar: the ADC scan never reads those bytes) so
     ``serve_topk`` reranks from the probed partitions instead of
     rescanning the corpus — the serving-store shape for wide embeddings.
+    ``n_hint`` sizes the coarse quantizer for the EVENTUAL corpus when
+    the base build sees only its first shard (the sharded-source build:
+    shard 0 trains the quantizers, shards 1..S-1 arrive as frozen-
+    quantizer appends and the source shards retire as they fold in —
+    without the hint nlist would be sqrt-scaled to one shard and every
+    cell would run S× oversized for the life of the layout).  The hint
+    affects geometry only; meta ``n`` stays the count actually encoded
+    (appends advance it).
 
     ALL expensive work (training collects AND the corpus encode) runs
     inside write_fn, i.e. under the layout flock AFTER the _SUCCESS
@@ -288,7 +296,7 @@ def build_ann_index(
         else:
             raw = emb_raw.select("vec_id", "embedding")
             n = raw.count()
-        nlist = cost_balanced_nlist(n, IVFPQ_QUERY_PROBE)
+        nlist = cost_balanced_nlist(max(n, n_hint or 0), IVFPQ_QUERY_PROBE)
         cent_mat = train_centroids(raw, nlist)
         sup_ch = (
             build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None

@@ -352,3 +352,54 @@ class TestOddDimensionGuard:
             books = V._pq_train_codebooks(spark, None, emb=emb)
             assert books.shape[0] == m_expected
             assert books.shape[2] == 2
+
+
+class TestShardedBuildGeometry:
+    """Sharded-source build (the 10M×768 rung's shape): shard 0 trains
+    the quantizers but ``n_hint`` must size the coarse geometry for the
+    EVENTUAL corpus — without it nlist is sqrt-scaled to one shard and
+    every cell runs S× oversized for the life of the layout."""
+
+    def test_n_hint_sizes_nlist_for_the_eventual_corpus(self, spark, tmp_path):
+        raw = ai.table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        n = raw.count()
+        hinted = ai.build_ann_index(
+            spark, SF_SMALL, path=str(tmp_path / "hinted"), emb_raw=raw,
+            n_hint=100 * n,
+        )
+        plain = ai.build_ann_index(
+            spark, SF_SMALL, path=str(tmp_path / "plain"), emb_raw=raw
+        )
+        m_hint = ai._read_meta(hinted)
+        m_plain = ai._read_meta(plain)
+        # the hint flows into cost_balanced_nlist (clamped to the training
+        # sample, which here is the whole tiny corpus); meta n stays the
+        # count actually encoded in both layouts
+        from affinity_propagation_mapreduce_spark.operators.ivf import (
+            cost_balanced_nlist,
+        )
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            IVFPQ_QUERY_PROBE,
+        )
+
+        want = min(n, cost_balanced_nlist(100 * n, IVFPQ_QUERY_PROBE))
+        assert m_hint["nlist"] == want
+        assert m_hint["nlist"] > m_plain["nlist"]
+        assert m_hint["n"] == m_plain["n"] == n
+
+    def test_hint_smaller_than_corpus_is_ignored(self, spark, tmp_path):
+        # max(n, hint): a stale low hint can never shrink the geometry
+        # below what the actual input justifies
+        raw = ai.table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        p = ai.build_ann_index(
+            spark, SF_SMALL, path=str(tmp_path / "low-hint"), emb_raw=raw,
+            n_hint=1,
+        )
+        q = ai.build_ann_index(
+            spark, SF_SMALL, path=str(tmp_path / "no-hint"), emb_raw=raw
+        )
+        assert ai._read_meta(p)["nlist"] == ai._read_meta(q)["nlist"]
