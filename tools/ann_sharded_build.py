@@ -347,6 +347,48 @@ def bulk(n_q: int, pmode: str = "auto") -> dict:
     }
 
 
+def delete_drill() -> dict:
+    """Tombstone a 5% slice of the 10M raw layout, then serve |Q|=10 with
+    the tombstones PENDING and assert no dead neighbor is returned — the
+    maintenance cost at this scale without the fold.  The fold itself is
+    NOT run here: compacting a ~34 GB raw tree needs old tree + new tree
+    + the cell shuffle resident at once (~100 GB), over this box's
+    ~94 GB usable quota — at 10M×768 compaction is a fleet-sized job by
+    construction, and the pending-tombstone serve below is the shape
+    that carries the layout between folds."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+
+    spark = _spark("ann-sharded-delete")
+    victims = (
+        spark.range(N)
+        .select(F.col("id").alias("vec_id"))
+        .where(F.col("vec_id") % 20 == 11)
+    )
+    t0 = time.monotonic()
+    n_del = ai.delete_ann_index(spark, INDEX, victims, "drill-del-20-11")
+    del_sec = round(time.monotonic() - t0, 1)
+    qids, qmat, qnrm = _queries(10)
+    t0 = time.monotonic()
+    res = ai.serve_topk(spark, INDEX, qids, qmat, qnrm).localCheckpoint(
+        eager=True
+    )
+    rows = res.count()
+    bad = res.where(F.col("neighbor_id") % 20 == 11).count()
+    serve_sec = round(time.monotonic() - t0, 1)
+    if bad:
+        raise AssertionError(f"{bad} tombstoned neighbors served")
+    return {
+        "phase": "delete",
+        "n_deleted": n_del,
+        "delete_sec": del_sec,
+        "serve_with_pending_tombstones_sec": serve_sec,
+        "tombstoned_neighbors_served": bad,
+        "rows": rows,
+    }
+
+
 def main():
     mode = sys.argv[1]
     if mode == "synth":
@@ -363,6 +405,8 @@ def main():
         out = bulk(
             int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else "auto"
         )
+    elif mode == "delete":
+        out = delete_drill()
     else:
         raise SystemExit(f"unknown mode {mode!r}")
     print(json.dumps(out), flush=True)
