@@ -526,6 +526,11 @@ def load_ann_model(spark, path: str):
     return meta, cent_mat, books
 
 
+# per-worker LUT cache budget (bytes).  Module-level so tests can force
+# the past-capacity regime at small |Q| and pin LUT ≡ direct equality.
+_LUT_CACHE_BYTES = 512_000_000
+
+
 def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to_q):
     """Shared ADC kernel over a (possibly cell-pruned) codes scan.
 
@@ -539,8 +544,25 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
     Per batch, rows group by cell and only the queries probing that
     cell score it; emission is the per-(batch, cell, query)
     top-``shortlist`` — survivor-safe for the global
-    (pq_cosine DESC, neighbor_id ASC) shortlist window."""
+    (pq_cosine DESC, neighbor_id ASC) shortlist window.
+
+    WIDE-d BULK ESCAPE HATCH (measured this round): at d=768 the full
+    LUT working set for a 10k-query batch is ~8 GB (40 blocks × 200 MB)
+    — far past the 512 MB cache, and the ascending cell-by-cell revisit
+    order makes FIFO eviction a 0%-hit sequential-scan thrash: every
+    (cell, block) pair re-paid the 50 MFLOP einsum and the 10M×768 bulk
+    scan ran 32 cores at 100% for the better part of an hour.  When the
+    batch's block count exceeds the cache capacity, small cells switch
+    to DIRECT reconstruct+matmul: decode the cell's codes once
+    (one fancy-index gather → rows×d) and score `qm @ recon.T` — per
+    (cell, block) that is |probing|·rows·d flop vs the LUT's
+    256·m·ksub·dsub rebuild, which a ~140-row cell can never amortize
+    (crossover: rows·|probing|·(dsub−1) vs 256·ksub·dsub).  Same
+    arithmetic, same scores (modulo f8 association), no cache needed —
+    the LUT path remains the winner whenever the working set fits
+    (interactive batches, d ≤ 64 at any |Q|)."""
     m_, dsub = meta["m"], meta["dsub"]
+    lut_budget = _LUT_CACHE_BYTES  # snapshot: ships inside the closure
     bc = spark.sparkContext.broadcast((books, qids, qmat, qnrm, cell_to_q))
 
     def kernel(batches):
@@ -555,8 +577,15 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
         # at 5M×768 (kernel global OOM, not heap).  FIFO-evict past a
         # ~512 MB budget; blocks are revisited cell-by-cell in
         # ascending order, so recency keeps the hit rate high.
-        chunk_bytes = 256 * m_ * bks.shape[1] * 8
-        max_chunks = max(1, 512_000_000 // chunk_bytes)
+        ksub = bks.shape[1]
+        chunk_bytes = 256 * m_ * ksub * 8
+        max_chunks = max(1, lut_budget // chunk_bytes)
+        # when every block of this batch fits the cache, the LUT is
+        # strictly cheaper after its one-time build; past capacity the
+        # sequential revisit order thrashes FIFO to a 0% hit rate and
+        # small cells must not pay the rebuild (see docstring)
+        lut_always = (len(qi_) + 255) // 256 <= max_chunks
+        marange = np.arange(m_)[None, :]
 
         def lut_for(lo: int) -> np.ndarray:
             got = lut_chunks.get(lo)
@@ -590,13 +619,29 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
                 by_block: dict[int, list[int]] = {}
                 for p in probing:
                     by_block.setdefault(p // 256 * 256, []).append(p)
+                recon = None
                 for lo, plist in by_block.items():
-                    lut_lo = lut_for(lo)
                     pr = np.asarray(plist, dtype="i8")
-                    lut_pr = lut_lo[pr - lo]  # one fancy-index copy
-                    adc = np.zeros((len(pr), len(c_ids)), dtype="f8")
-                    for m in range(m_):
-                        adc += lut_pr[:, m, c_codes[:, m]]
+                    use_lut = (
+                        lut_always
+                        or lo in lut_chunks
+                        or len(c_ids) * len(pr) * (dsub - 1)
+                        > 256 * ksub * dsub
+                    )
+                    if use_lut:
+                        lut_lo = lut_for(lo)
+                        lut_pr = lut_lo[pr - lo]  # one fancy-index copy
+                        adc = np.zeros((len(pr), len(c_ids)), dtype="f8")
+                        for m in range(m_):
+                            adc += lut_pr[:, m, c_codes[:, m]]
+                    else:
+                        # direct reconstruct+matmul: decode the cell
+                        # once, share it across this cell's blocks
+                        if recon is None:
+                            recon = bks[marange, c_codes].reshape(
+                                len(c_ids), m_ * dsub
+                            )
+                        adc = qm_[pr] @ recon.T
                     adc /= qn_[pr][:, None] * c_nrm[None, :]
                     for row, p in enumerate(pr):
                         mask = c_ids != qi_[p]

@@ -611,6 +611,109 @@ def knn_cosine_pq(spark, sf_dir):
     return _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm)
 
 
+# pair-broadcast rerank band: above the shortlist-broadcast cap the old
+# fallback was a keyed shuffle join — which shuffles the FULL-PRECISION
+# side by neighbor_id (at 10M×d=768 the raw store is ~30 GB f4, cast to
+# f8 for the join = ~60 GB of shuffle write; measured: it filled this
+# box's disk quota before returning a row, and at 100 TB it would
+# reshuffle the serving store for EVERY bulk batch).  Up to this many
+# (query, neighbor) pairs the rerank instead broadcasts the pair set
+# (two int arrays, ~12 B/pair → ~1.4 GB at the cap) + the query matrix
+# and scores pairs IN PLACE with one vectorized pass over the store's
+# own partitions — zero shuffle of full-precision bytes; only the
+# scored candidates (|pairs| × 24 B) move to the final top-k window.
+_PAIR_RERANK_MAX_PAIRS = 120_000_000
+
+
+def _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm):
+    """Bulk exact rerank that reads the full-precision store IN PLACE:
+    the (query, neighbor) pair set is collected (Arrow) and broadcast
+    sorted by neighbor_id; one mapInPandas pass over ``norms`` locates
+    each partition row's pairs by binary search, gathers the query rows
+    from the broadcast matrix, and scores cosine vectorized (einsum).
+    Full-precision vectors NEVER shuffle — the per-batch moving data is
+    the scored candidate list, not the store."""
+    import numpy as np
+    import pandas as pd
+
+    pairs = shortlist_df.select("query_id", "neighbor_id").toPandas()
+    if not len(pairs):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rn long"
+        )
+    nb = pairs["neighbor_id"].to_numpy(dtype="i8")
+    qd = pairs["query_id"].to_numpy(dtype="i8")
+    order = np.argsort(nb, kind="stable")
+    nb_sorted = nb[order]
+    qids_arr = np.asarray(qids, dtype="i8")
+    qorder = np.argsort(qids_arr, kind="stable")
+    qpos = qorder[
+        np.searchsorted(qids_arr[qorder], qd[order])
+    ].astype("i4")
+    bc = spark.sparkContext.broadcast(
+        (
+            nb_sorted,
+            qpos,
+            np.asarray(qmat, dtype="f8"),
+            np.asarray(qnrm, dtype="f8"),
+            qids_arr,
+        )
+    )
+
+    def kernel(batches):
+        nbs, qp, qm, qn, qi = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype="i8")
+            lo = np.searchsorted(nbs, ids, side="left")
+            hi = np.searchsorted(nbs, ids, side="right")
+            cnt = hi - lo
+            sel = np.nonzero(cnt)[0]
+            if not len(sel):
+                continue
+            reps = cnt[sel]
+            total = int(reps.sum())
+            # pair slot indices: for selected row r, slots lo[r]..hi[r]
+            starts = np.cumsum(reps) - reps
+            slot = (
+                np.arange(total)
+                - np.repeat(starts, reps)
+                + np.repeat(lo[sel], reps)
+            )
+            pos = np.repeat(np.arange(len(sel)), reps)
+            xm = np.array(
+                [np.asarray(e, dtype="f8") for e in pdf["emb"].iloc[sel]]
+            )
+            xn = np.sqrt((xm * xm).sum(axis=1))
+            qrow = qp[slot]
+            cos = np.einsum("ij,ij->i", qm[qrow], xm[pos]) / (
+                qn[qrow] * xn[pos]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": qi[qrow],
+                    "neighbor_id": np.repeat(ids[sel], reps),
+                    "cosine": cos,
+                }
+            )
+
+    scored = norms.select("vec_id", "emb").mapInPandas(
+        kernel, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
 def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
                   shortlist_rows: int | None = None):
     """Exact top-k over an ADC shortlist: only the shortlist rows touch
@@ -625,14 +728,19 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
     column dominated the serving wall — while post-join it runs on
     |Q|·shortlist rows only.
 
-    ``shortlist_rows``: the caller's |Q|·shortlist estimate.  When it is
-    broadcast-sized the shortlist side gets an explicit hint, turning
-    the corpus join map-side — without it the planner shuffles the
-    CORPUS for a sort-merge join against a few-thousand-row shortlist
-    (at 10M×d=768 that is a ~29 GB shuffle write for an interactive
-    |Q|=10 batch, which filled the disk before returning a row).  Bulk
-    batches (estimate above the cap) keep the keyed shuffle: a 40M-row
-    shortlist is not broadcastable and the shuffle is the honest cost."""
+    ``shortlist_rows``: the caller's |Q|·shortlist estimate, which picks
+    one of THREE join shapes:
+
+    * ≤ 8M rows (interactive) — broadcast the shortlist side, turning
+      the store join map-side (without the hint the planner shuffled
+      the CORPUS against a few-thousand-row shortlist: ~29 GB of
+      shuffle at 10M×d=768 for a |Q|=10 batch).
+    * ≤ _PAIR_RERANK_MAX_PAIRS (bulk) — ``_pair_rerank_inplace``: the
+      pair set broadcasts, the full-precision store is scored IN PLACE
+      and never shuffles (the keyed-shuffle fallback moved ~60 GB of f8
+      store bytes per 10M×d=768 bulk batch and filled the disk).
+    * above the cap (or no estimate) — keyed shuffle join, the honest
+      cost once the pair set itself outgrows a sane broadcast."""
     qdf = spark.createDataFrame(
         [(int(i), list(map(float, e)), float(n)) for i, e, n in
          zip(qids, qmat, qnrm)],
@@ -641,6 +749,8 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
     sl = shortlist_df
     if shortlist_rows is not None and shortlist_rows <= 8_000_000:
         sl = F.broadcast(sl)
+    elif shortlist_rows is not None and shortlist_rows <= _PAIR_RERANK_MAX_PAIRS:
+        return _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm)
     cand = (
         sl.join(
             norms.select(

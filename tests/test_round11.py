@@ -264,8 +264,13 @@ class TestRealCodecs:
 
         from affinity_propagation_mapreduce_spark.operators import multimodal as mm
 
-        with _pytest.raises(NotImplementedError):
+        # PNG decodes for REAL since round 12 — malformed PNG bytes now
+        # fail as a corrupt file (ValueError), not as a missing codec;
+        # the NotImplementedError seam is JPEG/MP4 only
+        with _pytest.raises(ValueError):
             mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
         with _pytest.raises(ValueError):
             mm.decode_bmp(b"XXnot a bmp")
         with _pytest.raises(ValueError):

@@ -173,9 +173,12 @@ class TestRerankJoinShape:
         # the only sort-merge joins allowed are none at this |Q|
         assert "SortMergeJoin" not in plan
 
-    def test_bulk_rerank_keeps_the_keyed_shuffle(self, spark):
-        # a shortlist estimated above the broadcast cap must NOT be
-        # force-broadcast (a 40M-row broadcast is an executor OOM)
+    def test_bulk_rerank_scores_the_store_in_place(self, spark):
+        # a bulk shortlist must neither be force-broadcast as a JOIN
+        # side (40M-row hash relation = executor OOM) nor trigger the
+        # keyed shuffle of the full-precision store (~60 GB of f8 bytes
+        # per 10M×d=768 batch — measured to fill the disk quota): the
+        # pair-broadcast band scores the store IN PLACE via mapInPandas
         from affinity_propagation_mapreduce_spark.operators.vector import (
             _exact_rerank,
         )
@@ -188,9 +191,52 @@ class TestRerankJoinShape:
             shortlist_rows=50_000_000,
         )
         plan = res._jdf.queryExecution().executedPlan().toString()
-        # no explicit broadcast of the shortlist side (AQE may still
-        # pick one at runtime from true sizes — that's its call; the
-        # HINT must not force it)
+        assert "MapInPandas" in plan
+        assert "SortMergeJoin" not in plan and "Join" not in plan
+
+    def test_pair_rerank_matches_the_join_formulation(self, spark):
+        # same shortlist through both bands: identical (query, neighbor,
+        # rn) rows, cosine equal to fold arithmetic within float noise
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            _exact_rerank,
+        )
+
+        path = ai.build_ann_index(spark, SF_SMALL)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        sl = ai.search_ann_index(
+            spark, path, qids, qmat, qnrm
+        ).localCheckpoint(eager=True)
+        norms = ai._norms(spark, SF_SMALL)
+        via_join = _exact_rerank(
+            spark, norms, sl, qids, qmat, qnrm, shortlist_rows=10
+        )
+        via_pairs = _exact_rerank(
+            spark, norms, sl, qids, qmat, qnrm, shortlist_rows=50_000_000
+        )
+        a = {(r.query_id, r.neighbor_id, r.rn): r.cosine
+             for r in via_join.collect()}
+        b = {(r.query_id, r.neighbor_id, r.rn): r.cosine
+             for r in via_pairs.collect()}
+        assert a.keys() == b.keys() and len(a) > 0
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-9
+
+    def test_giant_shortlist_falls_back_to_the_keyed_shuffle(self, spark):
+        # above the pair-broadcast cap the shuffle is the honest cost;
+        # the shortlist side must not carry a forced broadcast hint
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            _PAIR_RERANK_MAX_PAIRS,
+            _exact_rerank,
+        )
+
+        path = ai.build_ann_index(spark, SF_SMALL)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        sl = ai.search_ann_index(spark, path, qids, qmat, qnrm)
+        res = _exact_rerank(
+            spark, ai._norms(spark, SF_SMALL), sl, qids, qmat, qnrm,
+            shortlist_rows=_PAIR_RERANK_MAX_PAIRS + 1,
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
         assert "ResolvedHint" not in plan
 
 
@@ -502,3 +548,38 @@ class TestPngCodec:
 
         with pytest.raises(NotImplementedError, match="JPEG"):
             decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+
+
+class TestAdcDirectPath:
+    """Wide-d bulk ADC (found at 10M×768/|Q|=10k): the LUT working set
+    (~8 GB) thrashed the 512 MB FIFO cache at 0% hit — every (cell,
+    block) re-paid the 50 MFLOP einsum and the scan pinned 32 cores for
+    the better part of an hour.  Past cache capacity, small cells now
+    score by direct reconstruct+matmul; the two formulations compute
+    the same sum-of-subspace dot products, so the served shortlist must
+    be IDENTICAL either way."""
+
+    def test_direct_path_serves_the_same_topk(self, spark, monkeypatch):
+        path = ai.build_ann_index(spark, SF_SMALL)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        via_lut = sorted(
+            (r.query_id, r.neighbor_id, r.rn)
+            for r in ai.serve_topk(
+                spark, path, qids, qmat, qnrm,
+                norms_df=ai._norms(spark, SF_SMALL),
+            ).collect()
+        )
+        # one chunk is far over a 1-byte budget -> max_chunks=1 and
+        # lut_always False for any multi-block batch; with |Q|=10 the
+        # single block would still fit, so ALSO verify the decision
+        # wiring by shrinking the block economics: budget 1 forces
+        # max_chunks=1, lut_always stays True only for <=1 block.
+        monkeypatch.setattr(ai, "_LUT_CACHE_BYTES", 1)
+        via_direct = sorted(
+            (r.query_id, r.neighbor_id, r.rn)
+            for r in ai.serve_topk(
+                spark, path, qids, qmat, qnrm,
+                norms_df=ai._norms(spark, SF_SMALL),
+            ).collect()
+        )
+        assert via_lut == via_direct and len(via_lut) > 0
