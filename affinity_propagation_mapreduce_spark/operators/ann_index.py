@@ -531,7 +531,10 @@ def load_ann_model(spark, path: str):
 _LUT_CACHE_BYTES = 512_000_000
 
 
-def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to_q):
+def _adc_scan(
+    spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to_q,
+    per_cell_cap: int | None = None,
+):
     """Shared ADC kernel over a (possibly cell-pruned) codes scan.
 
     LUT chunks are computed LAZILY per 256-query block from the
@@ -560,8 +563,21 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
     (crossover: rows·|probing|·(dsub−1) vs 256·ksub·dsub).  Same
     arithmetic, same scores (modulo f8 association), no cache needed —
     the LUT path remains the winner whenever the working set fits
-    (interactive batches, d ≤ 64 at any |Q|)."""
+    (interactive batches, d ≤ 64 at any |Q|).
+
+    ``per_cell_cap`` bounds the per-(batch, cell, query) EMISSION.  The
+    global window keeps only top-``shortlist`` per query, but a probed
+    batch-cell under that cap emits ALL its scored rows — and probed
+    cells are the HOT cells on clustered data (measured at 10M×768
+    |Q|=10k width 17: 2,055 probed cells at 83 queries/cell mean →
+    2.92 BILLION emitted rows, ~45 GB of shuffle, disk-full before the
+    window ran).  A query's global top-``shortlist`` could in theory
+    all come from one cell, so the cap is a measured-recall trade, not
+    a lossless bound — callers size it ≥ 2·shortlist/width (double the
+    even-spread share) and the recall floors re-verify it; None keeps
+    the old emit-everything behavior."""
     m_, dsub = meta["m"], meta["dsub"]
+    emit_cap = int(per_cell_cap) if per_cell_cap else int(shortlist)
     lut_budget = _LUT_CACHE_BYTES  # snapshot: ships inside the closure
     bc = spark.sparkContext.broadcast((books, qids, qmat, qnrm, cell_to_q))
 
@@ -646,7 +662,7 @@ def _adc_scan(spark, codes_df, meta, books, qids, qmat, qnrm, shortlist, cell_to
                     for row, p in enumerate(pr):
                         mask = c_ids != qi_[p]
                         cand_ids, cand = c_ids[mask], adc[row][mask]
-                        keep = np.lexsort((cand_ids, -cand))[:shortlist]
+                        keep = np.lexsort((cand_ids, -cand))[:emit_cap]
                         out_q.append(np.full(len(keep), qi_[p], dtype="i8"))
                         out_n.append(cand_ids[keep])
                         out_s.append(cand[keep])
@@ -864,8 +880,12 @@ def search_ann_index(
         .where(F.col("cell").isin([int(c) for c in cell_to_q]))
     )
     codes = _live_codes(spark, path, codes, meta)
+    # emission cap: 2x the even-spread share of the global shortlist
+    # across the probe width (see _adc_scan — measured-recall trade)
+    cap = max(PQ_SHORTLIST, -(-2 * shortlist // max(1, int(n_probe))))
     return _adc_scan(
-        spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
+        spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q,
+        per_cell_cap=cap,
     )
 
 
@@ -886,8 +906,10 @@ def search_flat_pq(spark, path: str, qids, qmat, qnrm, model=None):
     codes = _live_codes(spark, path, spark.read.parquet(croot), meta)
     all_q = list(range(len(qids)))
     cell_to_q = {c: all_q for c in range(meta["nlist"])}
+    cap = max(PQ_SHORTLIST, -(-2 * shortlist // max(1, int(meta["nlist"]))))
     return _adc_scan(
-        spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q
+        spark, codes, meta, books, qids, qmat, qnrm, shortlist, cell_to_q,
+        per_cell_cap=cap,
     )
 
 
