@@ -1016,7 +1016,8 @@ def serve_topk(
         )
     sl_rows = len(qids) * max(PQ_SHORTLIST, meta["n"] // PQ_SHORTLIST_FRAC)
     return _exact_rerank(
-        spark, norms_df, shortlist, qids, qmat, qnrm, shortlist_rows=sl_rows
+        spark, norms_df, shortlist, qids, qmat, qnrm, shortlist_rows=sl_rows,
+        store_rows=meta["n"],
     )
 
 

@@ -715,7 +715,8 @@ def _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm):
 
 
 def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
-                  shortlist_rows: int | None = None):
+                  shortlist_rows: int | None = None,
+                  store_rows: int | None = None):
     """Exact top-k over an ADC shortlist: only the shortlist rows touch
     full-precision vectors (a key-join against the corpus), cosine is
     the JVM fold (bitwise = the declared exact queries), final top-k by
@@ -735,21 +736,33 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
       the store join map-side (without the hint the planner shuffled
       the CORPUS against a few-thousand-row shortlist: ~29 GB of
       shuffle at 10M×d=768 for a |Q|=10 batch).
-    * ≤ _PAIR_RERANK_MAX_PAIRS (bulk) — ``_pair_rerank_inplace``: the
-      pair set broadcasts, the full-precision store is scored IN PLACE
-      and never shuffles (the keyed-shuffle fallback moved ~60 GB of f8
-      store bytes per 10M×d=768 bulk batch and filled the disk).
-    * above the cap (or no estimate) — keyed shuffle join, the honest
-      cost once the pair set itself outgrows a sane broadcast."""
+    * bulk, WHEN the in-place economics win — ``_pair_rerank_inplace``:
+      the pair set broadcasts, the full-precision store is scored IN
+      PLACE and never shuffles.  What the in-place pass saves is the
+      store shuffle, and what it costs is collecting + broadcasting the
+      pair set — so it runs only when ``store_rows``·row-bytes exceeds
+      the pair set's end-to-end cost (pairs × ~48 B).  At 10M×d=768 the
+      keyed shuffle moved ~60 GB of f8 store bytes per batch and filled
+      the disk → in-place wins by 30×; at 20M×d=16 the store is a cheap
+      2.6 GB shuffle and the pair band measured SLOWER (207 s vs 128 s)
+      → the join keeps it.  Band capped at _PAIR_RERANK_MAX_PAIRS.
+    * otherwise — keyed shuffle join: the honest cost for a narrow
+      store, a missing estimate, or a pair set past the broadcast cap."""
     qdf = spark.createDataFrame(
         [(int(i), list(map(float, e)), float(n)) for i, e, n in
          zip(qids, qmat, qnrm)],
         "query_id long, q_emb array<double>, q_nrm double",
     )
+    d = len(qmat[0]) if len(qids) else 0
     sl = shortlist_df
     if shortlist_rows is not None and shortlist_rows <= 8_000_000:
         sl = F.broadcast(sl)
-    elif shortlist_rows is not None and shortlist_rows <= _PAIR_RERANK_MAX_PAIRS:
+    elif (
+        shortlist_rows is not None
+        and shortlist_rows <= _PAIR_RERANK_MAX_PAIRS
+        and store_rows is not None
+        and store_rows * (8 * d + 32) > shortlist_rows * 48
+    ):
         return _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm)
     cand = (
         sl.join(

@@ -188,7 +188,7 @@ class TestRerankJoinShape:
         sl = ai.search_ann_index(spark, path, qids, qmat, qnrm)
         res = _exact_rerank(
             spark, ai._norms(spark, SF_SMALL), sl, qids, qmat, qnrm,
-            shortlist_rows=50_000_000,
+            shortlist_rows=50_000_000, store_rows=10**12,
         )
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
@@ -211,7 +211,8 @@ class TestRerankJoinShape:
             spark, norms, sl, qids, qmat, qnrm, shortlist_rows=10
         )
         via_pairs = _exact_rerank(
-            spark, norms, sl, qids, qmat, qnrm, shortlist_rows=50_000_000
+            spark, norms, sl, qids, qmat, qnrm, shortlist_rows=50_000_000,
+            store_rows=10**12,
         )
         a = {(r.query_id, r.neighbor_id, r.rn): r.cosine
              for r in via_join.collect()}
@@ -234,7 +235,7 @@ class TestRerankJoinShape:
         sl = ai.search_ann_index(spark, path, qids, qmat, qnrm)
         res = _exact_rerank(
             spark, ai._norms(spark, SF_SMALL), sl, qids, qmat, qnrm,
-            shortlist_rows=_PAIR_RERANK_MAX_PAIRS + 1,
+            shortlist_rows=_PAIR_RERANK_MAX_PAIRS + 1, store_rows=10**12,
         )
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert "ResolvedHint" not in plan
@@ -583,3 +584,26 @@ class TestAdcDirectPath:
             ).collect()
         )
         assert via_lut == via_direct and len(via_lut) > 0
+
+    def test_narrow_store_keeps_the_join_even_for_bulk(self, spark):
+        # the in-place band exists to avoid shuffling a WIDE store; a
+        # narrow store (measured: 20M x d=16 = 2.6 GB shuffle, join
+        # 128 s vs pair band 207 s) must stay on the join path
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            _exact_rerank,
+        )
+
+        path = ai.build_ann_index(spark, SF_SMALL)
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        sl = ai.search_ann_index(spark, path, qids, qmat, qnrm)
+        # bulk-sized estimate, but a store whose shuffle is cheaper
+        # than collecting+broadcasting the pair set
+        res = _exact_rerank(
+            spark, ai._norms(spark, SF_SMALL), sl, qids, qmat, qnrm,
+            shortlist_rows=50_000_000, store_rows=500,
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # the join path joins; the in-place band has no join at all
+        # (its plan's only MapInPandas-visible python is the shortlist
+        # subplan, which both paths share)
+        assert "Join" in plan
