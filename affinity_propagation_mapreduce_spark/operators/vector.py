@@ -96,6 +96,70 @@ WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
 QUALIFY row_number() OVER w <= {TOP_K}
 """
 
+# --- E1b filtered exact top-k (the filtered-ANN oracle path) -----------------
+
+# qualifying-neighbor predicate for the declared filtered-search key:
+# label % 3 == 0 keeps 4 of the 10 balanced ground-truth classes
+# (~40% selectivity — under the pre/post crossover, so the coded rule
+# picks the pre-filter and the gate exercises a real widened-probe scan)
+FILTER_LABEL_MOD = 3
+
+
+def exact_knn_cosine_filtered(spark, sf_dir, k: int = TOP_K):
+    """Exact filter→rank top-k: q_knn_cosine_topk with the CANDIDATE
+    side restricted to the metadata predicate (label % FILTER_LABEL_MOD
+    == 0).  SQL-expressible — the hashed oracle path that anchors the
+    approximate filtered serving in ann_index.serve_topk_filtered."""
+    emb = _emb(spark, sf_dir)
+    norms = emb.select(
+        "vec_id",
+        "emb",
+        "label",
+        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+    )
+    q = norms.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = norms.where(F.col("label") % FILTER_LABEL_MOD == 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+O_KNN_FILTERED = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x),
+                          (a, b) -> a + b)) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+      FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.q_emb, c.emb), p -> p[1]*p[2]),
+                     (a, b) -> a + b) / (q.q_nrm * c.nrm) AS cosine
+  FROM q JOIN e c ON q.query_id <> c.vec_id AND c.label % {FILTER_LABEL_MOD} = 0)
+SELECT query_id, neighbor_id, cosine,
+       CAST(row_number() OVER w AS BIGINT) AS rn
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY row_number() OVER w <= {TOP_K}
+"""
+
 # --- E2 pairwise L2 distance histogram --------------------------------------
 
 def q_dist_histogram(spark, sf_dir):
@@ -622,17 +686,41 @@ def knn_cosine_pq(spark, sf_dir):
 # and scores pairs IN PLACE with one vectorized pass over the store's
 # own partitions — zero shuffle of full-precision bytes; only the
 # scored candidates (|pairs| × 24 B) move to the final top-k window.
-_PAIR_RERANK_MAX_PAIRS = 120_000_000
+#
+# The cap is a DRIVER-MEMORY budget, stated explicitly (advice r12 #4):
+# the pair collect materializes ~16 B/pair of pandas (two int64
+# columns, plus a transient Arrow batch of the same order) and the
+# pickled broadcast adds ~12 B/pair — so the band is sized so collect +
+# broadcast stay under ~3.4 GB driver RSS on a 128 GiB box.  A
+# shortlist_rows estimate past the cap falls back to the keyed shuffle
+# join BEFORE any collect happens — the guard is pre-collect by
+# construction, there is no post-collect failure path to handle.
+_PAIR_RERANK_DRIVER_BUDGET_BYTES = 2 << 30
+_PAIR_RERANK_MAX_PAIRS = min(120_000_000, _PAIR_RERANK_DRIVER_BUDGET_BYTES // 16)
 
 
-def _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm):
+def _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm,
+                         k: int = TOP_K):
     """Bulk exact rerank that reads the full-precision store IN PLACE:
     the (query, neighbor) pair set is collected (Arrow) and broadcast
     sorted by neighbor_id; one mapInPandas pass over ``norms`` locates
     each partition row's pairs by binary search, gathers the query rows
     from the broadcast matrix, and scores cosine vectorized (einsum).
     Full-precision vectors NEVER shuffle — the per-batch moving data is
-    the scored candidate list, not the store."""
+    the scored candidate list, not the store.
+
+    TIE SEMANTICS (declared, advice r12 #4): cosine here is numpy
+    einsum over recomputed norms, NOT the sequential JVM fold the join
+    path uses — same real-number arithmetic, different f8 association,
+    so scores can differ at the ~1e-15 level and a pair of EXACTLY
+    tied-by-value neighbors can order differently than the join path
+    before the (cosine DESC, id ASC) tie-break resolves them.  The
+    bulk band is therefore approximate-tie: rank-identical except
+    possibly at float-coincidence boundaries (the in-place≡join test
+    asserts 1e-9 score agreement and observed rank equality on real
+    data).  Callers needing the bitwise fold contract (the declared
+    hashed exact queries) never route here — the band only engages for
+    bulk serves past the broadcast cap."""
     import numpy as np
     import pandas as pd
 
@@ -704,7 +792,7 @@ def _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm):
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
+        .where(F.col("rn") <= k)
         .select(
             "query_id",
             "neighbor_id",
@@ -716,7 +804,8 @@ def _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm):
 
 def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
                   shortlist_rows: int | None = None,
-                  store_rows: int | None = None):
+                  store_rows: int | None = None,
+                  k: int = TOP_K):
     """Exact top-k over an ADC shortlist: only the shortlist rows touch
     full-precision vectors (a key-join against the corpus), cosine is
     the JVM fold (bitwise = the declared exact queries), final top-k by
@@ -763,7 +852,9 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
         and store_rows is not None
         and store_rows * (8 * d + 32) > shortlist_rows * 48
     ):
-        return _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm)
+        return _pair_rerank_inplace(
+            spark, norms, shortlist_df, qids, qmat, qnrm, k=k
+        )
     cand = (
         sl.join(
             norms.select(
@@ -786,7 +877,7 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
     return (
         cand.select("query_id", "neighbor_id", cos_exact.alias("cosine"))
         .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= TOP_K)
+        .where(F.col("rn") <= k)
         .select(
             "query_id",
             "neighbor_id",

@@ -37,6 +37,7 @@ ROWS_ONLY = {
     "ivf_dup_subset_gate",     # bitwise subset gate, raises on violation
     "stream_batch_equiv_gate",  # runs the five remaining streaming twins
     "ann_index_stream_ingest",  # real structured stream folds the index
+    "ann_index_partial_compact",  # budgeted partial-fold gate on the layout
 }
 
 AP_KEYS = sorted(k for k in QUERIES if k.startswith("ap_"))

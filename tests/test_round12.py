@@ -561,28 +561,40 @@ class TestAdcDirectPath:
     be IDENTICAL either way."""
 
     def test_direct_path_serves_the_same_topk(self, spark, monkeypatch):
+        # the direct branch engages only for a MULTI-block batch past
+        # the cache budget (advice r12 #1: with |Q|=10 there is one
+        # block, max(1, 1//chunk_bytes)=1 keeps lut_always True, and
+        # the old version of this test compared the LUT path to
+        # itself).  Tile the real queries past 256 so the batch spans
+        # two LUT blocks, and assert via branch accumulators that each
+        # serve actually ran the branch it claims to.
         path = ai.build_ann_index(spark, SF_SMALL)
-        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
-        via_lut = sorted(
-            (r.query_id, r.neighbor_id, r.rn)
-            for r in ai.serve_topk(
-                spark, path, qids, qmat, qnrm,
-                norms_df=ai._norms(spark, SF_SMALL),
-            ).collect()
-        )
-        # one chunk is far over a 1-byte budget -> max_chunks=1 and
-        # lut_always False for any multi-block batch; with |Q|=10 the
-        # single block would still fit, so ALSO verify the decision
-        # wiring by shrinking the block economics: budget 1 forces
-        # max_chunks=1, lut_always stays True only for <=1 block.
+        _qids, qmat0, qnrm0 = ai._query_rows(spark, SF_SMALL)
+        reps = -(-260 // len(_qids))
+        qmat = np.tile(qmat0, (reps, 1))[:260]
+        qnrm = np.tile(qnrm0, reps)[:260]
+        # fresh ids outside the corpus: self-exclusion never fires, so
+        # duplicated query vectors still get identical neighbor lists
+        qids = np.arange(1_000_000, 1_000_260, dtype="i8")
+        norms = ai._norms(spark, SF_SMALL)
+
+        def run():
+            lut = spark.sparkContext.accumulator(0)
+            direct = spark.sparkContext.accumulator(0)
+            monkeypatch.setattr(ai, "_BRANCH_COUNTERS", (lut, direct))
+            rows = sorted(
+                (r.query_id, r.neighbor_id, r.rn)
+                for r in ai.serve_topk(
+                    spark, path, qids, qmat, qnrm, norms_df=norms
+                ).collect()
+            )
+            return rows, lut.value, direct.value
+
+        via_lut, n_lut, n_direct = run()
+        assert n_lut > 0 and n_direct == 0  # default budget: pure LUT
         monkeypatch.setattr(ai, "_LUT_CACHE_BYTES", 1)
-        via_direct = sorted(
-            (r.query_id, r.neighbor_id, r.rn)
-            for r in ai.serve_topk(
-                spark, path, qids, qmat, qnrm,
-                norms_df=ai._norms(spark, SF_SMALL),
-            ).collect()
-        )
+        via_direct, _n_lut2, n_direct2 = run()
+        assert n_direct2 > 0  # the direct branch ACTUALLY ran this time
         assert via_lut == via_direct and len(via_lut) > 0
 
     def test_narrow_store_keeps_the_join_even_for_bulk(self, spark):
