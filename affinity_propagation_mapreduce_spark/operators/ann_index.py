@@ -170,9 +170,31 @@ def codes_root(path: str) -> str:
     return root
 
 
-# matches a generation-scoped codes/tombstones tree; used by the scratch
-# reaper to collect superseded (gen != pointer) trees once quiesced
-_GEN_DIR_RE = re.compile(r"^(?:codes|tombstones)\.g(?P<gen>\d+)\.parquet$")
+# matches a generation-scoped codes/tombstones tree — or a
+# generation-scoped MODEL table (centroids/codebooks, written by
+# quantizer migration); used by the scratch reaper to collect
+# superseded (gen != pointer) trees once quiesced
+_GEN_DIR_RE = re.compile(
+    r"^(?:codes|tombstones|centroids|codebooks)\.g(?P<gen>\d+)\.parquet$"
+)
+
+
+def _model_table_path(path: str, name: str, meta: dict) -> str:
+    """Resolve a model table (centroids/codebooks) for a meta snapshot:
+    ``meta["model_gen"]`` names the generation whose migration wrote
+    the quantizers currently in force (``<name>.g<MG>.parquet``);
+    absent, the layout-level file every pre-migration generation
+    shares.  Model tables are IMMUTABLE once written and the pointer
+    flip is one meta replace, so this resolution plus the one-meta-read
+    snapshot gives migration its atomic cutover: a reader holding gen G
+    reads G's quantizers even while gen G+1 (new quantizers, re-encoded
+    codes) is being written beside it.  Generation bumps that do NOT
+    retrain (compaction, partial folds) carry ``model_gen`` forward
+    untouched, so they keep resolving the migrated model."""
+    mg = meta.get("model_gen")
+    if mg is not None:
+        return os.path.join(path, f"{name}.g{int(mg)}.parquet")
+    return os.path.join(path, f"{name}.parquet")
 
 
 def _norms(spark, sf_dir):
@@ -481,9 +503,11 @@ def _reap_layout_scratch(path: str) -> None:
     except OSError:
         return
     try:
-        current_gen = _gen_of(_read_meta(path))
+        meta = _read_meta(path)
+        current_gen = _gen_of(meta)
+        model_gen = meta.get("model_gen")
     except OSError:
-        current_gen = None
+        current_gen = model_gen = None
     for name in names:
         m = _GEN_DIR_RE.match(name)
         if name.startswith(_SCRATCH_PREFIXES):
@@ -491,6 +515,12 @@ def _reap_layout_scratch(path: str) -> None:
         elif m is not None and current_gen is not None:
             if int(m.group("gen")) == current_gen:
                 continue  # the live tree — never touched
+            if (
+                model_gen is not None
+                and int(m.group("gen")) == int(model_gen)
+                and name.startswith(("centroids.", "codebooks."))
+            ):
+                continue  # the quantizers in force — survive gen bumps
         else:
             continue
         victim = os.path.join(path, name)
@@ -510,13 +540,13 @@ def load_ann_model(spark, path: str):
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     crows = (
-        spark.read.parquet(os.path.join(path, "centroids.parquet"))
+        spark.read.parquet(_model_table_path(path, "centroids", meta))
         .orderBy("cell")
         .collect()
     )
     cent_mat = np.array([list(r.c_emb) for r in crows], dtype="f8")
     brows = (
-        spark.read.parquet(os.path.join(path, "codebooks.parquet"))
+        spark.read.parquet(_model_table_path(path, "codebooks", meta))
         .orderBy("m", "code")
         .collect()
     )
@@ -2325,6 +2355,299 @@ def q_ann_index_incremental(spark, sf_dir):
     )
 
 
+def migrate_ann_index(spark, path: str, emb_source=None) -> dict:
+    """Quantizer RETRAIN + re-encode migration with zero-downtime
+    cutover (r12 verdict #5) — the remedy the drift drill
+    (tools/ann_drift_run.py) prescribes when appended batches have
+    drifted past what frozen quantizers can serve: rebuild the
+    quantizers on the CURRENT live distribution and re-encode, while
+    the old generation keeps serving until one atomic pointer flip.
+
+    Shape: retrain coarse centroids + PQ codebooks on the live rows
+    (same deterministic md5-ordered sampling as the build), then
+    re-encode BATCH-BY-BATCH — each old batch directory is one bounded
+    re-encode job landing as ``batch=mig-<orig>`` in the next
+    generation's tree (the ann_sharded_build shape: scratch ∝ one
+    batch, never the corpus).  Pending tombstones fold away during the
+    re-encode (only live rows migrate).  The new quantizers land as
+    GENERATION-SCOPED model tables (``centroids.g<G+1>.parquet``, …)
+    and meta's ``model_gen`` starts resolving them at the same single
+    ``os.replace`` that bumps the generation — a serve that loaded its
+    model snapshot before the flip reads old quantizers + old codes end
+    to end; one that loads after reads new + new.  No intermediate
+    state exists (crash before the flip leaves orphan gen-scoped
+    files/trees, reaped age-gated).
+
+    ``emb_source`` (vec_id, embedding) is required for non-raw layouts
+    (codes alone cannot be re-encoded); raw layouts migrate self-
+    contained from their own raw column.  Ledgers carry forward so
+    replayed feeds stay no-ops.  Returns the migration summary."""
+    import time
+    import uuid
+
+    from .events import (
+        _LAYOUT_HARD_CAP_SEC,
+        _flock_layout_lock,
+        _release_layout_lock,
+    )
+
+    fd = _flock_layout_lock(f"{path}.lock", time.time() + _LAYOUT_HARD_CAP_SEC)
+    try:
+        _reap_layout_scratch(path)
+        meta = _read_meta(path)
+        gen = _gen_of(meta)
+        old_root = _codes_root_gen(path, gen)
+        is_raw = bool(meta.get("raw"))
+        if not is_raw and emb_source is None:
+            raise ValueError(
+                "non-raw layout needs emb_source (vec_id, embedding) to migrate"
+            )
+        # live rows for retraining, as (vec_id, embedding)
+        codes_all = spark.read.parquet(old_root)
+        live_all = _live_codes(spark, path, codes_all, meta)
+        if is_raw:
+            source = live_all.select(
+                "vec_id", F.col("emb").alias("embedding")
+            ).localCheckpoint(eager=True)
+        else:
+            live_ids = live_all.select("vec_id")
+            source = (
+                emb_source.select("vec_id", "embedding")
+                .join(live_ids, "vec_id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+        n_live = source.count()
+        nlist = cost_balanced_nlist(n_live, IVFPQ_QUERY_PROBE)
+        cent_mat = train_centroids(source, nlist)
+        sup_ch = (
+            build_two_level(cent_mat) if len(cent_mat) >= TWO_LEVEL_MIN else None
+        )
+        books = _pq_train_codebooks(spark, None, emb=source)
+        m_, ksub, dsub = books.shape
+        # batch-by-batch re-encode into the next generation's tree
+        batch_dirs = sorted(
+            n for n in os.listdir(old_root) if n.startswith("batch=")
+        )
+        tmp = os.path.join(path, f".compact-tmp-{uuid.uuid4().hex}")
+        os.makedirs(tmp, exist_ok=True)
+        n_written = 0
+        bcs = []
+        for b in batch_dirs:
+            tag = b.split("=", 1)[1]
+            bcodes = (
+                spark.read.option("basePath", old_root)
+                .parquet(os.path.join(old_root, b))
+            )
+            blive = _live_codes(spark, path, bcodes, meta)
+            if is_raw:
+                bsrc = blive.select(
+                    "vec_id", F.col("emb").cast("array<double>").alias("emb")
+                )
+            else:
+                bsrc = (
+                    emb_source.select(
+                        "vec_id",
+                        F.col("embedding").cast("array<double>").alias("emb"),
+                    )
+                    .join(blive.select("vec_id"), "vec_id", "left_semi")
+                )
+            encoded, bc = _encode_codes(
+                spark, bsrc, cent_mat, sup_ch, books, with_raw=is_raw
+            )
+            bcs.append(bc)
+            out = os.path.join(tmp, f"batch=mig-{_safe_tag(tag)}")
+            (
+                encoded.repartition("cell")
+                .sortWithinPartitions("vec_id")
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(out)
+            )
+            n_written += spark.read.parquet(out).count()
+        if n_written != n_live:
+            raise AssertionError(
+                f"migration re-encoded {n_written} rows, live set is {n_live}"
+            )
+        # new model tables at their FINAL gen-scoped names (crash here →
+        # orphans with gen+1 > pointer, reaped age-gated)
+        spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(cent_mat)],
+            "cell long, c_emb array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"centroids.g{gen + 1}.parquet")
+        )
+        spark.createDataFrame(
+            [
+                (m, c, [float(v) for v in books[m, c]])
+                for m in range(m_)
+                for c in range(ksub)
+            ],
+            "m long, code long, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, f"codebooks.g{gen + 1}.parquet")
+        )
+        import shutil
+
+        new_root = _codes_root_gen(path, gen + 1)
+        if os.path.isdir(new_root):
+            shutil.rmtree(new_root)
+        os.rename(tmp, new_root)
+        dir_tags = [
+            b.split("=", 1)[1]
+            for b in batch_dirs
+            if b != "batch=base" and not b.startswith("batch=fold-g")
+        ]
+        del_tags = [
+            os.path.basename(d).split("=", 1)[1]
+            for d in _tombstone_dirs(path, gen)
+        ]
+        meta = _read_meta(path)
+        meta["generation"] = gen + 1
+        meta["model_gen"] = gen + 1
+        meta["nlist"] = int(len(cent_mat))
+        meta["m"], meta["ksub"], meta["dsub"] = int(m_), int(ksub), int(dsub)
+        meta["n"] = int(n_live)
+        meta["batches"] = list(
+            dict.fromkeys(meta.get("batches", []) + dir_tags)
+        )
+        meta["deletes"] = list(
+            dict.fromkeys(meta.get("deletes", []) + del_tags)
+        )
+        meta["delete_cover"] = {}
+        for dead in (old_root, _tomb_root_gen(path, gen)):
+            if os.path.isdir(dead):
+                os.utime(dead, None)
+        tmp_meta = os.path.join(path, ".meta.json.tmp")
+        with open(tmp_meta, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp_meta, os.path.join(path, "meta.json"))  # THE cutover
+        for bc in bcs:
+            bc.destroy(blocking=False)
+        return {
+            "rows": int(n_live),
+            "nlist": int(len(cent_mat)),
+            "pq_m": int(m_),
+            "batches_migrated": len(batch_dirs),
+            "generation": gen + 1,
+        }
+    finally:
+        _release_layout_lock(fd)
+
+
+# the migration drill deletes every 19th vector (residue 6) before
+# retraining — the migration must fold the tombstones as it re-encodes
+MDEL_MOD, MDEL_RESIDUE, MDEL_TAG = 19, 6, "takedown-19-6"
+
+
+def q_ann_index_migrate(spark, sf_dir):
+    """Rows-only, SELF-VERIFYING: the quantizer-migration round trip.
+    A store_raw layout (self-contained migration source) takes an
+    append + a delete, then ``migrate_ann_index`` retrains + re-encodes
+    batch-by-batch with the atomic model/codes cutover.  RAISES unless:
+    (a) the migrated layout holds EXACTLY the live rows (deletes folded,
+    each id once, codes sized to the NEW subspace count), (b) meta's
+    model pointer resolves the gen-scoped quantizers and the old
+    generation's tree/model files still exist right after the flip (the
+    zero-downtime evidence: a pre-flip reader's whole snapshot remains
+    readable until the age-gated reap), (c) replayed append/delete
+    feeds stay no-ops across the migration, and (d) at verification
+    scale the MIGRATED index serves the shared recall floor vs the
+    exact top-k over survivors.  Idempotence-aware: a rerun against the
+    already-migrated layout skips the re-migration and re-asserts the
+    steady state.  Returns one scalar row."""
+    raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % INCR_DELTA_BUCKETS
+    )
+    base, delta = raw.where(bucket != 0), raw.where(bucket == 0)
+    del_pred = F.col("vec_id") % MDEL_MOD == MDEL_RESIDUE
+    path = ann_index_path(sf_dir) + "-mig"
+    build_ann_index(spark, sf_dir, path=path, emb_raw=base, store_raw=True)
+    append_ann_index(spark, path, delta, "mig-delta")
+    delete_ann_index(spark, path, raw.where(del_pred), MDEL_TAG)
+    n = corpus_rows(spark, sf_dir)
+    n_del = raw.where(del_pred).count()
+    n_live = n - n_del
+    meta = _read_meta(path)
+    if meta.get("model_gen") is None:
+        old_gen = _gen_of(meta)
+        res = migrate_ann_index(spark, path)
+        if res["rows"] != n_live:
+            raise AssertionError(f"migration kept {res['rows']}/{n_live} rows")
+        # zero-downtime evidence: the pre-flip snapshot is still whole
+        if not os.path.isdir(_codes_root_gen(path, old_gen)):
+            raise AssertionError("old codes tree vanished at the flip")
+        if not os.path.isdir(os.path.join(path, "centroids.parquet")):
+            raise AssertionError("old model table vanished at the flip")
+    meta, cent_mat, books = load_ann_model(spark, path)
+    if meta.get("model_gen") != _gen_of(meta):
+        raise AssertionError(
+            f"model_gen {meta.get('model_gen')} != generation {_gen_of(meta)}"
+        )
+    for name in ("centroids", "codebooks"):
+        if not os.path.isdir(
+            os.path.join(path, f"{name}.g{_gen_of(meta)}.parquet")
+        ):
+            raise AssertionError(f"gen-scoped {name} table missing")
+    if len(cent_mat) != meta["nlist"] or books.shape[0] != meta["m"]:
+        raise AssertionError("migrated model tables disagree with meta")
+    codes = spark.read.parquet(codes_root(path))
+    stats = codes.agg(
+        F.count("*").alias("n_codes"),
+        F.countDistinct("vec_id").alias("n_ids"),
+        F.min(F.length("code")).alias("min_len"),
+        F.max(F.length("code")).alias("max_len"),
+        F.max("cell").alias("max_cell"),
+    ).first()
+    if stats.n_codes != n_live or stats.n_ids != n_live:
+        raise AssertionError(
+            f"migrated layout holds {stats.n_codes}/{stats.n_ids}, "
+            f"expected {n_live}"
+        )
+    if stats.min_len != meta["m"] or stats.max_len != meta["m"]:
+        raise AssertionError("migrated codes not sized to the new m")
+    if stats.max_cell >= len(cent_mat):
+        raise AssertionError("migrated codes reference a dead centroid")
+    if _tombstone_dirs(path):
+        raise AssertionError("tombstones survived the migration")
+    if append_ann_index(spark, path, delta, "mig-delta") != 0:
+        raise AssertionError("replayed feed re-applied after migration")
+    if delete_ann_index(spark, path, raw.where(del_pred), MDEL_TAG) != 0:
+        raise AssertionError("replayed delete re-applied after migration")
+    if n <= _PQ_GATE_MAX_N:
+        qids, qmat, qnrm = _query_rows(spark, sf_dir)
+        res_df = _exact_rerank(
+            spark,
+            _norms(spark, sf_dir),
+            search_ann_index(spark, path, qids, qmat, qnrm),
+            qids, qmat, qnrm,
+        ).localCheckpoint(eager=False)
+        gone = F.col("neighbor_id") % MDEL_MOD == MDEL_RESIDUE
+        if res_df.where(gone).count():
+            raise AssertionError("migrated index served a deleted neighbor")
+        exact_surv = (
+            q_knn_cosine_topk(spark, sf_dir)
+            .where(~gone)
+            .select("query_id", "neighbor_id")
+        )
+        n_exact = exact_surv.count()
+        hit = exact_surv.join(
+            res_df.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        floor = RECALL_FLOORS["knn_cosine_served"]
+        if n_exact == 0 or hit / n_exact < floor:
+            raise AssertionError(
+                f"migrated-index recall collapsed: {hit}/{n_exact}"
+            )
+    return spark.createDataFrame(
+        [(int(n), int(n_del), int(n_live), int(meta["m"]), int(meta["nlist"]))],
+        "n_corpus long, n_deleted long, n_live long, pq_m long, nlist long",
+    )
+
+
 def q_knn_cosine_filtered(spark, sf_dir):
     """HASHED: exact filtered top-k — cosine top-5 for the 10 fixed
     queries among neighbors satisfying the metadata predicate
@@ -2540,37 +2863,51 @@ def q_ann_index_partial_compact(spark, sf_dir):
     )
 
 
-STREAM_INGEST_FILES = 4  # delta feed files → micro-batches (1 file/trigger)
+STREAM_INGEST_FILES = 5  # feed files → micro-batches: add,add,DEL,add,add
+
+# the streaming CDC drill deletes every 13th vector (residue 4) mid-feed
+SDEL_MOD, SDEL_RESIDUE = 13, 4
 
 
 def q_ann_index_stream_ingest(spark, sf_dir):
     """Rows-only, SELF-VERIFYING: the streaming ANN ingest twin (r11
-    verdict "What's missing" #3) — the production crawl shape is a
-    STREAM of embedding batches folding into the served index, and every
-    other F-row already has a streaming twin.  The corpus splits into
-    the standard 90% base / 10% delta (md5 bucket); the base index is
-    built twice from identical deterministic training (batch twin +
-    stream twin), then the delta reaches each twin differently:
+    verdict "What's missing" #3) WITH the streaming DELETE leg (r12
+    verdict #4) — the production crawl is a CDC stream of embedding
+    batches AND takedowns folding into the served index.  The corpus
+    splits into the standard 90% base / 10% delta (md5 bucket); the
+    base index is built twice from identical deterministic training
+    (batch twin + stream twin), then the SAME op sequence reaches each
+    twin differently:
 
-      batch twin : one ``append_ann_index`` of the whole delta
-      stream twin: the delta written as STREAM_INGEST_FILES drop files,
-                   admitted by a real Structured Streaming file source
-                   (availableNow, maxFilesPerTrigger=1 → several
-                   micro-batches), each micro-batch folded via
-                   ``foreachBatch`` → ``append_ann_index`` under its
-                   batch-id tag — the tags make replays (checkpoint
-                   recovery, gate reruns) no-ops, i.e. exactly-once by
-                   idempotence, same device as the churn drill.
+      op sequence: add delta-parts 0,1 → DELETE the vec_id %
+                   {SDEL_MOD} == {SDEL_RESIDUE} slice → add delta-parts
+                   2,3 plus ONE previously-deleted base vector (the
+                   re-insert-after-delete leg crossing a streamed
+                   delete)
+      batch twin : three batch API calls (append, delete, append)
+      stream twin: five drop files with ascending mtimes (the
+                   chronological-admission lesson of r10), each row
+                   tagged op=add|del, admitted by a real Structured
+                   Streaming file source (availableNow,
+                   maxFilesPerTrigger=1 → one micro-batch per file),
+                   folded via ``foreachBatch`` → ``append_ann_index``
+                   / ``delete_ann_index`` under batch-id tags — replays
+                   (checkpoint recovery, gate reruns) are no-ops on
+                   BOTH legs, i.e. exactly-once by idempotence with
+                   deletes sequenced by the same cover device the
+                   churn drill crash-proves.
 
-    The gate RAISES unless (a) the stream twin actually folded ≥2
-    micro-batches (multi-batch admission, the r10 lesson that a single
-    batch proves nothing), (b) the served top-k of the two twins is
-    IDENTICAL as a multiset (exceptAll both directions — frozen
-    quantizers make the fold order-invariant, so equality is exact, not
-    recall-floored), and (c) at verification scale the served top-k
-    clears the shared recall floor vs the exact answer.  Returns one
+    The gate RAISES unless (a) the stream twin folded ≥2 add
+    micro-batches AND ≥1 delete micro-batch, (b) live code sets agree
+    and the served top-k of the two twins is IDENTICAL as a multiset
+    (exceptAll both directions — frozen quantizers + sequenced covers
+    make the fold order-invariant), (c) no streamed-deleted vector is
+    served while the streamed re-insert IS live (exactly once), and
+    (d) at verification scale the served top-k clears the shared
+    recall floor vs the exact answer over SURVIVORS.  Returns one
     scalar summary row."""
     import shutil
+    import time
     import uuid
 
     raw = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2580,37 +2917,80 @@ def q_ann_index_stream_ingest(spark, sf_dir):
     )
     base = raw.where(bucket != 0)
     delta = raw.where(bucket == 0)
-    path_b = ann_index_path(sf_dir) + "-sing-b"
-    path_s = ann_index_path(sf_dir) + "-sing-s"
+    # delta quarters by an INDEPENDENT md5 prefix (deterministic, does
+    # not correlate with the base/delta split)
+    part = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 9, 8), 16, 10)
+        .cast("long") % 4
+    )
+    del_pred = F.col("vec_id") % SDEL_MOD == SDEL_RESIDUE
+    # the re-insert: one BASE vector that the mid-feed delete removes
+    x = base.where(del_pred).agg(F.min("vec_id")).first()[0]
+    parts = [delta.where(part == i) for i in range(4)]
+    adds_after = parts[2].unionByName(parts[3]).unionByName(
+        raw.where(F.col("vec_id") == x)
+    )
+    path_b = ann_index_path(sf_dir) + "-sing2-b"
+    path_s = ann_index_path(sf_dir) + "-sing2-s"
     # identical deterministic training (md5-ordered sample, lowest-id
     # init) → the two twins share quantizers without a layout copy
     build_ann_index(spark, sf_dir, path=path_b, emb_raw=base)
     build_ann_index(spark, sf_dir, path=path_s, emb_raw=base)
-    append_ann_index(spark, path_b, delta, "ingest-all")
+    append_ann_index(
+        spark, path_b, parts[0].unionByName(parts[1]), "ingest-all-a"
+    )
+    delete_ann_index(spark, path_b, raw.where(del_pred), "ingest-all-del")
+    append_ann_index(spark, path_b, adds_after, "ingest-all-b")
 
     feed = path_s + "-feed"
     ckpt = path_s + "-ckpt"
     if not os.path.isfile(os.path.join(feed, "_SUCCESS")):
         tmp = feed + f".tmp-{uuid.uuid4().hex}"
-        (
-            delta.repartitionByRange(STREAM_INGEST_FILES, "vec_id")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        os.makedirs(tmp)
+        file_dfs = [
+            parts[0].withColumn("op", F.lit("add")),
+            parts[1].withColumn("op", F.lit("add")),
+            raw.where(del_pred).withColumn("op", F.lit("del")),
+            parts[2].withColumn("op", F.lit("add")),
+            parts[3]
+            .unionByName(raw.where(F.col("vec_id") == x))
+            .withColumn("op", F.lit("add")),
+        ]
+        now = time.time()
+        for i, fdf in enumerate(file_dfs):
+            scratch = os.path.join(tmp, f".w{i}")
+            fdf.coalesce(1).write.mode("overwrite").parquet(scratch)
+            pf = next(
+                f for f in os.listdir(scratch) if f.endswith(".parquet")
+            )
+            dst = os.path.join(tmp, f"{i:03d}.parquet")
+            os.rename(os.path.join(scratch, pf), dst)
+            shutil.rmtree(scratch)
+            # ascending mtimes: FileStreamSource admits by mtime, and
+            # unordered arrival stalls the op sequencing (r10 lesson)
+            os.utime(dst, (now + i, now + i))
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
         if os.path.isdir(feed):
             shutil.rmtree(feed)
         os.rename(tmp, feed)
 
     def _fold(df, batch_id):
-        if df.isEmpty():
-            return
-        append_ann_index(
-            spark, path_s, df.select("vec_id", "embedding"),
-            f"ingest-stream-{batch_id}",
-        )
+        adds = df.where(F.col("op") == "add")
+        dels = df.where(F.col("op") == "del")
+        if not adds.isEmpty():
+            append_ann_index(
+                spark, path_s, adds.select("vec_id", "embedding"),
+                f"ingest-stream-{batch_id}",
+            )
+        if not dels.isEmpty():
+            delete_ann_index(
+                spark, path_s, dels.select("vec_id"),
+                f"ingest-del-{batch_id}",
+            )
 
     stream = (
-        spark.readStream.schema(delta.schema)
+        spark.readStream.schema("vec_id long, embedding array<float>, op string")
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
     )
@@ -2627,17 +3007,47 @@ def q_ann_index_stream_ingest(spark, sf_dir):
     stream_tags = [
         t for t in meta_s.get("batches", []) if t.startswith("ingest-stream-")
     ]
-    if len(stream_tags) < 2:
+    del_tags = [
+        t for t in meta_s.get("deletes", []) if t.startswith("ingest-del-")
+    ]
+    if len(stream_tags) < 2 or len(del_tags) < 1:
         raise AssertionError(
-            f"stream twin folded {len(stream_tags)} micro-batches — "
-            "multi-batch admission did not engage"
+            f"stream twin folded {len(stream_tags)} add / {len(del_tags)} "
+            "delete micro-batches — CDC multi-batch admission did not engage"
         )
-    n_codes_b = spark.read.parquet(codes_root(path_b)).count()
-    n_codes_s = spark.read.parquet(codes_root(path_s)).count()
-    if n_codes_b != n_codes_s:
+    live = {}
+    for name, p in (("batch", path_b), ("stream", path_s)):
+        live[name] = _live_codes(
+            spark, p, spark.read.parquet(codes_root(p))
+        ).localCheckpoint(eager=False)
+    n_live_b, n_live_s = live["batch"].count(), live["stream"].count()
+    if n_live_b != n_live_s:
         raise AssertionError(
-            f"twin layouts diverged: {n_codes_b} vs {n_codes_s} codes"
+            f"twin live sets diverged: {n_live_b} vs {n_live_s} rows"
         )
+    # streamed delete suppressed everywhere; streamed re-adds (delta
+    # parts 2,3 land AFTER the delete, plus the explicit re-insert x)
+    # serve exactly once (sequenced cover across the CDC stream).  A
+    # deleted id is GONE only if nothing re-added it afterwards.
+    def _gone(c):
+        b = (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+            .cast("long") % INCR_DELTA_BUCKETS
+        )
+        p = (
+            F.conv(F.substring(F.md5(c.cast("string")), 9, 8), 16, 10)
+            .cast("long") % 4
+        )
+        readded = ((b == 0) & p.isin(2, 3)) | (c == x)
+        return (c % SDEL_MOD == SDEL_RESIDUE) & ~readded
+
+    for name in ("batch", "stream"):
+        if live[name].where(_gone(F.col("vec_id"))).count():
+            raise AssertionError(f"{name} twin serves a deleted vector")
+        if live[name].where(F.col("vec_id") == x).count() != 1:
+            raise AssertionError(
+                f"{name} twin lost the re-inserted vector"
+            )
     qids, qmat, qnrm = _query_rows(spark, sf_dir)
     norms = _norms(spark, sf_dir)
     served = {}
@@ -2658,9 +3068,16 @@ def q_ann_index_stream_ingest(spark, sf_dir):
     n_rows = served["stream"].count()
     n = corpus_rows(spark, sf_dir)
     if n <= _PQ_GATE_MAX_N:
-        exact = q_knn_cosine_topk(spark, sf_dir).select(
-            "query_id", "neighbor_id"
+        # exact answer over SURVIVORS: the deleted slice minus every
+        # re-add cannot appear as a neighbor
+        gone = _gone(F.col("neighbor_id"))
+        exact = (
+            q_knn_cosine_topk(spark, sf_dir)
+            .where(~gone)
+            .select("query_id", "neighbor_id")
         )
+        if served["stream"].where(gone).count():
+            raise AssertionError("served top-k contains a deleted neighbor")
         n_exact = exact.count()
         hit = exact.join(
             served["stream"], ["query_id", "neighbor_id"], "left_semi"
@@ -2675,13 +3092,15 @@ def q_ann_index_stream_ingest(spark, sf_dir):
             (
                 int(base.count()),
                 int(delta.count()),
+                int(raw.where(del_pred).count()),
                 int(len(stream_tags)),
-                int(n_codes_s),
+                int(len(del_tags)),
+                int(n_live_s),
                 int(n_rows),
             )
         ],
-        "n_base long, n_delta long, n_stream_batches long, "
-        "n_codes long, n_topk_rows long",
+        "n_base long, n_delta long, n_deleted long, n_stream_batches long, "
+        "n_del_batches long, n_live long, n_topk_rows long",
     )
 
 
@@ -2694,6 +3113,7 @@ QUERIES = {
     "ann_index_incremental": q_ann_index_incremental,
     "ann_index_stream_ingest": q_ann_index_stream_ingest,
     "ann_index_partial_compact": q_ann_index_partial_compact,
+    "ann_index_migrate": q_ann_index_migrate,
     # HASHED (filter → rank is SQL-expressible); the in-query gate
     # additionally drills the served pre/post/auto filtered paths
     "knn_cosine_filtered": q_knn_cosine_filtered,

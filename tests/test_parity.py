@@ -38,6 +38,7 @@ ROWS_ONLY = {
     "stream_batch_equiv_gate",  # runs the five remaining streaming twins
     "ann_index_stream_ingest",  # real structured stream folds the index
     "ann_index_partial_compact",  # budgeted partial-fold gate on the layout
+    "ann_index_migrate",       # quantizer retrain/cutover round-trip gate
 }
 
 AP_KEYS = sorted(k for k in QUERIES if k.startswith("ap_"))

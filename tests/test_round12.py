@@ -306,7 +306,15 @@ class TestStreamIngestTwin:
         # numbers here so the test documents them
         row = ai.q_ann_index_stream_ingest(spark, SF_SMALL).first()
         assert row.n_stream_batches >= 2
-        assert row.n_codes == row.n_base + row.n_delta
+        assert row.n_del_batches >= 1  # the r13 streaming-delete leg ran
+        # live = everything minus the deleted slice plus its re-adds
+        # (delta parts 2,3 land after the delete; exact re-add count is
+        # data-dependent, so bound it)
+        assert (
+            row.n_base + row.n_delta - row.n_deleted
+            <= row.n_live
+            < row.n_base + row.n_delta
+        )
         assert row.n_topk_rows > 0
 
     def test_stream_ingest_gate_is_idempotent(self, spark):
