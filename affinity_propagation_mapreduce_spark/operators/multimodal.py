@@ -743,12 +743,21 @@ PHASH_SIDE = 16    # image side → 8×8 grid of 2×2-pixel blocks
 def q_media_phash_neardup(spark, sf_dir):
     """Perceptual-fingerprint near-dup detection over DECODED pixels —
     multimodal dedup on content, where media_dedup_exact only catches
-    byte-identical re-uploads.  Each asset synthesizes a 16×16 BMP whose
-    pattern comes from its perceptual group (doc_id % 50) plus a
+    byte-identical re-uploads.  Each asset synthesizes a 16×16 image
+    whose pattern comes from its perceptual group (doc_id % 50) plus a
     per-asset UNIFORM brightness offset (doc_id % 7; 7 is coprime to
     the group stride, so group members genuinely differ byte-wise) —
     different bytes, same percept, the re-encode/brightness-shift
-    duplication shape.
+    duplication shape.  The corpus is MIXED-CODEC (r12 verdict #6):
+    even assets round-trip through the real PNG codec (stdlib-zlib
+    deflate, CRC'd chunks, the filter the encoder cycles per row), odd
+    assets through the real BMP codec (BGR, 4-byte row padding,
+    bottom-up flip) — a perceptual group spans BOTH codecs, so the
+    hash equality below proves the fingerprint is invariant to the
+    container, exactly what re-encode dedup requires.  The DuckDB
+    oracle is codec-free by construction (it computes the hash from
+    the closed-form pixels), so a decoder bug in EITHER codec breaks
+    the hash match.
 
     The fingerprint is the classic block-mean hash in pure integer
     arithmetic: decode the real BMP (the codec round trip is in the
@@ -776,7 +785,11 @@ def q_media_phash_neardup(spark, sf_dir):
                 i = np.arange(side * side * 3, dtype="i8")
                 v = ((g * 37 + i) * 11) % 249 + noise  # ≤ 254, no wrap
                 img = v.reshape(side, side, 3).astype(np.uint8)
-                dec = decode_image(encode_bmp(img))  # REAL codec round trip
+                # REAL codec round trip, container chosen per asset
+                payload = (
+                    encode_png(img) if doc_id % 2 == 0 else encode_bmp(img)
+                )
+                dec = decode_image(payload)
                 gray = dec.astype("i8").sum(axis=2)
                 bsum = gray.reshape(8, side // 8, 8, side // 8).sum(axis=(1, 3))
                 total = int(gray.sum())

@@ -33,6 +33,14 @@ HEADLINE = [
     "dedup_near_minhash",
     "knn_cosine_topk",
     "udtf_grouped_map",
+    # r13: persisted-index SERVING row — the driver series now catches
+    # serving-path regressions automatically (previously only the
+    # BASELINE.md §ann-serving ladders tracked them).  Pass 1 pays the
+    # one-time index build (content-addressed, shared); min-of-passes
+    # keeps the recorded number the warm serve.  Adding this row grows
+    # the suite total vs the ≤r12 series by the serve wall — the
+    # per-query timings are the comparable units.
+    "knn_cosine_served",
 ]
 
 
@@ -63,7 +71,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = registry.queries()
+    qs = dict(registry.queries())
+    # bench the SERVE, not the self-verifying gate wrapped around it
+    # (q_knn_cosine_served adds an exact brute-force recall pass at
+    # verification scale — correctness cost, not serving cost)
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ann
+
+    qs["knn_cosine_served"] = ann.knn_cosine_served
     # warm the JVM / codegen / Arrow paths so the first timed query isn't
     # billed for session startup
     qs["pricing_summary"](spark, sf_dir).count()

@@ -58,6 +58,52 @@ def main():
     if d != 16:
         out["d"] = d
 
+    if mode == "crossd":
+        # mid-d rerank-crossover measurement (r12 advice #4 / verdict
+        # #7): the in-place-vs-join economics rule was calibrated at
+        # exactly two anchors (20M×16 join wins; 10M×768 in-place wins)
+        # — run the SAME bulk serve at the uncovered mid-d with the rule
+        # deciding, then with the alternative FORCED, and record both
+        # walls so the 48 B/pair vs (8d+32) B/row constants are
+        # validated (or corrected) where they interpolate.
+        from affinity_propagation_mapreduce_spark.operators import vector as V
+
+        path = ai.ann_index_path(sf_dir) + "-raw"
+        assert os.path.isfile(os.path.join(path, "_SUCCESS")), "build first"
+        meta = ai._read_meta(path)
+        qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=n_q)
+        d_dim = len(qmat[0])
+        sl = n_q * max(ai.PQ_SHORTLIST, meta["n"] // ai.PQ_SHORTLIST_FRAC)
+        rule_inplace = (
+            sl > 8_000_000
+            and sl <= V._PAIR_RERANK_MAX_PAIRS
+            and meta["n"] * (8 * d_dim + 32) > sl * 48
+        )
+        walls = {}
+        saved = V._PAIR_RERANK_MAX_PAIRS
+        for leg in ("chosen", "alternative"):
+            force_join = (leg == "alternative") == rule_inplace
+            V._PAIR_RERANK_MAX_PAIRS = 0 if force_join else saved
+            try:
+                t0 = time.monotonic()
+                res = ai.serve_topk(
+                    spark, path, qids, qmat, qnrm
+                ).localCheckpoint(eager=True)
+                rows = res.count()
+                walls[leg] = round(time.monotonic() - t0, 1)
+            finally:
+                V._PAIR_RERANK_MAX_PAIRS = saved
+        out.update(
+            d=d_dim,
+            n_queries=n_q,
+            rule_picked="inplace" if rule_inplace else "join",
+            chosen_wall_sec=walls["chosen"],
+            alternative_wall_sec=walls["alternative"],
+            rule_correct=walls["chosen"] <= walls["alternative"],
+            rows=rows,
+        )
+        print(json.dumps(out), flush=True)
+        return
     if mode == "delete":
         # deletion cost (r9 verdict #3): tombstone a 5% slice of an
         # existing index (delta-scaled id-list write), then fold it at

@@ -389,6 +389,107 @@ def delete_drill() -> dict:
     }
 
 
+def pfold(budget_gb: float = 3.0) -> dict:
+    """Fold the pending 5%-delete tombstones of the 10M×768 layout ON
+    THIS BOX via budgeted per-cell partial compaction (r12 verdict #1:
+    the monolithic fold needs old tree + new tree + the cell shuffle
+    resident — measured over the quota; the budgeted loop bounds peak
+    scratch per round at ~budget bytes of rewrites, with every
+    unfolded cell hard-linked forward at zero bytes).  A uniform 5%
+    delete is the WORST case for cost-∝-garbage (every cell qualifies),
+    so total I/O here is corpus-sized — what the budget buys is that
+    the job fits the box at all, round by round, serves staying online
+    between rounds.  Measures per-round wall + disk floor, then the
+    post-fold steady serve (the r12 pending-tombstone anchor is
+    34.4 s/batch vs 20.2 s clean) and recall vs the survivor-restricted
+    exact oracle."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+
+    spark = _spark("ann-sharded-pfold")
+    budget = int(budget_gb * (1 << 30))
+    qids, qmat, qnrm = _queries(10)
+
+    # pre-fold anchor: one pending-tombstone serve (r12: 34.4 s steady)
+    t0 = time.monotonic()
+    res = ai.serve_topk(spark, INDEX, qids, qmat, qnrm).localCheckpoint(
+        eager=True
+    )
+    res.count()
+    pre_serve = round(time.monotonic() - t0, 1)
+
+    rounds = []
+    disk_floor = None
+    t_loop = time.monotonic()
+    while True:
+        t0 = time.monotonic()
+        r = ai.compact_ann_index(spark, INDEX, scratch_budget_bytes=budget)
+        wall = round(time.monotonic() - t0, 1)
+        free_gb = round(shutil.disk_usage("/tmp").free / (1 << 30), 1)
+        disk_floor = free_gb if disk_floor is None else min(disk_floor, free_gb)
+        rounds.append(
+            {
+                "cells": r["cells_folded"],
+                "rows_tombstoned": r["rows_tombstoned"],
+                "wall_sec": wall,
+                "disk_free_gb": free_gb,
+            }
+        )
+        print(json.dumps({"round": len(rounds), **rounds[-1]}), flush=True)
+        if not r["cells_folded"]:
+            break
+        if r["garbage_cleared"] and not ai._tombstone_dirs(INDEX):
+            break
+    loop_sec = round(time.monotonic() - t_loop, 1)
+
+    if ai._tombstone_dirs(INDEX):
+        raise AssertionError("tombstones survived the budgeted fold")
+    meta = ai._read_meta(INDEX)
+    n_live = spark.read.parquet(ai.codes_root(INDEX)).count()
+    if n_live != meta["n"]:
+        raise AssertionError(f"live {n_live} != meta n {meta['n']}")
+
+    # post-fold steady serve + survivor recall
+    walls = []
+    served: dict[int, set[int]] = {}
+    for b in range(5):
+        qids, qmat, qnrm = _queries(10, offset=b * 10)
+        t0 = time.monotonic()
+        res = ai.serve_topk(spark, INDEX, qids, qmat, qnrm).localCheckpoint(
+            eager=True
+        )
+        if res.where(F.col("neighbor_id") % 20 == 11).count():
+            raise AssertionError("folded layout served a deleted neighbor")
+        if b == 0:
+            for r_ in res.collect():
+                served.setdefault(int(r_.query_id), set()).add(
+                    int(r_.neighbor_id)
+                )
+        walls.append(round(time.monotonic() - t0, 1))
+    exact = np.load(os.path.join(BASE, "exact.npz"))
+    n_surv = hits = 0
+    for q in range(10):
+        surv = {int(v) for v in exact[str(q)] if int(v) % 20 != 11}
+        n_surv += len(surv)
+        hits += len(served.get(q, set()) & surv)
+    return {
+        "phase": "pfold",
+        "budget_gb": budget_gb,
+        "pre_fold_pending_serve_sec": pre_serve,
+        "rounds": len(rounds),
+        "cells_folded": sum(r["cells"] for r in rounds),
+        "rows_tombstoned": sum(r["rows_tombstoned"] for r in rounds),
+        "fold_loop_sec": loop_sec,
+        "round_walls_sec": [r["wall_sec"] for r in rounds],
+        "disk_floor_gb": disk_floor,
+        "n_live": int(n_live),
+        "post_fold_serve_walls_sec": walls,
+        "post_fold_steady_sec": min(walls[1:]),
+        "recall_at5_survivors_first10": round(hits / max(1, n_surv), 3),
+    }
+
+
 def main():
     mode = sys.argv[1]
     if mode == "synth":
@@ -407,6 +508,8 @@ def main():
         )
     elif mode == "delete":
         out = delete_drill()
+    elif mode == "pfold":
+        out = pfold(float(sys.argv[2]) if len(sys.argv) > 2 else 3.0)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
     print(json.dumps(out), flush=True)
