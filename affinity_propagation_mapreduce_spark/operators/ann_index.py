@@ -2667,7 +2667,9 @@ def q_knn_cosine_filtered(spark, sf_dir):
 
     exact = exact_knn_cosine_filtered(spark, sf_dir)
     if corpus_rows(spark, sf_dir) <= _PQ_GATE_MAX_N:
-        exact = exact.localCheckpoint(eager=False)
+        # gate-internal snapshot only — the RETURNED frame keeps its
+        # declarative plan (EXPLAINS.md shows the scan-side filter)
+        exact_ck = exact.localCheckpoint(eager=False)
         path = build_ann_index(spark, sf_dir)
         qids, qmat, qnrm = _query_rows(spark, sf_dir)
         fids = (
@@ -2684,7 +2686,7 @@ def q_knn_cosine_filtered(spark, sf_dir):
             )
         ex_pairs = {
             (r.query_id, r.neighbor_id)
-            for r in exact.select("query_id", "neighbor_id").collect()
+            for r in exact_ck.select("query_id", "neighbor_id").collect()
         }
         norms = _norms(spark, sf_dir)
         floor = RECALL_FLOORS["knn_cosine_served"]

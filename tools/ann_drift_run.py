@@ -191,7 +191,46 @@ def main():
     out["drift_monitor_max"] = float(agg.mx)
     out["drift_monitor_avg"] = round(float(agg.av), 4)
 
-    # --- the remedy: full rebuild, recall restored ----------------------
+    # --- remedy A (r13): IN-PLACE quantizer migration under LIVE serves -
+    # migrate_ann_index retrains on the current (drifted) distribution
+    # and re-encodes batch-by-batch into the next generation while the
+    # old generation keeps serving — the zero-downtime remedy.  A
+    # churn-style concurrent reader serves throughout; the drill raises
+    # if any serve errors, and the migrated recall must match the
+    # rebuild's (same training data → near-identical quantizers).
+    import threading
+
+    mig_serves: list[float] = []
+    mig_errors: list[str] = []
+    stop = threading.Event()
+    qs_d, qm_d = packs["delta"]
+
+    def reader():
+        while not stop.is_set():
+            try:
+                t1 = time.monotonic()
+                serve(path, qs_d, qm_d).count()
+                mig_serves.append(round(time.monotonic() - t1, 1))
+            except Exception as e:  # noqa: BLE001 — drill assertion path
+                mig_errors.append(repr(e))
+                break
+
+    th = threading.Thread(target=reader)
+    th.start()
+    t0 = time.monotonic()
+    ai.migrate_ann_index(spark, path, emb_source=raw)
+    out["migrate_sec"] = round(time.monotonic() - t0, 1)
+    stop.set()
+    th.join()
+    if mig_errors:
+        raise AssertionError(
+            f"concurrent serve failed during migration: {mig_errors[:1]}"
+        )
+    out["serves_during_migration"] = len(mig_serves)
+    for tag, (qs, qm) in packs.items():
+        out[f"recall_{tag}_migrated"] = _recall(serve(path, qs, qm), exact[tag])
+
+    # --- remedy B: full rebuild, recall restored ------------------------
     t0 = time.monotonic()
     ai.build_ann_index(spark, drift_dir, path=f"{path}-rebuilt")
     out["rebuild_sec"] = round(time.monotonic() - t0, 1)
