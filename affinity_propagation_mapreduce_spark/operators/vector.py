@@ -698,6 +698,23 @@ def knn_cosine_pq(spark, sf_dir):
 _PAIR_RERANK_DRIVER_BUDGET_BYTES = 2 << 30
 _PAIR_RERANK_MAX_PAIRS = min(120_000_000, _PAIR_RERANK_DRIVER_BUDGET_BYTES // 16)
 
+# end-to-end cost of ONE broadcast pair, in store-shuffle-equivalent
+# bytes.  The raw footprint is ~12 B broadcast + ~16 B collect, but the
+# pair path also pays a SERIAL driver stage (toPandas collect + pickle
+# + rebroadcast) the shuffle path doesn't — so the constant that
+# predicts the measured crossover is much larger than the footprint.
+# Calibrated on three measured anchors (BASELINE.md):
+#   d=16,  20M, |Q|=10k: join 128 s vs in-place 207 s  → join wins
+#   d=128, 10M, |Q|=10k: join 109.3 s vs in-place 110.7 s → TIE
+#   d=768, 10M, |Q|=10k: join fills the disk vs in-place 509 s
+# The tie pins the crossover: store_bytes = pairs·C at d=128 gives
+# C = 10M·(8·128+32) / 40M ≈ 264; shipped as 270 so the measured-tied
+# d=128 shape lands on the join side (its join leg read 1.3% faster)
+# and the in-place band starts just above it.  (The old C=48 placed
+# the crossover at d≈20 and sent d=128 to the in-place band — measured
+# harmless there, but wrong-side for d∈[20,128].)
+_PAIR_RERANK_PAIR_COST_BYTES = 270
+
 
 def _pair_rerank_inplace(spark, norms, shortlist_df, qids, qmat, qnrm,
                          k: int = TOP_K):
@@ -830,7 +847,9 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
       PLACE and never shuffles.  What the in-place pass saves is the
       store shuffle, and what it costs is collecting + broadcasting the
       pair set — so it runs only when ``store_rows``·row-bytes exceeds
-      the pair set's end-to-end cost (pairs × ~48 B).  At 10M×d=768 the
+      the pair set's end-to-end cost (pairs ×
+      _PAIR_RERANK_PAIR_COST_BYTES — calibrated on the measured
+      d=16/128/768 anchors, see the constant).  At 10M×d=768 the
       keyed shuffle moved ~60 GB of f8 store bytes per batch and filled
       the disk → in-place wins by 30×; at 20M×d=16 the store is a cheap
       2.6 GB shuffle and the pair band measured SLOWER (207 s vs 128 s)
@@ -850,7 +869,8 @@ def _exact_rerank(spark, norms, shortlist_df, qids, qmat, qnrm,
         shortlist_rows is not None
         and shortlist_rows <= _PAIR_RERANK_MAX_PAIRS
         and store_rows is not None
-        and store_rows * (8 * d + 32) > shortlist_rows * 48
+        and store_rows * (8 * d + 32)
+        > shortlist_rows * _PAIR_RERANK_PAIR_COST_BYTES
     ):
         return _pair_rerank_inplace(
             spark, norms, shortlist_df, qids, qmat, qnrm, k=k

@@ -77,7 +77,8 @@ def main():
         rule_inplace = (
             sl > 8_000_000
             and sl <= V._PAIR_RERANK_MAX_PAIRS
-            and meta["n"] * (8 * d_dim + 32) > sl * 48
+            and meta["n"] * (8 * d_dim + 32)
+            > sl * V._PAIR_RERANK_PAIR_COST_BYTES
         )
         walls = {}
         saved = V._PAIR_RERANK_MAX_PAIRS
