@@ -120,6 +120,90 @@ class TestFilteredServe:
             assert all(sorted(v) == list(range(1, len(v) + 1)) for v in byq.values())
 
 
+class TestEconomicsConstant:
+    """The in-place-vs-join crossover constant is calibrated on three
+    measured anchors (BASELINE §mid-d): d=16 join, d=128 tie, d=768
+    in-place.  Pin the rule's side for each anchor shape."""
+
+    @staticmethod
+    def _inplace(n_store, d, pairs):
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            _PAIR_RERANK_MAX_PAIRS,
+            _PAIR_RERANK_PAIR_COST_BYTES,
+        )
+
+        return (
+            pairs > 8_000_000
+            and pairs <= _PAIR_RERANK_MAX_PAIRS
+            and n_store * (8 * d + 32) > pairs * _PAIR_RERANK_PAIR_COST_BYTES
+        )
+
+    def test_narrow_d_keeps_the_join(self):
+        assert not self._inplace(20_000_000, 16, 80_000_000)  # 20M×16 bulk
+
+    def test_crossover_d128_lands_join_side(self):
+        # the measured TIE — shipped on the join side (its leg read
+        # marginally faster; either side is within host noise)
+        assert not self._inplace(10_000_000, 128, 40_000_000)
+
+    def test_wide_d_takes_the_pair_band(self):
+        assert self._inplace(10_000_000, 768, 40_000_000)  # 10M×768 bulk
+
+
+class TestMigrationModelResolution:
+    def test_compaction_after_migration_keeps_migrated_model(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A generation bump that does NOT retrain (compaction) must
+        keep resolving the MIGRATED quantizers: model_gen carries
+        forward, the gen-scoped model tables survive the reaper, and
+        serving still answers."""
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            RECALL_FLOORS,
+            _exact_rerank,
+        )
+
+        path = str(tmp_path / "mig-layout")
+        raw = table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=raw, store_raw=True
+        )
+        ai.migrate_ann_index(spark, path)
+        meta = ai._read_meta(path)
+        mg = meta["model_gen"]
+        assert mg == ai._gen_of(meta) == 1
+        # now a non-retraining maintenance pass bumps the generation
+        ai.delete_ann_index(
+            spark, path, raw.where(F.col("vec_id") % 31 == 7), "d31"
+        )
+        ai.compact_ann_index(spark, path)
+        meta2 = ai._read_meta(path)
+        assert ai._gen_of(meta2) == 2
+        assert meta2["model_gen"] == mg  # carried, not reset
+        # resolution points at the MIGRATED tables, which still exist
+        for name in ("centroids", "codebooks"):
+            p = ai._model_table_path(path, name, meta2)
+            assert p.endswith(f"{name}.g{mg}.parquet") and os.path.isdir(p)
+        # the reaper must never collect the in-force model tables —
+        # zero the grace window so superseded gen trees ARE collected
+        # (proving the reap ran) while centroids/codebooks.g<model_gen>
+        # survive because model_gen pins them
+        monkeypatch.setattr(ai, "_REAP_GRACE_SEC", -1)
+        ai._reap_layout_scratch(path)
+        assert not os.path.isdir(ai._codes_root_gen(path, 0))  # reap ran
+        for name in ("centroids", "codebooks"):
+            assert os.path.isdir(os.path.join(path, f"{name}.g{mg}.parquet"))
+        # and the layout still serves above the shared floor
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        res = _exact_rerank(
+            spark,
+            ai._norms(spark, SF_SMALL),
+            ai.search_ann_index(spark, path, qids, qmat, qnrm),
+            qids, qmat, qnrm,
+        )
+        assert res.count() > 0
+
+
 @pytest.fixture(scope="module")
 def churned_layout(spark, tmp_path_factory):
     """A store_raw-free layout with an append and a pending delete —
