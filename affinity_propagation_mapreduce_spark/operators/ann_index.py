@@ -1156,6 +1156,18 @@ def serve_topk(
 FILTER_PRE_MAX_SELECTIVITY = 0.5
 FILTER_POST_OVERFETCH = 2.0
 
+# pre-filter probe widening beyond the naive 1/selectivity: on
+# label-correlated clusters (every real predicate: tenant, language,
+# date) a query's qualifying neighbors live in OTHER clusters' cells,
+# so matching the unfiltered scan's qualifying MASS is not enough —
+# the scan must reach qualifying REGIONS.  Measured at 1M/sel=0.344
+# |Q|=10 (width → recall@5 vs exact-filtered, wall flat 7-9 s
+# throughout): 94 (1/sel) → 0.64, 188 → 0.94, 376 → 0.98, 752 → 1.00.
+# 4× the 1/sel width buys 0.98 recall for no interactive wall cost;
+# bulk batches pay width-proportional scan, offset ~1/sel by the
+# semi-join's row removal.
+FILTER_PRE_WIDEN = 4.0
+
 
 def choose_filter_mode(selectivity: float) -> str:
     """'pre' (scan-side semi-join) or 'post' (overfetch + filter)."""
@@ -1190,9 +1202,13 @@ def serve_topk_filtered(
         meta["nlist"], meta["n"], len(qids), "auto", min_recall=min_recall
     )
     if fmode == "pre":
-        # widen probes so the filtered scan sees the same qualifying
-        # mass the unfiltered serve would
-        w = min(int(meta["nlist"]), int(np.ceil(base_w / selectivity)))
+        # widen probes so the filtered scan reaches the qualifying
+        # REGIONS, not just the same qualifying mass (see
+        # FILTER_PRE_WIDEN calibration)
+        w = min(
+            int(meta["nlist"]),
+            int(np.ceil(FILTER_PRE_WIDEN * base_w / selectivity)),
+        )
         w = max(base_w, w)
         cell_to_q = _probe_map(cent_mat, qmat, w)
         shortlist = search_ann_index(

@@ -105,6 +105,73 @@ def main():
         )
         print(json.dumps(out), flush=True)
         return
+    if mode == "filtered":
+        # filtered-ANN scale measurement (r12 verdict "missing" #2):
+        # top-k WHERE label % 3 == 0 (~1/3 selectivity — pre-filter
+        # side of the coded rule) served BOTH ways at scale, recall vs
+        # a driver-side numpy exact-filtered oracle, every returned
+        # neighbor asserted qualifying.
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        path = ai.ann_index_path(sf_dir)
+        ai.build_ann_index(spark, sf_dir)
+        emb = table(spark, sf_dir, "embeddings")
+        fids = emb.where(F.col("label") % 3 == 0).select("vec_id")
+        qids, qmat, qnrm = ai._query_rows(spark, sf_dir, n_queries=n_q)
+        norms = ai._norms(spark, sf_dir)
+        # numpy exact filtered oracle (first 10 queries)
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"],
+        )
+        ids = tbl["vec_id"].to_numpy()
+        lab = tbl["label"].to_numpy()
+        import numpy as np
+
+        x = np.asarray(tbl["embedding"].to_pylist(), dtype="f8")
+        qmask = lab % 3 == 0
+        cn = np.linalg.norm(x[qmask], axis=1)
+        c_ids = ids[qmask]
+        exact = {}
+        for i in range(min(10, len(qids))):
+            cos = (x[qmask] @ qmat[i]) / (cn * qnrm[i])
+            cos[c_ids == qids[i]] = -np.inf
+            keep = np.lexsort((c_ids, -cos))[:5]
+            exact[int(qids[i])] = {int(v) for v in c_ids[keep]}
+        sel = float(qmask.mean())
+        out.update(selectivity=round(sel, 3), n_queries=n_q,
+                   auto_rule=ai.choose_filter_mode(sel))
+        for m in ("pre", "post"):
+            t0 = time.monotonic()
+            res, used = ai.serve_topk_filtered(
+                spark, path, qids, qmat, qnrm, fids,
+                selectivity=sel, mode=m, norms_df=norms,
+            )
+            res = res.localCheckpoint(eager=True)
+            rows = res.count()
+            wall = round(time.monotonic() - t0, 1)
+            bad = res.join(
+                fids.select(F.col("vec_id").alias("neighbor_id")),
+                "neighbor_id", "left_anti",
+            ).count()
+            if bad:
+                raise AssertionError(f"{m}: {bad} non-qualifying served")
+            got: dict[int, set] = {}
+            for r in res.where(F.col("query_id").isin(
+                [int(q) for q in qids[:10]]
+            )).collect():
+                got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+            hits = sum(len(got.get(q, set()) & e) for q, e in exact.items())
+            out[f"{m}_wall_sec"] = wall
+            out[f"{m}_rows"] = rows
+            out[f"{m}_recall_at5_first10"] = round(
+                hits / (5 * len(exact)), 3
+            )
+        print(json.dumps(out), flush=True)
+        return
     if mode == "delete":
         # deletion cost (r9 verdict #3): tombstone a 5% slice of an
         # existing index (delta-scaled id-list write), then fold it at
