@@ -230,3 +230,46 @@ def test_join_bucketed_plan_is_shuffle_free_smj(spark):
     join_part = plan.split("HashAggregate")[-1]  # below the aggregates
     assert "SortMergeJoin" in plan
     assert "Exchange" not in join_part
+
+
+def test_filtered_serve_pre_mode_semijoins_the_scan(spark):
+    """Filtered ANN pre-mode (r13): the qualifying-id filter must land
+    on the CODES SCAN as a semi-join BELOW the shortlist truncation —
+    a post-hoc filter of an unfiltered shortlist would not be the exact
+    top-k over qualifying survivors.  Post-mode must instead rewindow
+    an unfiltered overfetch through one final semi-join."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+    from affinity_propagation_mapreduce_spark.operators.vector import (
+        FILTER_LABEL_MOD,
+    )
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    path = ai.build_ann_index(spark, SF_T2)
+    qids, qmat, qnrm = ai._query_rows(spark, SF_T2)
+    fids = (
+        table(spark, SF_T2, "embeddings")
+        .where(F.col("label") % FILTER_LABEL_MOD == 0)
+        .select("vec_id")
+    )
+    norms = ai._norms(spark, SF_T2)
+    pre, used = ai.serve_topk_filtered(
+        spark, path, qids, qmat, qnrm, fids, mode="pre", norms_df=norms
+    )
+    assert used == "pre"
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    # the semi-join sits below the python ADC kernel (scan side), so it
+    # appears between the parquet scan and the MapInPandas stage
+    scan_side = plan.split("MapInPandas")[-1]
+    assert "LeftSemi" in scan_side, plan
+    post, used = ai.serve_topk_filtered(
+        spark, path, qids, qmat, qnrm, fids, mode="post", norms_df=norms
+    )
+    assert used == "post"
+    plan_post = post._jdf.queryExecution().executedPlan().toString()
+    # post-mode: the final rewindow filters via one semi-join ABOVE the
+    # rerank window; the codes scan below the kernel stays unfiltered
+    above_kernel = plan_post.split("MapInPandas")[0]
+    assert "LeftSemi" in above_kernel, plan_post
+    assert "LeftSemi" not in plan_post.split("MapInPandas")[-1], plan_post
