@@ -1436,17 +1436,21 @@ def serve_topk_filtered(
     if filter_expr is not None:
         # qualifying test from the codes tree's OWN metadata columns —
         # a (vec_id, predicate-cols) column-pruned scan with the
-        # predicate pushed.  The overfetched side is |Q|·k' rows, so it
-        # BROADCASTS and the qualifying scan streams map-side — post
-        # mode is the high-selectivity regime where a left-semi against
-        # the qualifying relation would shuffle ~the whole corpus's ids.
+        # predicate pushed, restricted to the PROBED cell dirs (every
+        # overfetched neighbor was read from a probed cell, so the
+        # qualifying scan never needs the rest of the corpus).  The
+        # overfetched side is |Q|·k' rows, so it BROADCASTS and the
+        # qualifying scan streams map-side — post mode is the
+        # high-selectivity regime where a left-semi against the
+        # qualifying relation would shuffle ~the whole corpus's ids.
         # Tombstoned qualifying rows are harmless here (`over` already
         # excludes deleted neighbors); a re-inserted vec_id can appear
         # in several batch dirs → dropDuplicates on the joined (tiny)
         # result, never on the scan.
         croot0 = _codes_root_gen(path, _gen_of(meta))
+        qdirs = _probed_cell_dirs(croot0, cells)
         qualifying = (
-            spark.read.parquet(croot0)
+            spark.read.option("basePath", croot0).parquet(*qdirs)
             .where(F.expr(filter_expr))
             .select(F.col("vec_id").alias("neighbor_id"))
         )
@@ -2595,7 +2599,17 @@ def q_ann_index_incremental(spark, sf_dir):
     )
 
 
-def migrate_ann_index(spark, path: str, emb_source=None) -> dict:
+# above this estimated raw-source size the migration skips the eager
+# localCheckpoint of the training source: the checkpoint stores O(N·d)
+# vector bytes in block-manager storage (≈30 GB at 10M×768 — more than
+# the on-box scratch the batch-by-batch re-encode is designed to bound)
+# while skipping it merely re-runs two cheap columnar sampling scans
+_MIGRATE_CKPT_MAX_BYTES = 2 << 30
+
+
+def migrate_ann_index(
+    spark, path: str, emb_source=None, add_meta: dict | None = None
+) -> dict:
     """Quantizer RETRAIN + re-encode migration with zero-downtime
     cutover (r12 verdict #5) — the remedy the drift drill
     (tools/ann_drift_run.py) prescribes when appended batches have
@@ -2621,7 +2635,16 @@ def migrate_ann_index(spark, path: str, emb_source=None) -> dict:
     ``emb_source`` (vec_id, embedding) is required for non-raw layouts
     (codes alone cannot be re-encoded); raw layouts migrate self-
     contained from their own raw column.  Ledgers carry forward so
-    replayed feeds stay no-ops.  Returns the migration summary."""
+    replayed feeds stay no-ops.  Returns the migration summary.
+
+    ``add_meta`` ({column: SQL expr over the per-batch source rows})
+    BACKFILLS filterable metadata columns into the codes layout during
+    the re-encode — schema evolution for predicate-pushdown filtered
+    serving on an index built before ``meta_cols`` existed, done at the
+    only moment the whole corpus streams anyway.  The layout's
+    selectivity hash-sample is rebuilt from the NEW generation whenever
+    metadata columns are present (also clearing deleted rows the
+    per-batch samples accumulated)."""
     import time
     import uuid
 
@@ -2642,20 +2665,28 @@ def migrate_ann_index(spark, path: str, emb_source=None) -> dict:
             raise ValueError(
                 "non-raw layout needs emb_source (vec_id, embedding) to migrate"
             )
+        mcols = tuple(meta.get("meta_cols", []))
+        add_meta = dict(add_meta or {})
+        mcols_all = mcols + tuple(k for k in add_meta if k not in mcols)
         # live rows for retraining, as (vec_id, embedding)
         codes_all = spark.read.parquet(old_root)
         live_all = _live_codes(spark, path, codes_all, meta)
         if is_raw:
             source = live_all.select(
                 "vec_id", F.col("emb").alias("embedding")
-            ).localCheckpoint(eager=True)
+            )
         else:
             live_ids = live_all.select("vec_id")
             source = (
                 emb_source.select("vec_id", "embedding")
                 .join(live_ids, "vec_id", "left_semi")
-                .localCheckpoint(eager=True)
             )
+        # the eager checkpoint trades two sampling re-scans for O(N·d)
+        # block-manager bytes — a win at gate/1M scale, a disk-filler at
+        # 10M×768 (see _MIGRATE_CKPT_MAX_BYTES)
+        d_est = int(meta.get("m", 1)) * int(meta.get("dsub", 1))
+        if int(meta.get("n", 0)) * d_est * 4 <= _MIGRATE_CKPT_MAX_BYTES:
+            source = source.localCheckpoint(eager=True)
         n_live = source.count()
         nlist = cost_balanced_nlist(n_live, IVFPQ_QUERY_PROBE)
         cent_mat = train_centroids(source, nlist)
@@ -2679,7 +2710,6 @@ def migrate_ann_index(spark, path: str, emb_source=None) -> dict:
                 .parquet(os.path.join(old_root, b))
             )
             blive = _live_codes(spark, path, bcodes, meta)
-            mcols = tuple(meta.get("meta_cols", []))
             if is_raw:
                 bsrc = blive.select(
                     "vec_id",
@@ -2696,9 +2726,11 @@ def migrate_ann_index(spark, path: str, emb_source=None) -> dict:
                     )
                     .join(blive.select("vec_id", *mcols), "vec_id")
                 )
+            for name, sql in add_meta.items():
+                bsrc = bsrc.withColumn(name, F.expr(sql))  # the backfill
             encoded, bc = _encode_codes(
                 spark, bsrc, cent_mat, sup_ch, books, with_raw=is_raw,
-                meta_cols=mcols,
+                meta_cols=mcols_all,
             )
             bcs.append(bc)
             out = os.path.join(tmp, f"batch=mig-{_safe_tag(tag)}")
@@ -2746,6 +2778,23 @@ def migrate_ann_index(spark, path: str, emb_source=None) -> dict:
         if os.path.isdir(new_root):
             shutil.rmtree(new_root)
         os.rename(tmp, new_root)
+        if mcols_all:
+            # rebuild the selectivity sample from the NEW generation —
+            # backfilled columns enter it, deleted rows leave it.  The
+            # sample is advisory (estimates only), so replace-by-rename
+            # without joining the generation commit is sound; a crash
+            # here leaves the old sample (stale, still inside the ±2x
+            # band) or a scratch dir (reaped by prefix).
+            stmp = os.path.join(path, f".batch-tmp-{uuid.uuid4().hex}")
+            _write_selectivity_sample(
+                spark.read.parquet(new_root).select("vec_id", *mcols_all),
+                n_live,
+                os.path.join(stmp, "batch=migrated"),
+            )
+            sold = os.path.join(path, "sample.parquet")
+            if os.path.isdir(sold):
+                shutil.rmtree(sold)
+            os.rename(stmp, sold)
         dir_tags = [
             b.split("=", 1)[1]
             for b in batch_dirs
@@ -2762,6 +2811,7 @@ def migrate_ann_index(spark, path: str, emb_source=None) -> dict:
         meta["nlist"] = int(len(cent_mat))
         meta["m"], meta["ksub"], meta["dsub"] = int(m_), int(ksub), int(dsub)
         meta["n"] = int(n_live)
+        meta["meta_cols"] = list(mcols_all)
         meta["batches"] = list(
             dict.fromkeys(meta.get("batches", []) + dir_tags)
         )

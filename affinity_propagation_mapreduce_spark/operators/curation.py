@@ -26,8 +26,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .sampling import TRAIN_END, VAL_END, _bucket, _BUCKET_SQL
-from .textops import _docs, _shingles, _tokens
+from .sampling import CONTEXT_TOKENS, TRAIN_END, VAL_END, _bucket, _BUCKET_SQL
+from .textops import _STOPWORDS, _docs, _shingles, _tokens
+
+_STOPWORDS_SQL = ", ".join("'" + w + "'" for w in _STOPWORDS)
 
 CONTAMINATION_THRESHOLD = 0.5   # shared-shingle fraction of the eval doc
 STOPWORD_DF = 0.6               # token is a stopword if df >= 60% of docs
@@ -386,6 +388,317 @@ GROUP BY token, exact_n
 O_FREQ_CMS = _cms_oracle_sql()
 
 
+# --- X6 the composed curation pipeline (round 14) ---------------------------
+
+def q_pipeline_curation_report(spark, sf_dir):
+    """THE composed training-data job (r13 verdict "missing" #5): every
+    stage below exists and is proven alone — this runs them as ONE DAG
+    and emits the per-stage row accounting a real curation run is
+    judged by:
+
+        0_input             — corpus as scanned
+        1_exact_dedup       — token-set-md5 exact dedup (D4's key)
+        2_neardup_keep_best — Jaccard>=0.95 components over the exact
+                              survivors, best-quality doc kept per
+                              component (D5/D5c + keep_best policy)
+        3_train_split       — deterministic md5 train bucket (S3)
+        4_decontaminated    — eval-leakage docs removed (X1's rule,
+                              eval side = the held-out split of the
+                              FULL corpus)
+        5_packed            — context-window packing of the clean train
+                              split (S5's sharded formulation; n_units
+                              = sequences, n_tokens = packed tokens)
+
+    Stage semantics are the proven operators' own (same keys, same
+    thresholds, same bucket function).  The exact Jaccard pair graph is
+    the oracle-sf formulation; at 100 TB the banded-MinHash twin
+    (dedup_near_minhash) replaces that one stage and everything else is
+    already scale-shaped (hash buckets, inverted-index joins,
+    partitioned packing windows, map-side-combining aggregates).  The
+    report itself is six single-row aggregates cross-joined then
+    stacked — one declarative plan, all-integer columns → fully hashed
+    vs a DuckDB CTE chain."""
+    from .textops import q_text_quality_score
+
+    docs = _docs(spark, sf_dir)
+    toks_of = F.size(F.split("text", " ")).cast("long")
+    d0 = docs.select("doc_id", "text", toks_of.alias("toks"))
+    # stage 1: exact dedup on the token-set md5 (q_dedup_exact's key)
+    key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    w_e = Window.partitionBy("k").orderBy("doc_id")
+    ed = (
+        d0.withColumn("k", key)
+        .withColumn("rn", F.row_number().over(w_e))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "toks")
+    )
+    # stage 2: token-set Jaccard >= 0.95 components over the survivors
+    # (q_dedup_near_jaccard's inverted-index pair shape), best quality
+    # kept per component (q_dedup_keep_best's window)
+    dt = ed.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).distinct()
+    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = dt.alias("a"), dt.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_lo") + F.col("sz_hi") - F.col("inter"))
+    pairs = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sz_lo")),
+            "doc_lo",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_hi"), F.col("sz").alias("sz_hi")),
+            "doc_hi",
+        )
+        .where(jac >= 0.95)
+        .select("doc_lo", "doc_hi")
+    )
+    edges = pairs.select(
+        F.col("doc_lo").alias("src"), F.col("doc_hi").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_hi").alias("src"), F.col("doc_lo").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = ed.select("doc_id", F.col("doc_id").alias("comp"))
+    while True:  # min-label propagation (q_dedup_components' loop)
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "old_comp"), "doc_id"
+            )
+            .where(F.col("comp") != F.col("old_comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    quality = q_text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score_x1e4"
+    )
+    w_kb = Window.partitionBy("comp").orderBy(
+        F.desc("quality_score_x1e4"), F.asc("doc_id")
+    )
+    kb = (
+        labels.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w_kb))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    # stage 3: the deterministic train split
+    tr = kb.where(_bucket(F.col("doc_id")) < TRAIN_END)
+    # stage 4: decontamination vs the FULL corpus's held-out split
+    tsh = _shingles(spark, sf_dir, docs=d0.join(tr, "doc_id", "left_semi"))
+    esh = _shingles(spark, sf_dir).where(
+        _bucket(F.col("doc_id")) >= VAL_END
+    )
+    ev_sz = esh.groupBy("doc_id").agg(F.count("*").alias("eval_sz"))
+    olap = (
+        tsh.alias("t")
+        .join(esh.alias("e"), F.col("t.shingle") == F.col("e.shingle"))
+        .groupBy(
+            F.col("t.doc_id").alias("train_doc"),
+            F.col("e.doc_id").alias("eval_doc"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    contaminated = (
+        olap.join(ev_sz.withColumnRenamed("doc_id", "eval_doc"), "eval_doc")
+        .where(F.col("inter") / F.col("eval_sz") >= CONTAMINATION_THRESHOLD)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    cl = tr.join(contaminated, "doc_id", "left_anti")
+    # stage 5: sharded context-window packing of the clean train split
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    base = d0.join(cl, "doc_id", "left_semi").select(
+        "doc_id", "toks", order_key.alias("ok"),
+        F.conv(F.substring(order_key, 1, 1), 16, 10)
+        .cast("long").alias("shard"),
+    )
+    w_p = (
+        Window.partitionBy("shard").orderBy("ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    packed = (
+        base.withColumn(
+            "seq_id",
+            F.col("shard") * F.lit(1 << 32)
+            + F.floor(
+                F.coalesce(F.sum("toks").over(w_p), F.lit(0))
+                / CONTEXT_TOKENS
+            ).cast("long"),
+        )
+        .groupBy("seq_id")
+        .agg(F.sum("toks").alias("seq_tokens"))
+    )
+
+    def _agg(df, n_name, tk_name, tok_col="toks"):
+        return df.agg(
+            F.count("*").cast("long").alias(n_name),
+            F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias(tk_name),
+        )
+
+    with_toks = lambda ids: d0.join(ids, "doc_id", "left_semi")  # noqa: E731
+    row = (
+        _agg(d0, "n0", "tk0")
+        .crossJoin(_agg(ed, "n1", "tk1"))
+        .crossJoin(_agg(with_toks(kb), "n2", "tk2"))
+        .crossJoin(_agg(with_toks(tr), "n3", "tk3"))
+        .crossJoin(_agg(with_toks(cl), "n4", "tk4"))
+        .crossJoin(_agg(packed, "n5", "tk5", tok_col="seq_tokens"))
+    )
+    return row.selectExpr(
+        """stack(6,
+            '0_input',             n0, CAST(0 AS BIGINT), tk0,
+            '1_exact_dedup',       n1, n0 - n1,           tk1,
+            '2_neardup_keep_best', n2, n1 - n2,           tk2,
+            '3_train_split',       n3, n2 - n3,           tk3,
+            '4_decontaminated',    n4, n3 - n4,           tk4,
+            '5_packed',            n5, CAST(0 AS BIGINT), tk5
+        ) AS (stage, n_units, n_removed, n_tokens)"""
+    )
+
+
+O_PIPELINE_CURATION_REPORT = f"""
+WITH RECURSIVE
+d0 AS (SELECT doc_id, text,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       FROM documents),
+keyed AS (
+  SELECT doc_id, text, toks,
+         md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+                            'string_agg', ' ')) AS k
+  FROM d0),
+ed AS (SELECT doc_id, text, toks FROM keyed
+       QUALIFY row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1),
+dt AS (SELECT DISTINCT doc_id,
+              unnest(list_distinct(string_split(text, ' '))) AS token
+       FROM ed),
+sizes AS (SELECT doc_id, count(*) AS sz FROM dt GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS inter
+  FROM dt a JOIN dt b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_lo, doc_hi
+  FROM inter
+  JOIN sizes sa ON inter.doc_lo = sa.doc_id
+  JOIN sizes sb ON inter.doc_hi = sb.doc_id
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.95),
+edges AS (SELECT doc_lo AS src, doc_hi AS dst FROM pairs
+          UNION ALL
+          SELECT doc_hi AS src, doc_lo AS dst FROM pairs),
+reach(doc_id, comp) AS (
+  SELECT doc_id, doc_id FROM ed
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON r.doc_id = e.src),
+comp AS (SELECT doc_id, min(comp) AS comp FROM reach GROUP BY doc_id),
+q AS (
+  SELECT doc_id,
+         CAST(ROUND((0.5 * (n_stop / n_toks)
+               + 0.3 * least(1.0, n_toks / 50.0)
+               + 0.2 * least(1.0, ((n_chars - n_toks + 1) / n_toks) / 8.0))
+               * 10000, 0) AS BIGINT) AS quality_score_x1e4
+  FROM (SELECT doc_id,
+               len(string_split(text, ' ')) AS n_toks,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ({_STOPWORDS_SQL}))) AS n_stop,
+               length(text) AS n_chars
+        FROM ed)),
+kb AS (
+  SELECT c.doc_id FROM comp c JOIN q USING (doc_id)
+  QUALIFY row_number() OVER (PARTITION BY comp
+                             ORDER BY quality_score_x1e4 DESC,
+                                      doc_id ASC) = 1),
+tr AS (SELECT doc_id FROM kb WHERE {_BUCKET_SQL} < {TRAIN_END}),
+tsh AS (
+  SELECT DISTINCT d.doc_id,
+         unnest(list_transform(range(1, len(string_split(d.text, ' '))),
+                i -> string_split(d.text, ' ')[i] || ' '
+                     || string_split(d.text, ' ')[i + 1])) AS shingle
+  FROM d0 d JOIN tr USING (doc_id)
+  WHERE len(string_split(d.text, ' ')) >= 2),
+esh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' '
+                     || string_split(text, ' ')[i + 1])) AS shingle
+  FROM d0
+  WHERE {_BUCKET_SQL} >= {VAL_END}
+    AND len(string_split(text, ' ')) >= 2),
+ev_sz AS (SELECT doc_id, count(*) AS eval_sz FROM esh GROUP BY 1),
+cont AS (
+  SELECT DISTINCT train_doc AS doc_id
+  FROM (SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+               count(*) AS inter
+        FROM tsh t JOIN esh e ON t.shingle = e.shingle
+        GROUP BY 1, 2) o
+  JOIN ev_sz ON o.eval_doc = ev_sz.doc_id
+  WHERE o.inter / ev_sz.eval_sz >= {CONTAMINATION_THRESHOLD}),
+cl AS (SELECT doc_id FROM tr
+       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+pbase AS (
+  SELECT d.doc_id, d.toks, md5(d.doc_id::VARCHAR) AS ok,
+         CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 1))::BIGINT
+              AS BIGINT) AS shard
+  FROM d0 d JOIN cl USING (doc_id)),
+pcum AS (
+  SELECT shard, toks, ok,
+         COALESCE(sum(toks) OVER (PARTITION BY shard ORDER BY ok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM pbase),
+packed AS (
+  SELECT shard * {1 << 32}
+           + CAST(tok_start // {CONTEXT_TOKENS} AS BIGINT) AS seq_id,
+         CAST(sum(toks) AS BIGINT) AS seq_tokens
+  FROM pcum GROUP BY 1),
+a0 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(COALESCE(sum(toks), 0) AS BIGINT) tk FROM d0),
+a1 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(COALESCE(sum(toks), 0) AS BIGINT) tk FROM ed),
+a2 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(COALESCE(sum(toks), 0) AS BIGINT) tk
+       FROM d0 WHERE doc_id IN (SELECT doc_id FROM kb)),
+a3 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(COALESCE(sum(toks), 0) AS BIGINT) tk
+       FROM d0 WHERE doc_id IN (SELECT doc_id FROM tr)),
+a4 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(COALESCE(sum(toks), 0) AS BIGINT) tk
+       FROM d0 WHERE doc_id IN (SELECT doc_id FROM cl)),
+a5 AS (SELECT CAST(count(*) AS BIGINT) n, CAST(COALESCE(sum(seq_tokens), 0) AS BIGINT) tk
+       FROM packed)
+SELECT '0_input' AS stage, a0.n AS n_units, CAST(0 AS BIGINT) AS n_removed,
+       a0.tk AS n_tokens FROM a0
+UNION ALL SELECT '1_exact_dedup', a1.n, a0.n - a1.n, a1.tk FROM a0, a1
+UNION ALL SELECT '2_neardup_keep_best', a2.n, a1.n - a2.n, a2.tk FROM a1, a2
+UNION ALL SELECT '3_train_split', a3.n, a2.n - a3.n, a3.tk FROM a2, a3
+UNION ALL SELECT '4_decontaminated', a4.n, a3.n - a4.n, a4.tk FROM a3, a4
+UNION ALL SELECT '5_packed', a5.n, CAST(0 AS BIGINT), a5.tk FROM a5
+"""
+
+
 QUERIES = {
     "freq_cms": q_freq_cms,
     "pii_scrub": q_pii_scrub,
@@ -393,6 +706,7 @@ QUERIES = {
     "vocab_prune": q_vocab_prune,
     "zipf_topk": q_zipf_topk,
     "embed_feature_hash": q_embed_feature_hash,
+    "pipeline_curation_report": q_pipeline_curation_report,
 }
 
 ORACLES = {
@@ -402,4 +716,5 @@ ORACLES = {
     "vocab_prune": O_VOCAB_PRUNE,
     "zipf_topk": O_ZIPF_TOPK,
     "embed_feature_hash": O_EMBED_FEATURE_HASH,
+    "pipeline_curation_report": O_PIPELINE_CURATION_REPORT,
 }

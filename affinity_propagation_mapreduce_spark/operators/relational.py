@@ -1496,6 +1496,87 @@ GROUP BY o_orderpriority
 """
 
 
+# --- (⊕ r14) file-skipping manifest scan -------------------------------------
+
+SKIP_LO, SKIP_HI = "1995-07-01 00:00:00", "1995-12-31 00:00:00"
+SKIP_N_FILES = 16
+
+
+def _clustered_lineitem(spark, sf_dir):
+    """Write lineitem range-clustered on l_shipdate with a per-file
+    min/max manifest ONCE per (application, sf_dir); returns the layout
+    path (same /tmp scratch convention as _bucketed_layout)."""
+    import os
+
+    from ..sources.io import _MANIFEST_NAME, write_clustered_table
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/clustered_lineitem"
+    if not os.path.isfile(os.path.join(base, _MANIFEST_NAME)):
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        write_clustered_table(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_shipdate", "l_returnflag", "l_quantity"
+            ),
+            base,
+            "l_shipdate",
+            n_files=SKIP_N_FILES,
+        )
+    return base
+
+
+def q_scan_clustered_skip(spark, sf_dir):
+    """File-level data skipping for the relational side (r13 verdict
+    "missing" #6 — the ANN cell dirs had this since r9, a selective
+    relational key predicate did not): lineitem is written
+    range-clustered on l_shipdate with a per-file min/max manifest, and
+    a half-year predicate scans ONLY the overlapping files — the
+    non-overlapping ones are never listed or opened.  At 100 TB this is
+    the difference between touching ~10⁶ files of a partition and the
+    handful whose range overlaps.
+
+    SELF-VERIFYING: raises unless the manifest actually pruned
+    (files_kept < files_total) AND the pruned scan's file count matches
+    what the reader reports (`df.inputFiles()`), so the driver row goes
+    red if skipping silently stops engaging.  The hashed result is the
+    returnflag rollup over the date band, which the oracle computes
+    from the raw table — manifest pruning must be semantically
+    invisible."""
+    from ..sources.io import scan_clustered
+
+    base = _clustered_lineitem(spark, sf_dir)
+    df, stats = scan_clustered(spark, base, lower=SKIP_LO, upper=SKIP_HI)
+    if stats["files_kept"] >= stats["files_total"]:
+        raise AssertionError(
+            f"manifest skip did not engage: {stats} — the clustered "
+            "layout should confine a half-year band to a file subset"
+        )
+    n_input = len(df.inputFiles())
+    if n_input > stats["files_kept"]:
+        raise AssertionError(
+            f"reader listed {n_input} files, manifest kept "
+            f"{stats['files_kept']}"
+        )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+O_SCAN_CLUSTERED_SKIP = f"""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{SKIP_LO}'
+  AND l_shipdate <= TIMESTAMP '{SKIP_HI}'
+GROUP BY l_returnflag
+"""
+
+
 # --- (⊕ r8) CDC MERGE / upsert ----------------------------------------------
 
 MERGE_DELETE_PCT = 10   # md5 bucket < 10  → delete the customer
@@ -1743,6 +1824,7 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "merge_upsert_chain": q_merge_upsert_chain,
     "join_bucketed": q_join_bucketed,
+    "scan_clustered_skip": q_scan_clustered_skip,
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,
     "agg_distinct_kmv": q_agg_distinct_kmv,
@@ -1794,6 +1876,7 @@ ORACLES = {
     "merge_upsert": O_MERGE_UPSERT,
     "merge_upsert_chain": O_MERGE_CHAIN,
     "join_bucketed": O_JOIN_BUCKETED,
+    "scan_clustered_skip": O_SCAN_CLUSTERED_SKIP,
     "agg_distinct": O_AGG_DISTINCT,
     "agg_distinct_approx": O_AGG_DISTINCT_APPROX,
     "agg_distinct_kmv": O_AGG_DISTINCT_KMV,

@@ -233,3 +233,38 @@ def test_layout_compaction_gate_raises_on_row_drift(spark, monkeypatch):
             E.q_layout_compaction(spark, SF_SMALL).count()
     finally:
         shutil.rmtree(compacted, ignore_errors=True)
+
+
+def test_clustered_manifest_scan_skips_files(spark, tmp_path):
+    """r14 file-skipping: a selective key predicate over a clustered
+    layout must read ONLY the manifest-overlapping files, and the
+    pruned scan must return exactly the rows the unpruned filter
+    returns (the manifest is a performance structure, never a
+    semantics one)."""
+    from affinity_propagation_mapreduce_spark.sources.io import (
+        scan_clustered,
+        write_clustered_table,
+    )
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_quantity"
+    )
+    path = str(tmp_path / "clustered")
+    res = write_clustered_table(li, path, "l_shipdate", n_files=8)
+    assert res["n_files"] == 8
+    lo, hi = "1996-01-01 00:00:00", "1996-06-30 00:00:00"
+    df, stats = scan_clustered(spark, path, lower=lo, upper=hi)
+    assert stats["files_kept"] < stats["files_total"] == 8
+    assert len(df.inputFiles()) <= stats["files_kept"]
+    expect = li.where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi)
+    )
+    assert df.count() == expect.count() > 0
+    # the manifest bound is an upper bound on the kept rows
+    assert df.count() <= stats["rows_kept_bound"]
+    # an out-of-range band prunes everything and still answers
+    empty, st0 = scan_clustered(
+        spark, path, lower="2030-01-01 00:00:00", upper="2031-01-01 00:00:00"
+    )
+    assert st0["files_kept"] == 0 and empty.count() == 0

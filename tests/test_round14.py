@@ -305,3 +305,42 @@ class TestMetaColsLayout:
             assert not [p for p in got if p[1] in nonq], (err, got[:3])
             hit = sum(1 for p in got if p in ex_pairs)
             assert hit / len(ex_pairs) >= floor, (err, hit, len(ex_pairs))
+
+    def test_migration_backfills_metadata_and_rebuilds_sample(
+        self, spark, tmp_path
+    ):
+        """add_meta: a layout built BEFORE meta_cols existed gains its
+        filterable columns at migration (the only moment the corpus
+        streams anyway), and the selectivity sample is rebuilt from the
+        new generation."""
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings")
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path,
+            emb_raw=raw.select("vec_id", "embedding"), store_raw=True,
+        )
+        assert ai.estimate_selectivity(spark, path, "label = 0") is None
+        ai.migrate_ann_index(spark, path, add_meta={"label": "pmod(vec_id, 5)"})
+        assert ai._read_meta(path)["meta_cols"] == ["label"]
+        codes = spark.read.parquet(ai.codes_root(path))
+        assert (
+            codes.where(
+                F.col("label") != F.pmod(F.col("vec_id"), F.lit(5))
+            ).count()
+            == 0
+        )
+        est = ai.estimate_selectivity(spark, path, "label = 0")
+        assert 0.1 <= est <= 0.4  # true 0.2, ±2x band
+        # a SECOND migration (no add_meta) carries the columns forward
+        # and refreshes the sample from the new generation
+        ai.delete_ann_index(
+            spark, path, raw.where(F.col("vec_id") % 5 == 0), "kill-l0"
+        )
+        ai.migrate_ann_index(spark, path)
+        assert "label" in spark.read.parquet(ai.codes_root(path)).columns
+        est2 = ai.estimate_selectivity(spark, path, "label = 0")
+        assert est2 < 0.05  # deleted rows left the rebuilt sample

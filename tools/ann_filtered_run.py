@@ -1,0 +1,374 @@
+"""Round-14 measured runs: filtered-serving pushdown A/B + the 10M×768
+on-box migration (r13 verdict "next" #2/#3/#6).
+
+Sub-commands (each prints one JSON line; results go to BASELINE.md
+§ann-serving):
+
+  python tools/ann_filtered_run.py m1          # 1M×16: build meta_cols
+      layout, semi-join vs pushdown A/B (pre @ low sel, post @ high sel)
+  python tools/ann_filtered_run.py migrate10m  # migrate the r12/r13
+      10M×768 layout ON THIS BOX, backfilling label via add_meta, with
+      a concurrent serving thread and a disk-floor tracker
+  python tools/ann_filtered_run.py filtered10m # post-migration filtered
+      A/B at 10M×768 + the tombstone-pending filtered leg + budgeted
+      partial fold + filtered serve again (the big-rung composition)
+
+The 10M runs mutate /tmp/above_gate/sharded-10m-768/index-raw in place
+(scratch artifact of rounds 12-13); m1 builds its layout beside the 1M
+synth corpus.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE10 = "/tmp/above_gate/sharded-10m-768"
+INDEX10 = os.path.join(BASE10, "index-raw")
+BASE1 = "/tmp/above_gate/n1000000"
+INDEX1 = os.path.join(BASE1, "index-meta")
+TOP_K = 5
+# the r13 drift drill deleted vec_id % 20 == 11 (folded away at r13);
+# this round's pending-tombstone leg uses a disjoint slice
+FDEL10_MOD, FDEL10_RESIDUE, FDEL10_TAG = 25, 3, "fdel-25-3"
+
+
+def _spark(name: str):
+    from affinity_propagation_mapreduce_spark.session import get_spark
+
+    spark = get_spark(name)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _queries10(n_q: int, offset: int = 0):
+    z = np.load(os.path.join(BASE10, "queries.npz"))
+    sel = slice(offset, offset + n_q)
+    return z["qids"][sel], z["qmat"][sel], z["qnrm"][sel]
+
+
+class _DiskFloor(threading.Thread):
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.floor = shutil.disk_usage("/").free
+        self._stop = threading.Event()
+
+    def run(self):
+        while not self._stop.is_set():
+            self.floor = min(self.floor, shutil.disk_usage("/").free)
+            time.sleep(2.0)
+
+    def stop(self) -> float:
+        self._stop.set()
+        return round(self.floor / 2**30, 1)
+
+
+def _timed_filtered(spark, path, qids, qmat, qnrm, n_reps=2, **kw):
+    walls = []
+    rows = 0
+    used = None
+    res = None
+    for _ in range(n_reps):
+        from affinity_propagation_mapreduce_spark.operators import (
+            ann_index as ai,
+        )
+
+        t0 = time.monotonic()
+        res, used = ai.serve_topk_filtered(spark, path, qids, qmat, qnrm, **kw)
+        res = res.localCheckpoint(eager=True)
+        rows = res.count()
+        walls.append(round(time.monotonic() - t0, 1))
+    return res, {
+        "mode_used": used,
+        "walls_sec": walls,
+        "steady_sec": min(walls),
+        "rows": rows,
+    }
+
+
+def m1() -> None:
+    """1M×16 A/B: the SAME predicate served through (a) the id-relation
+    semi-join fallback and (b) the pushed parquet filter — pre-mode at
+    a low-selectivity predicate, post-mode at a high-selectivity one.
+    Recall is reported for the pre arms vs the exact filtered top-5
+    (numpy, exactly computable at 1M×16)."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+
+    spark = _spark("ann-filtered-1m")
+    src = spark.read.parquet(os.path.join(BASE1, "embeddings.parquet"))
+    labels = sorted(
+        r.label for r in src.select("label").distinct().collect()
+    )
+    out = {"phase": "m1", "n": 1_000_000, "d": 16, "labels": len(labels)}
+    t0 = time.monotonic()
+    ai.build_ann_index(
+        spark, BASE1, path=INDEX1, emb_raw=src, store_raw=True,
+        meta_cols=("label",),
+    )
+    out["build_sec"] = round(time.monotonic() - t0, 1)
+    # low-selectivity predicate: one label residue class (geometry-
+    # correlated, the r13 measurement's shape); high-selectivity: its
+    # complement's majority
+    lo_expr = "label % 3 = 0"
+    hi_expr = "label % 3 != 0"
+    pdf = src.select("vec_id", "label").toPandas()
+    lab = pdf.set_index("vec_id")["label"]
+    lo_sel = float((lab % 3 == 0).mean())
+    hi_sel = 1.0 - lo_sel
+    out["lo_sel"] = round(lo_sel, 3)
+    out["hi_sel"] = round(hi_sel, 3)
+    est = ai.estimate_selectivity(spark, INDEX1, lo_expr)
+    out["lo_sel_estimate"] = round(est, 3)
+    qn = 10
+    z = spark.read.parquet(os.path.join(BASE1, "embeddings.parquet"))
+    qrows = (
+        z.where(F.col("vec_id") < qn)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], dtype="i8")
+    qmat = np.array([list(r.embedding) for r in qrows], dtype="f8")
+    qnrm = np.sqrt((qmat * qmat).sum(axis=1))
+    # exact filtered top-5 for the low-sel predicate (numpy)
+    emb_pdf = src.select("vec_id", "embedding").toPandas()
+    ids = emb_pdf["vec_id"].to_numpy()
+    X = np.array([list(e) for e in emb_pdf["embedding"]], dtype="f8")
+    nrm = np.sqrt((X * X).sum(axis=1))
+    qual = (lab.loc[ids].to_numpy() % 3) == 0
+    exact_lo = {}
+    for qi in range(qn):
+        cos = (X @ qmat[qi]) / (nrm * qnrm[qi] + 1e-300)
+        cand = np.flatnonzero(qual)
+        order = cand[np.lexsort((ids[cand], -cos[cand]))]
+        exact_lo[int(qids[qi])] = [int(ids[j]) for j in order[:TOP_K]]
+
+    def recall(res):
+        served = {}
+        for r in res.select("query_id", "neighbor_id").collect():
+            served.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        hits = sum(
+            len(served.get(q, set()) & set(v)) for q, v in exact_lo.items()
+        )
+        return round(hits / (qn * TOP_K), 3)
+
+    fids_lo = src.where(F.expr(lo_expr)).select("vec_id")
+    fids_hi = src.where(F.expr(hi_expr)).select("vec_id")
+    res, row = _timed_filtered(
+        spark, INDEX1, qids, qmat, qnrm, filter_expr=lo_expr, mode="pre",
+        selectivity=lo_sel,
+    )
+    row["recall_at5"] = recall(res)
+    out["pre_pushdown"] = row
+    res, row = _timed_filtered(
+        spark, INDEX1, qids, qmat, qnrm, filter_ids=fids_lo, mode="pre",
+        selectivity=lo_sel,
+    )
+    row["recall_at5"] = recall(res)
+    out["pre_semijoin"] = row
+    _res, row = _timed_filtered(
+        spark, INDEX1, qids, qmat, qnrm, filter_expr=hi_expr, mode="post",
+        selectivity=hi_sel,
+    )
+    out["post_pushdown"] = row
+    _res, row = _timed_filtered(
+        spark, INDEX1, qids, qmat, qnrm, filter_ids=fids_hi, mode="post",
+        selectivity=hi_sel,
+    )
+    out["post_semijoin"] = row
+    print(json.dumps(out))
+
+
+def migrate10m() -> None:
+    """Task 6: migrate the 10M×768 layout on this box (E12 was measured
+    at 1M) — retrain + batch-by-batch re-encode + atomic flip — while a
+    serving thread keeps completing interactive batches, backfilling
+    `label = pmod(vec_id, 100)` for the filtered A/B.  Prints wall,
+    serves completed mid-migration, recall vs the build-time exact
+    oracle (restricted to live ids), steady post-migration serve, and
+    the disk floor."""
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+
+    spark = _spark("ann-migrate-10m")
+    meta0 = ai._read_meta(INDEX10)
+    out = {
+        "phase": "migrate10m",
+        "n": meta0["n"],
+        "gen_before": ai._gen_of(meta0),
+    }
+    floor = _DiskFloor()
+    floor.start()
+    serves = {"done": 0, "errors": 0}
+    stop_serving = threading.Event()
+
+    def serve_loop():
+        qids, qmat, qnrm = _queries10(10)
+        while not stop_serving.is_set():
+            try:
+                r = ai.serve_topk(spark, INDEX10, qids, qmat, qnrm)
+                r.count()
+                serves["done"] += 1
+            except Exception:
+                serves["errors"] += 1
+
+    th = threading.Thread(target=serve_loop, daemon=True)
+    th.start()
+    t0 = time.monotonic()
+    res = ai.migrate_ann_index(
+        spark, INDEX10, add_meta={"label": "pmod(vec_id, 100)"}
+    )
+    out["migrate_sec"] = round(time.monotonic() - t0, 1)
+    stop_serving.set()
+    th.join(timeout=600)
+    out["serves_during_migration"] = serves["done"]
+    out["serve_errors"] = serves["errors"]
+    out["migrate_result"] = res
+    # post-migration recall vs the cross-checked build oracle, restricted
+    # to live ids (the r13 drift slice vec_id%20==11 was deleted+folded)
+    qids, qmat, qnrm = _queries10(10)
+    t0 = time.monotonic()
+    served = ai.serve_topk(spark, INDEX10, qids, qmat, qnrm)
+    got = {}
+    for r in served.select("query_id", "neighbor_id").collect():
+        got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+    out["post_serve_sec"] = round(time.monotonic() - t0, 1)
+    exact = np.load(os.path.join(BASE10, "exact.npz"))
+    hits = tot = 0
+    for q in range(10):
+        live = [int(v) for v in exact[str(q)] if int(v) % 20 != 11]
+        hits += len(got.get(int(qids[q]), set()) & set(live))
+        tot += len(live)
+    out["recall_at5_vs_live_oracle"] = round(hits / max(1, tot), 3)
+    t0 = time.monotonic()
+    ai.serve_topk(spark, INDEX10, qids, qmat, qnrm).count()
+    out["steady_serve_sec"] = round(time.monotonic() - t0, 1)
+    # reclaim the superseded generation now that serving is quiesced
+    old_grace = ai._REAP_GRACE_SEC
+    ai._REAP_GRACE_SEC = -1
+    try:
+        ai._reap_layout_scratch(INDEX10)
+    finally:
+        ai._REAP_GRACE_SEC = old_grace
+    out["disk_floor_gb"] = floor.stop()
+    out["disk_after_reap_gb"] = round(shutil.disk_usage("/").free / 2**30, 1)
+    print(json.dumps(out))
+
+
+def filtered10m() -> None:
+    """Tasks 2+3 at the big rung: pushdown-vs-semijoin A/B at 10M×768
+    on the migrated (label-backfilled) layout, then the lifecycle
+    composition — filtered serving with PENDING tombstones, across a
+    budgeted partial fold — asserting no deleted neighbor is ever
+    served."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+
+    spark = _spark("ann-filtered-10m")
+    meta = ai._read_meta(INDEX10)
+    if "label" not in meta.get("meta_cols", []):
+        raise SystemExit("run migrate10m first (label backfill)")
+    out = {"phase": "filtered10m", "n": meta["n"], "gen": ai._gen_of(meta)}
+    floor = _DiskFloor()
+    floor.start()
+    qids, qmat, qnrm = _queries10(10)
+    lo_expr, lo_sel = "label < 10", 0.10
+    hi_expr, hi_sel = "label < 50", 0.50
+    est = ai.estimate_selectivity(spark, INDEX10, lo_expr)
+    out["lo_sel_estimate"] = round(est, 4)
+    croot = ai._codes_root_gen(INDEX10, ai._gen_of(meta))
+    ids_scan = spark.read.parquet(croot)
+    res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm, filter_expr=lo_expr, mode="pre",
+        selectivity=lo_sel,
+    )
+    bad = res.where(F.pmod(F.col("neighbor_id"), F.lit(100)) >= 10).count()
+    row["non_qualifying_served"] = bad
+    out["pre_pushdown"] = row
+    _res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm,
+        filter_ids=ids_scan.where(F.expr(lo_expr)).select("vec_id"),
+        mode="pre", selectivity=lo_sel,
+    )
+    out["pre_semijoin"] = row
+    _res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm, filter_expr=hi_expr, mode="post",
+        selectivity=hi_sel,
+    )
+    out["post_pushdown"] = row
+    _res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm,
+        filter_ids=ids_scan.where(F.expr(hi_expr)).select("vec_id"),
+        mode="post", selectivity=hi_sel,
+    )
+    out["post_semijoin"] = row
+    # --- lifecycle composition at the big rung ---------------------------
+    del_pred = F.pmod(F.col("vec_id"), F.lit(FDEL10_MOD)) == FDEL10_RESIDUE
+    t0 = time.monotonic()
+    n_del = ai.delete_ann_index(
+        spark, INDEX10,
+        spark.read.parquet(croot).where(del_pred).select("vec_id"),
+        FDEL10_TAG,
+    )
+    out["delete_sec"] = round(time.monotonic() - t0, 1)
+    out["n_deleted"] = n_del
+
+    def assert_clean(res, stage):
+        rows = res.select("query_id", "neighbor_id").collect()
+        for r in rows:
+            if r.neighbor_id % FDEL10_MOD == FDEL10_RESIDUE:
+                raise AssertionError(
+                    f"{stage}: DELETED neighbor {r.neighbor_id} served"
+                )
+            if r.neighbor_id % 100 >= 10:
+                raise AssertionError(
+                    f"{stage}: non-qualifying neighbor {r.neighbor_id}"
+                )
+        return len(rows)
+
+    res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm, filter_expr=lo_expr, mode="pre",
+        selectivity=lo_sel, n_reps=1,
+    )
+    row["rows_checked"] = assert_clean(res, "tombstones-pending")
+    out["pre_pushdown_tombstones_pending"] = row
+    # budgeted partial fold (the E11 knob at the big rung), then serve
+    # filtered against the folded generation
+    stats = ai.ann_cell_stats(spark, INDEX10)
+    gbytes = sum(s["bytes"] for s in stats.values() if s["dead"] > 0)
+    budget = max(1, gbytes // 4)
+    out["fold_budget_gb"] = round(budget / 2**30, 2)
+    t0 = time.monotonic()
+    agg = ai.compact_ann_index_incremental(spark, INDEX10, budget)
+    out["fold_sec"] = round(time.monotonic() - t0, 1)
+    out["fold_rounds"] = agg["rounds"]
+    out["fold_rows_tombstoned"] = agg["rows_tombstoned"]
+    res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm, filter_expr=lo_expr, mode="pre",
+        selectivity=lo_sel, n_reps=1,
+    )
+    row["rows_checked"] = assert_clean(res, "post-fold")
+    out["pre_pushdown_post_fold"] = row
+    old_grace = ai._REAP_GRACE_SEC
+    ai._REAP_GRACE_SEC = -1
+    try:
+        ai._reap_layout_scratch(INDEX10)
+    finally:
+        ai._REAP_GRACE_SEC = old_grace
+    out["disk_floor_gb"] = floor.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    {"m1": m1, "migrate10m": migrate10m, "filtered10m": filtered10m}[
+        sys.argv[1]
+    ]()
