@@ -344,3 +344,70 @@ class TestMetaColsLayout:
         assert "label" in spark.read.parquet(ai.codes_root(path)).columns
         est2 = ai.estimate_selectivity(spark, path, "label = 0")
         assert est2 < 0.05  # deleted rows left the rebuilt sample
+
+
+class TestJpegCodec:
+    """r14: from-scratch baseline JPEG (numpy + stdlib), same
+    discipline as the PNG codec — plus the lossy-aware gates."""
+
+    def test_roundtrip_error_bounds(self):
+        import numpy as np
+
+        from affinity_propagation_mapreduce_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        h, w = 24, 40
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                xx * 255 / (w - 1),
+                yy * 255 / (h - 1),
+                (xx + yy) * 255 / (w + h - 2),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype("i4") - img.astype("i4"))
+        assert err.max() <= 12 and err.mean() <= 4
+
+    def test_flat_tiles_exact_and_odd_sizes(self):
+        import numpy as np
+
+        from affinity_propagation_mapreduce_spark.operators.multimodal import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:8, :8] = 32
+        img[:8, 8:] = 224
+        img[8:, :8] = 224
+        img[8:, 8:] = 96
+        dec = decode_jpeg(encode_jpeg(img))
+        # flat blocks are DC-only: error bounded by the DC quant step
+        assert np.abs(dec.astype("i4") - img.astype("i4")).max() <= 2
+        # non-multiple-of-8 geometry: edge-replicate pad + crop
+        rng = np.random.default_rng(3)
+        odd = rng.integers(0, 255, (17, 19, 3), dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg(odd)).shape == odd.shape
+
+    def test_dispatch_and_declared_seams(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from affinity_propagation_mapreduce_spark.operators import multimodal as mm
+
+        img = np.full((8, 8, 3), 77, np.uint8)
+        dec = mm.decode_image(mm.encode_jpeg(img))
+        assert np.abs(dec.astype("i4") - img.astype("i4")).max() <= 2
+        # progressive SOF2 raises the declared seam
+        payload = bytearray(mm.encode_jpeg(img))
+        idx = payload.find(b"\xff\xc0")
+        payload[idx + 1] = 0xC2
+        with _pytest.raises(NotImplementedError, match="SOF0"):
+            mm.decode_jpeg(bytes(payload))
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x00\x00\x00\x18ftypmp42")  # MP4 stays a seam
