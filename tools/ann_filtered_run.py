@@ -263,12 +263,24 @@ def migrate10m() -> None:
     print(json.dumps(out))
 
 
+def _emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
 def filtered10m() -> None:
-    """Tasks 2+3 at the big rung: pushdown-vs-semijoin A/B at 10M×768
-    on the migrated (label-backfilled) layout, then the lifecycle
-    composition — filtered serving with PENDING tombstones, across a
-    budgeted partial fold — asserting no deleted neighbor is ever
-    served."""
+    """Tasks 2+3 at the big rung, CRASH-ORDERED (each step prints its
+    own JSON line immediately — the first attempt lost every number to
+    an end-of-run print when the fold filled the disk):
+
+      1. filtered serve (pushdown, pre) WITH pending tombstones — the
+         lifecycle leg; asserts no deleted / non-qualifying neighbor;
+      2. budgeted fold to a clean layout — budget gbytes//10 and
+         REAP GRACE 0 between rounds (the 900 s production grace
+         retained 3 superseded 8 GB generations on a 44 GB-free box:
+         the measured reason the first attempt died; a sequential
+         drill has no concurrent reader to protect);
+      3. filtered serve post-fold (lifecycle leg 2);
+      4. the pushdown-vs-semijoin A/B on the clean folded layout."""
     from pyspark.sql import functions as F
 
     from affinity_propagation_mapreduce_spark.operators import ann_index as ai
@@ -277,55 +289,22 @@ def filtered10m() -> None:
     meta = ai._read_meta(INDEX10)
     if "label" not in meta.get("meta_cols", []):
         raise SystemExit("run migrate10m first (label backfill)")
-    out = {"phase": "filtered10m", "n": meta["n"], "gen": ai._gen_of(meta)}
+    _emit({"phase": "filtered10m", "n": meta["n"], "gen": ai._gen_of(meta)})
     floor = _DiskFloor()
     floor.start()
     qids, qmat, qnrm = _queries10(10)
     lo_expr, lo_sel = "label < 10", 0.10
     hi_expr, hi_sel = "label < 50", 0.50
     est = ai.estimate_selectivity(spark, INDEX10, lo_expr)
-    out["lo_sel_estimate"] = round(est, 4)
-    croot = ai._codes_root_gen(INDEX10, ai._gen_of(meta))
-    ids_scan = spark.read.parquet(croot)
-    res, row = _timed_filtered(
-        spark, INDEX10, qids, qmat, qnrm, filter_expr=lo_expr, mode="pre",
-        selectivity=lo_sel,
-    )
-    bad = res.where(F.pmod(F.col("neighbor_id"), F.lit(100)) >= 10).count()
-    row["non_qualifying_served"] = bad
-    out["pre_pushdown"] = row
-    _res, row = _timed_filtered(
-        spark, INDEX10, qids, qmat, qnrm,
-        filter_ids=ids_scan.where(F.expr(lo_expr)).select("vec_id"),
-        mode="pre", selectivity=lo_sel,
-    )
-    out["pre_semijoin"] = row
-    _res, row = _timed_filtered(
-        spark, INDEX10, qids, qmat, qnrm, filter_expr=hi_expr, mode="post",
-        selectivity=hi_sel,
-    )
-    out["post_pushdown"] = row
-    _res, row = _timed_filtered(
-        spark, INDEX10, qids, qmat, qnrm,
-        filter_ids=ids_scan.where(F.expr(hi_expr)).select("vec_id"),
-        mode="post", selectivity=hi_sel,
-    )
-    out["post_semijoin"] = row
-    # --- lifecycle composition at the big rung ---------------------------
-    del_pred = F.pmod(F.col("vec_id"), F.lit(FDEL10_MOD)) == FDEL10_RESIDUE
-    t0 = time.monotonic()
-    n_del = ai.delete_ann_index(
-        spark, INDEX10,
-        spark.read.parquet(croot).where(del_pred).select("vec_id"),
-        FDEL10_TAG,
-    )
-    out["delete_sec"] = round(time.monotonic() - t0, 1)
-    out["n_deleted"] = n_del
+    _emit({"step": "estimate", "lo_sel_estimate": round(est, 4)})
 
-    def assert_clean(res, stage):
+    def assert_clean(res, stage, deletes_applied=True):
         rows = res.select("query_id", "neighbor_id").collect()
         for r in rows:
-            if r.neighbor_id % FDEL10_MOD == FDEL10_RESIDUE:
+            if (
+                deletes_applied
+                and r.neighbor_id % FDEL10_MOD == FDEL10_RESIDUE
+            ):
                 raise AssertionError(
                     f"{stage}: DELETED neighbor {r.neighbor_id} served"
                 )
@@ -335,37 +314,75 @@ def filtered10m() -> None:
                 )
         return len(rows)
 
+    # step 1: ensure the delete slice is applied (idempotent by tag),
+    # then the pending-tombstone filtered serve
+    croot = ai._codes_root_gen(INDEX10, ai._gen_of(meta))
+    del_pred = F.pmod(F.col("vec_id"), F.lit(FDEL10_MOD)) == FDEL10_RESIDUE
+    t0 = time.monotonic()
+    n_del = ai.delete_ann_index(
+        spark, INDEX10,
+        spark.read.parquet(croot).where(del_pred).select("vec_id"),
+        FDEL10_TAG,
+    )
+    _emit({"step": "delete", "sec": round(time.monotonic() - t0, 1),
+           "n_deleted": n_del})
+    pending = bool(ai._tombstone_dirs(INDEX10))
     res, row = _timed_filtered(
         spark, INDEX10, qids, qmat, qnrm, filter_expr=lo_expr, mode="pre",
         selectivity=lo_sel, n_reps=1,
     )
     row["rows_checked"] = assert_clean(res, "tombstones-pending")
-    out["pre_pushdown_tombstones_pending"] = row
-    # budgeted partial fold (the E11 knob at the big rung), then serve
-    # filtered against the folded generation
+    row["tombstones_were_pending"] = pending
+    _emit({"step": "pre_pushdown_tombstones_pending", **row})
+    # step 2: budgeted fold, drill-grade reaping
     stats = ai.ann_cell_stats(spark, INDEX10)
     gbytes = sum(s["bytes"] for s in stats.values() if s["dead"] > 0)
-    budget = max(1, gbytes // 4)
-    out["fold_budget_gb"] = round(budget / 2**30, 2)
+    budget = max(1, gbytes // 10)
+    old_grace = ai._REAP_GRACE_SEC
+    ai._REAP_GRACE_SEC = 0
     t0 = time.monotonic()
-    agg = ai.compact_ann_index_incremental(spark, INDEX10, budget)
-    out["fold_sec"] = round(time.monotonic() - t0, 1)
-    out["fold_rounds"] = agg["rounds"]
-    out["fold_rows_tombstoned"] = agg["rows_tombstoned"]
+    try:
+        agg = ai.compact_ann_index_incremental(spark, INDEX10, budget)
+    finally:
+        ai._REAP_GRACE_SEC = old_grace
+    _emit({"step": "fold", "sec": round(time.monotonic() - t0, 1),
+           "budget_gb": round(budget / 2**30, 2), "rounds": agg["rounds"],
+           "rows_tombstoned": agg["rows_tombstoned"], "rows": agg["rows"]})
+    # step 3: post-fold filtered serve
     res, row = _timed_filtered(
         spark, INDEX10, qids, qmat, qnrm, filter_expr=lo_expr, mode="pre",
         selectivity=lo_sel, n_reps=1,
     )
     row["rows_checked"] = assert_clean(res, "post-fold")
-    out["pre_pushdown_post_fold"] = row
-    old_grace = ai._REAP_GRACE_SEC
-    ai._REAP_GRACE_SEC = -1
-    try:
-        ai._reap_layout_scratch(INDEX10)
-    finally:
-        ai._REAP_GRACE_SEC = old_grace
-    out["disk_floor_gb"] = floor.stop()
-    print(json.dumps(out))
+    _emit({"step": "pre_pushdown_post_fold", **row})
+    # step 4: the A/B on the clean layout
+    meta = ai._read_meta(INDEX10)
+    croot = ai._codes_root_gen(INDEX10, ai._gen_of(meta))
+    ids_scan = spark.read.parquet(croot)
+    res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm, filter_expr=lo_expr, mode="pre",
+        selectivity=lo_sel,
+    )
+    row["rows_checked"] = assert_clean(res, "ab-pre-pushdown")
+    _emit({"step": "pre_pushdown", **row})
+    _res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm,
+        filter_ids=ids_scan.where(F.expr(lo_expr)).select("vec_id"),
+        mode="pre", selectivity=lo_sel,
+    )
+    _emit({"step": "pre_semijoin", **row})
+    _res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm, filter_expr=hi_expr, mode="post",
+        selectivity=hi_sel,
+    )
+    _emit({"step": "post_pushdown", **row})
+    _res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm,
+        filter_ids=ids_scan.where(F.expr(hi_expr)).select("vec_id"),
+        mode="post", selectivity=hi_sel,
+    )
+    _emit({"step": "post_semijoin", **row})
+    _emit({"step": "done", "disk_floor_gb": floor.stop()})
 
 
 if __name__ == "__main__":
