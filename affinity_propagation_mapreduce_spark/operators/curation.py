@@ -418,25 +418,31 @@ def q_pipeline_curation_report(spark, sf_dir):
     report itself is six single-row aggregates cross-joined then
     stacked — one declarative plan, all-integer columns → fully hashed
     vs a DuckDB CTE chain."""
-    from .textops import q_text_quality_score
+    return _curation_report(
+        spark, _docs(spark, sf_dir), _exact_jaccard_pairs
+    )
 
-    docs = _docs(spark, sf_dir)
-    toks_of = F.size(F.split("text", " ")).cast("long")
-    d0 = docs.select("doc_id", "text", toks_of.alias("toks"))
-    # stage 1: exact dedup on the token-set md5 (q_dedup_exact's key)
-    key = F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
-    )
-    w_e = Window.partitionBy("k").orderBy("doc_id")
-    ed = (
-        d0.withColumn("k", key)
-        .withColumn("rn", F.row_number().over(w_e))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "text", "toks")
-    )
-    # stage 2: token-set Jaccard >= 0.95 components over the survivors
-    # (q_dedup_near_jaccard's inverted-index pair shape), best quality
-    # kept per component (q_dedup_keep_best's window)
+
+def pipeline_curation_report_scaled(spark, docs):
+    """The 100 TB formulation of the same DAG: identical stages except
+    the near-dup pair graph comes from banded MinHash LSH
+    (q_dedup_near_minhash's candidates ∝ band co-residency, never
+    all-pairs) instead of the oracle-sf exact token-set Jaccard — the
+    documented stage substitution.  Driven at 2M docs by
+    tools/text_scale_run.py --pipeline; numbers in BASELINE.md."""
+    from .textops import q_dedup_near_minhash
+
+    def pairs_of(ed):
+        return q_dedup_near_minhash(spark, None, docs=ed).select(
+            "doc_lo", "doc_hi"
+        )
+
+    return _curation_report(spark, docs, pairs_of)
+
+
+def _exact_jaccard_pairs(ed):
+    """Token-set Jaccard >= 0.95 pairs over the survivor docs —
+    q_dedup_near_jaccard's inverted-index shape, parameterized."""
     dt = ed.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
@@ -455,7 +461,7 @@ def q_pipeline_curation_report(spark, sf_dir):
         .agg(F.count("*").alias("inter"))
     )
     jac = F.col("inter") / (F.col("sz_lo") + F.col("sz_hi") - F.col("inter"))
-    pairs = (
+    return (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sz_lo")),
             "doc_lo",
@@ -467,6 +473,31 @@ def q_pipeline_curation_report(spark, sf_dir):
         .where(jac >= 0.95)
         .select("doc_lo", "doc_hi")
     )
+
+
+def _curation_report(spark, docs, pairs_of):
+    """Shared body of the curation DAG — ``docs`` is any (doc_id, text)
+    frame, ``pairs_of(ed)`` supplies the near-dup pair graph over the
+    exact-dedup survivors (exact Jaccard at oracle sf, banded MinHash
+    at scale)."""
+    from .textops import q_text_quality_score
+
+    toks_of = F.size(F.split("text", " ")).cast("long")
+    d0 = docs.select("doc_id", "text", toks_of.alias("toks"))
+    # stage 1: exact dedup on the token-set md5 (q_dedup_exact's key)
+    key = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    )
+    w_e = Window.partitionBy("k").orderBy("doc_id")
+    ed = (
+        d0.withColumn("k", key)
+        .withColumn("rn", F.row_number().over(w_e))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "toks")
+    )
+    # stage 2: near-dup components over the survivors, best quality
+    # kept per component (q_dedup_keep_best's window)
+    pairs = pairs_of(ed)
     edges = pairs.select(
         F.col("doc_lo").alias("src"), F.col("doc_hi").alias("dst")
     ).unionByName(
@@ -499,7 +530,7 @@ def q_pipeline_curation_report(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
-    quality = q_text_quality_score(spark, sf_dir).select(
+    quality = q_text_quality_score(spark, None, docs=docs).select(
         "doc_id", "quality_score_x1e4"
     )
     w_kb = Window.partitionBy("comp").orderBy(
@@ -514,8 +545,8 @@ def q_pipeline_curation_report(spark, sf_dir):
     # stage 3: the deterministic train split
     tr = kb.where(_bucket(F.col("doc_id")) < TRAIN_END)
     # stage 4: decontamination vs the FULL corpus's held-out split
-    tsh = _shingles(spark, sf_dir, docs=d0.join(tr, "doc_id", "left_semi"))
-    esh = _shingles(spark, sf_dir).where(
+    tsh = _shingles(spark, None, docs=d0.join(tr, "doc_id", "left_semi"))
+    esh = _shingles(spark, None, docs=d0).where(
         _bucket(F.col("doc_id")) >= VAL_END
     )
     ev_sz = esh.groupBy("doc_id").agg(F.count("*").alias("eval_sz"))

@@ -792,10 +792,12 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
 _STOPWORDS = ("the", "a", "of", "and", "in", "to")
 
 
-def q_text_quality_score(spark, sf_dir):
+def q_text_quality_score(spark, sf_dir, docs=None):
     """Length / stopword-ratio / token-length quality components with a
-    weighted score — integer-ratio arithmetic, so parity is exact."""
-    docs = _docs(spark, sf_dir)
+    weighted score — integer-ratio arithmetic, so parity is exact.
+    ``docs`` overrides the testdata source (scale runs)."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     toks = F.split("text", " ")
     n_toks = F.size(toks)
     sw = ", ".join(f"'{w}'" for w in _STOPWORDS)

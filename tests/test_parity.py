@@ -39,6 +39,7 @@ ROWS_ONLY = {
     "ann_index_stream_ingest",  # real structured stream folds the index
     "ann_index_partial_compact",  # budgeted partial-fold gate on the layout
     "ann_index_migrate",       # quantizer retrain/cutover round-trip gate
+    "media_decode_jpeg",       # lossy codec: no SQL mirror of decoded sums
 }
 
 AP_KEYS = sorted(k for k in QUERIES if k.startswith("ap_"))

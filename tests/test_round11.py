@@ -264,13 +264,16 @@ class TestRealCodecs:
 
         from affinity_propagation_mapreduce_spark.operators import multimodal as mm
 
-        # PNG decodes for REAL since round 12 — malformed PNG bytes now
-        # fail as a corrupt file (ValueError), not as a missing codec;
-        # the NotImplementedError seam is JPEG/MP4 only
+        # PNG decodes for REAL since round 12, baseline JPEG since round
+        # 14 — malformed bytes of either now fail as a corrupt file
+        # (ValueError/IndexError), not as a missing codec; the
+        # NotImplementedError seam is non-baseline JPEG variants + MP4
         with _pytest.raises(ValueError):
             mm.decode_image(b"\x89PNG\r\n\x1a\n....")
+        with _pytest.raises((ValueError, IndexError)):
+            mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # truncated
         with _pytest.raises(NotImplementedError):
-            mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+            mm.decode_image(b"\x00\x00\x00\x18ftypmp42")  # MP4: the seam
         with _pytest.raises(ValueError):
             mm.decode_bmp(b"XXnot a bmp")
         with _pytest.raises(ValueError):

@@ -555,8 +555,13 @@ class TestPngCodec:
             decode_image,
         )
 
-        with pytest.raises(NotImplementedError, match="JPEG"):
-            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+        # JPEG decodes for real since round 14 — truncated JPEG bytes
+        # fail as a corrupt stream, not as a missing codec; the
+        # remaining container seam is video
+        with pytest.raises((ValueError, IndexError)):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # truncated
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x00\x00\x00\x18ftypmp42")
 
 
 class TestAdcDirectPath:

@@ -59,7 +59,51 @@ def synth_docs(spark, n: int):
     )
 
 
+def pipeline(n: int) -> None:
+    """The composed curation DAG at scale (r13 verdict "next" #5 done
+    criterion): run pipeline_curation_report_scaled — the banded-
+    MinHash formulation of the hashed pipeline_curation_report key —
+    over an N-doc synthetic corpus and print the per-stage ledger +
+    wall.  python tools/text_scale_run.py --pipeline 2000000"""
+    from affinity_propagation_mapreduce_spark.operators.curation import (
+        pipeline_curation_report_scaled,
+    )
+
+    spark = get_spark("text-scale-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = synth_docs(spark, n).localCheckpoint(eager=True)
+    t0 = time.time()
+    rows = sorted(
+        pipeline_curation_report_scaled(spark, docs).collect(),
+        key=lambda r: r.stage,
+    )
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "op": "pipeline_curation_report_scaled",
+                "n_docs": n,
+                "wall_sec": round(wall, 1),
+                "docs_per_sec": round(n / wall),
+                "stages": [
+                    {
+                        "stage": r.stage,
+                        "n_units": r.n_units,
+                        "n_removed": r.n_removed,
+                        "n_tokens": r.n_tokens,
+                    }
+                    for r in rows
+                ],
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline":
+        pipeline(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
+        return 0
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     spark = get_spark("text-scale")
     spark.sparkContext.setLogLevel("ERROR")
