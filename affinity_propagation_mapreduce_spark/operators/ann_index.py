@@ -2063,6 +2063,34 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, t)
 
 
+def _rebuild_selectivity_sample(spark, path, new_root, mcols, n_live):
+    """Replace the layout's selectivity sample from a freshly-committed
+    codes tree — deleted rows leave, so the estimator's staleness
+    resets at every garbage-clearing fold and at migration.  The sample
+    is advisory (estimates only): replace-by-rename outside the
+    generation commit is sound, and a crash leaves either the old
+    sample (stale but inside the ±2× planner band) or a prefix-reaped
+    scratch dir."""
+    import shutil
+    import uuid
+
+    if not mcols:
+        return
+    stmp = os.path.join(path, f".batch-tmp-{uuid.uuid4().hex}")
+    if n_live > 0:
+        _write_selectivity_sample(
+            spark.read.parquet(new_root).select("vec_id", *mcols),
+            n_live,
+            os.path.join(stmp, "batch=folded"),
+        )
+    else:
+        os.makedirs(stmp, exist_ok=True)
+    sold = os.path.join(path, "sample.parquet")
+    if os.path.isdir(sold):
+        shutil.rmtree(sold)
+    os.rename(stmp, sold)
+
+
 def _has_parquet_files(d: str) -> bool:
     """True iff ``d`` holds at least one parquet data file.  Guards the
     read-back after maintenance writes: ``partitionBy`` over an EMPTY
@@ -2207,7 +2235,14 @@ def compact_ann_index(
             .partitionBy("cell")
             .parquet(os.path.join(tmp, "batch=base"))
         )
-        n_after = spark.read.parquet(tmp).count()
+        if _has_parquet_files(os.path.join(tmp, "batch=base")):
+            n_after = spark.read.parquet(tmp).count()
+        else:
+            # a fully-deleted layout folds to ZERO rows: drop the
+            # _SUCCESS-only dir instead of reading it (advice r13 #1)
+            shutil.rmtree(os.path.join(tmp, "batch=base"), ignore_errors=True)
+            os.makedirs(tmp, exist_ok=True)
+            n_after = 0
         n_live = live.count()
         if n_after != n_live:
             raise AssertionError(
@@ -2219,6 +2254,11 @@ def compact_ann_index(
             # meta flip (the pointer still reads gen) — safe to replace
             shutil.rmtree(new_root)
         os.rename(tmp, new_root)
+        # every delete folds away here — reset the estimator's sample
+        _rebuild_selectivity_sample(
+            spark, path, new_root, tuple(meta.get("meta_cols", [])),
+            int(n_after),
+        )
         meta = _read_meta(path)
         meta["generation"] = gen + 1
         meta["batches"] = merged
@@ -2365,6 +2405,13 @@ def _compact_partial(
     if tmp_tomb is not None:
         os.rename(tmp_tomb, new_troot)
     dead_folded = int(n_f_before - n_live_f)
+    if clears_all:
+        # the terminal round of a budgeted loop: every delete is folded,
+        # so one columnar pass resets the estimator's sample staleness
+        _rebuild_selectivity_sample(
+            spark, path, new_root, tuple(meta.get("meta_cols", [])),
+            int(n_total_before - dead_folded),
+        )
     meta = _read_meta(path)
     meta["generation"] = gen + 1
     meta["batches"] = merged
@@ -3053,11 +3100,17 @@ def _filtered_lifecycle_drill(spark, sf_dir):
                 )
 
     check("fresh", ~dead0, ("pre", "post"))
+    # replay detection: once the final append re-inserted the deleted
+    # slice (sequenced AFTER the delete), those rows serve again and the
+    # delete below no-ops — the expected alive set is the full corpus
+    replayed = "reins-f" in _read_meta(path).get("batches", [])
     delete_ann_index(
         spark, path,
         raw.where(F.col("vec_id") % FDEL_MOD == FDEL_RESIDUE), FDEL_TAG,
     )
-    alive = ids % FDEL_MOD != FDEL_RESIDUE
+    alive = (
+        ~dead0 if replayed else (ids % FDEL_MOD != FDEL_RESIDUE)
+    )
     check("tombstones-pending", alive, ("pre", "post"))
     stats = ann_cell_stats(spark, path)
     gbytes = sum(s["bytes"] for s in stats.values() if s["dead"] > 0)
@@ -3065,6 +3118,15 @@ def _filtered_lifecycle_drill(spark, sf_dir):
     check("post-fold", alive, ("auto",))
     migrate_ann_index(spark, path)
     check("post-migration", alive, ("pre", "post"))
+    # ingest leg: re-insert the deleted slice as a frozen-quantizer
+    # append AFTER the migration (idempotent by tag) — the appended
+    # batch carries its metadata columns and its sample slice, so
+    # filtered serving must see the re-added qualifying vectors again
+    append_ann_index(
+        spark, path,
+        raw.where(F.col("vec_id") % FDEL_MOD == FDEL_RESIDUE), "reins-f",
+    )
+    check("post-append", ~dead0, ("pre", "post"))
 
 
 def q_knn_cosine_filtered(spark, sf_dir):

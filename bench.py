@@ -41,6 +41,13 @@ HEADLINE = [
     # the suite total vs the ≤r12 series by the serve wall — the
     # per-query timings are the comparable units.
     "knn_cosine_served",
+    # r14: FILTERED serving row (predicate pushdown path — meta_cols
+    # layout, filter_expr evaluated scan-side, sample-based
+    # selectivity).  Same convention as knn_cosine_served: pass 1 pays
+    # the one-time dedicated-layout build, min-of-passes records the
+    # warm filtered serve; per-query timings remain the comparable
+    # units across rounds.
+    "knn_cosine_filtered_served",
 ]
 
 
@@ -78,6 +85,27 @@ def main() -> None:
     from affinity_propagation_mapreduce_spark.operators import ann_index as ann
 
     qs["knn_cosine_served"] = ann.knn_cosine_served
+
+    def _filtered_served(spark_, sf_dir_):
+        from affinity_propagation_mapreduce_spark.operators.vector import (
+            FILTER_LABEL_MOD,
+        )
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        path = ann.ann_index_path(sf_dir_) + "-fbench"
+        ann.build_ann_index(
+            spark_, sf_dir_, path=path,
+            emb_raw=table(spark_, sf_dir_, "embeddings"),
+            store_raw=True, meta_cols=("label",),
+        )
+        qids, qmat, qnrm = ann._query_rows(spark_, sf_dir_)
+        res, _used = ann.serve_topk_filtered(
+            spark_, path, qids, qmat, qnrm,
+            filter_expr=f"label % {FILTER_LABEL_MOD} = 0",
+        )
+        return res
+
+    qs["knn_cosine_filtered_served"] = _filtered_served
     # warm the JVM / codegen / Arrow paths so the first timed query isn't
     # billed for session startup
     qs["pricing_summary"](spark, sf_dir).count()

@@ -411,3 +411,61 @@ class TestJpegCodec:
             mm.decode_jpeg(bytes(payload))
         with _pytest.raises(NotImplementedError):
             mm.decode_image(b"\x00\x00\x00\x18ftypmp42")  # MP4 stays a seam
+
+
+class TestSampleLifecycle:
+    def test_fold_rebuilds_sample_after_deletes(self, spark, tmp_path):
+        """The fold that clears the last tombstone also resets the
+        estimator's sample staleness — deleted rows leave the sample."""
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings")
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=raw, meta_cols=("label",)
+        )
+        est0 = ai.estimate_selectivity(spark, path, "label = 0")
+        assert est0 > 0.1  # labels ~uniform over ~5 values at this sf
+        ai.delete_ann_index(
+            spark, path, raw.where(F.col("label") == 0), "kill-l0"
+        )
+        # pending tombstones: sample still stale (documented, ±2x band)
+        ai.compact_ann_index(spark, path)
+        # garbage cleared -> sample rebuilt from the new generation
+        est1 = ai.estimate_selectivity(spark, path, "label = 0")
+        assert est1 < 0.02, (est0, est1)
+
+    def test_multi_column_meta_and_compound_predicate(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings").withColumn(
+            "tenant", F.pmod(F.col("vec_id"), F.lit(4)).cast("int")
+        )
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=raw, store_raw=True,
+            meta_cols=("label", "tenant"),
+        )
+        codes = spark.read.parquet(ai.codes_root(path))
+        assert {"label", "tenant"} <= set(codes.columns)
+        expr = "tenant = 1 AND label % 3 = 0"
+        true = raw.where(F.expr(expr)).count() / raw.count()
+        est = ai.estimate_selectivity(spark, path, expr)
+        assert 0.5 * true <= est <= 2.0 * true
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        res, used = ai.serve_topk_filtered(
+            spark, path, qids, qmat, qnrm, filter_expr=expr
+        )
+        assert used == "pre"
+        ok = {
+            r.vec_id
+            for r in raw.where(F.expr(expr)).select("vec_id").collect()
+        }
+        got = res.select("neighbor_id").collect()
+        assert got and all(r.neighbor_id in ok for r in got)
