@@ -1577,6 +1577,100 @@ GROUP BY l_returnflag
 """
 
 
+# --- (⊕ r14) z-order multi-column file skipping -------------------------------
+
+ZSKIP_DATE_LO, ZSKIP_DATE_HI = "1996-01-01 00:00:00", "1996-12-31 00:00:00"
+ZSKIP_PRICE_LO, ZSKIP_PRICE_HI = 1000.0, 20000.0
+ZSKIP_N_FILES = 16
+
+
+def _zordered_lineitem(spark, sf_dir):
+    """Write lineitem Z-ORDERED on (l_shipdate, l_extendedprice) with a
+    per-file per-column min/max manifest ONCE per (application, sf_dir);
+    returns the layout path."""
+    import os
+
+    from ..sources.io import _ZMANIFEST_NAME, write_zordered_table
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/zordered_lineitem"
+    if not os.path.isfile(os.path.join(base, _ZMANIFEST_NAME)):
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        write_zordered_table(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_shipdate", "l_extendedprice", "l_returnflag", "l_quantity"
+            ),
+            base,
+            ["l_shipdate", "l_extendedprice"],
+            n_files=ZSKIP_N_FILES,
+        )
+    return base
+
+
+def q_scan_zorder_skip(spark, sf_dir):
+    """MULTI-dimensional file skipping (the z-order layout 1-D range
+    clustering cannot give): lineitem written on the Morton interleave
+    of (l_shipdate, l_extendedprice) rank buckets keeps every file's
+    bounding box tight in BOTH dimensions, so a predicate on either
+    column — or both — prunes files driver-side before Spark lists the
+    directory.  1-D clustering on l_shipdate makes a price-only
+    predicate scan every file; the z-layout prunes it too.
+
+    SELF-VERIFYING: raises unless (a) the 2-D predicate prunes, (b) a
+    price-ONLY predicate ALSO prunes (the multi-dimensional claim
+    itself), and (c) the reader's file list is within the manifest's.
+    The hashed result is the returnflag rollup over the 2-D band,
+    computed by the oracle from the raw table — layout and manifest
+    must be semantically invisible."""
+    from ..sources.io import scan_zordered
+
+    base = _zordered_lineitem(spark, sf_dir)
+    df, stats = scan_zordered(
+        spark,
+        base,
+        {
+            "l_shipdate": (ZSKIP_DATE_LO, ZSKIP_DATE_HI),
+            "l_extendedprice": (ZSKIP_PRICE_LO, ZSKIP_PRICE_HI),
+        },
+    )
+    if stats["files_kept"] >= stats["files_total"]:
+        raise AssertionError(f"z-order 2-D skip did not engage: {stats}")
+    _price_df, pstats = scan_zordered(
+        spark, base, {"l_extendedprice": (ZSKIP_PRICE_LO, ZSKIP_PRICE_HI)}
+    )
+    if pstats["files_kept"] >= pstats["files_total"]:
+        raise AssertionError(
+            f"z-order price-only skip did not engage: {pstats} — a "
+            "1-D-date-clustered layout would behave like this; the "
+            "z-interleave must prune on EVERY clustered dimension"
+        )
+    if len(df.inputFiles()) > stats["files_kept"]:
+        raise AssertionError(
+            f"reader listed {len(df.inputFiles())} files, manifest kept "
+            f"{stats['files_kept']}"
+        )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )
+
+
+O_SCAN_ZORDER_SKIP = f"""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{ZSKIP_DATE_LO}'
+  AND l_shipdate <= TIMESTAMP '{ZSKIP_DATE_HI}'
+  AND l_extendedprice >= {ZSKIP_PRICE_LO}
+  AND l_extendedprice <= {ZSKIP_PRICE_HI}
+GROUP BY l_returnflag
+"""
+
+
 # --- (⊕ r8) CDC MERGE / upsert ----------------------------------------------
 
 MERGE_DELETE_PCT = 10   # md5 bucket < 10  → delete the customer
@@ -1825,6 +1919,7 @@ QUERIES = {
     "merge_upsert_chain": q_merge_upsert_chain,
     "join_bucketed": q_join_bucketed,
     "scan_clustered_skip": q_scan_clustered_skip,
+    "scan_zorder_skip": q_scan_zorder_skip,
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,
     "agg_distinct_kmv": q_agg_distinct_kmv,
@@ -1877,6 +1972,7 @@ ORACLES = {
     "merge_upsert_chain": O_MERGE_CHAIN,
     "join_bucketed": O_JOIN_BUCKETED,
     "scan_clustered_skip": O_SCAN_CLUSTERED_SKIP,
+    "scan_zorder_skip": O_SCAN_ZORDER_SKIP,
     "agg_distinct": O_AGG_DISTINCT,
     "agg_distinct_approx": O_AGG_DISTINCT_APPROX,
     "agg_distinct_kmv": O_AGG_DISTINCT_KMV,

@@ -288,3 +288,170 @@ def scan_clustered(
     if upper is not None:
         guard = guard & (F.col(key) <= F.lit(upper))
     return df.where(guard), stats
+
+
+# --- z-order clustering: multi-column file skipping (round 14) ---------------
+
+_ZMANIFEST_NAME = "_zorder_manifest.json"
+_Z_BITS_PER_DIM = 4  # 16 rank buckets per dimension
+
+
+def _z_numeric(c: str, dtype: str):
+    """Monotone double rendering of a clustering column (numeric as-is;
+    date/timestamp via epoch seconds — strings are not supported)."""
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        return F.col(c).cast("timestamp").cast("double")
+    if dtype in ("string", "binary", "boolean"):
+        raise NotImplementedError(
+            f"z-order clustering needs a numeric/temporal key (got {c}: "
+            f"{dtype}); use write_clustered_table for a single string key"
+        )
+    return F.col(c).cast("double")
+
+
+def write_zordered_table(
+    df: DataFrame, path: str, zorder_by: list[str], n_files: int = 16
+) -> dict:
+    """Write ``df`` clustered on the Z-ORDER (Morton) interleave of the
+    given columns' rank buckets, with a per-file min/max manifest for
+    EVERY clustering column — multi-dimensional data skipping
+    (Delta/Iceberg `OPTIMIZE ZORDER BY`'s layout, from primitives): a
+    predicate on ANY subset of the clustered columns prunes files
+    driver-side, because z-ordering keeps each file's bounding
+    hyperrectangle tight in every dimension simultaneously, where 1-D
+    range clustering is tight in one and useless in the rest.
+
+    Rank buckets come from approxQuantile boundaries (equi-depth, skew
+    robust), interleaved bitwise JVM-side; the write is one
+    repartitionByRange on the z-value + an in-file sort.  Layout
+    choice never affects semantics — readers apply the real predicate
+    on top of the pruned file list."""
+    import json
+    import os
+    from functools import reduce
+
+    spark = df.sparkSession
+    cols = list(zorder_by)
+    dtypes = dict(df.dtypes)
+    b = 1 << _Z_BITS_PER_DIM
+    znum = [
+        _z_numeric(c, dtypes[c]).alias(f"__z{i}") for i, c in enumerate(cols)
+    ]
+    proj = df.select("*", *znum)
+    probs = [i / b for i in range(1, b)]
+    bounds = {
+        i: proj.approxQuantile(f"__z{i}", probs, 0.001)
+        for i in range(len(cols))
+    }
+
+    def bucket(i):
+        lits = ", ".join(repr(float(v)) for v in bounds[i])
+        return F.expr(
+            f"size(filter(array({lits}), b -> b <= __z{i}))"
+        ).cast("long")
+
+    def interleave(bkts):
+        terms = []
+        for bit in range(_Z_BITS_PER_DIM):
+            for d, bk in enumerate(bkts):
+                shift = bit * len(bkts) + (len(bkts) - 1 - d)
+                terms.append(
+                    F.shiftleft(
+                        F.shiftright(bk, bit).bitwiseAND(F.lit(1)), shift
+                    )
+                )
+        return reduce(lambda a_, b_: a_ + b_, terms)
+
+    z = interleave([bucket(i) for i in range(len(cols))]).alias("__zval")
+    (
+        proj.select("*", z)
+        .repartitionByRange(n_files, "__zval")
+        .sortWithinPartitions("__zval")
+        .drop("__zval", *[f"__z{i}" for i in range(len(cols))])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("rows"),
+            *[F.min(c).alias(f"min_{i}") for i, c in enumerate(cols)],
+            *[F.max(c).alias(f"max_{i}") for i, c in enumerate(cols)],
+        )
+        .collect()
+    )
+    manifest = {
+        "zorder_by": cols,
+        "files": sorted(
+            (
+                {
+                    "file": r.file,
+                    "rows": int(r.rows),
+                    "min": {
+                        c: _manifest_key(r[f"min_{i}"])
+                        for i, c in enumerate(cols)
+                    },
+                    "max": {
+                        c: _manifest_key(r[f"max_{i}"])
+                        for i, c in enumerate(cols)
+                    },
+                }
+                for r in stats
+            ),
+            key=lambda e: e["file"],
+        ),
+    }
+    with open(os.path.join(path, _ZMANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh)
+    return {"n_files": len(manifest["files"]), "zorder_by": cols}
+
+
+def scan_zordered(
+    spark: SparkSession, path: str, ranges: dict
+) -> tuple[DataFrame, dict]:
+    """Manifest-pruned scan over a z-ordered layout: ``ranges`` maps a
+    clustered column to (lower, upper) (either bound None = unbounded);
+    a file survives only if its bounding box overlaps EVERY given
+    range.  Semantic WHERE guards are applied on top — the manifest is
+    performance, never correctness.  Returns
+    (df, {files_total, files_kept, rows_kept_bound})."""
+    import json
+    import os
+
+    with open(os.path.join(path, _ZMANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    cols = manifest["zorder_by"]
+    unknown = set(ranges) - set(cols)
+    if unknown:
+        raise ValueError(f"not z-ordered columns: {sorted(unknown)}")
+
+    def overlaps(e):
+        for c, (lo, hi) in ranges.items():
+            lo_b = _manifest_key(lo) if lo is not None else None
+            hi_b = _manifest_key(hi) if hi is not None else None
+            if hi_b is not None and e["min"][c] > hi_b:
+                return False
+            if lo_b is not None and e["max"][c] < lo_b:
+                return False
+        return True
+
+    kept = [e for e in manifest["files"] if overlaps(e)]
+    stats = {
+        "files_total": len(manifest["files"]),
+        "files_kept": len(kept),
+        "rows_kept_bound": sum(e["rows"] for e in kept),
+    }
+    if not kept:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.option("basePath", path).parquet(
+            *[e["file"] for e in kept]
+        )
+    guard = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            guard = guard & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            guard = guard & (F.col(c) <= F.lit(hi))
+    return df.where(guard), stats

@@ -268,3 +268,45 @@ def test_clustered_manifest_scan_skips_files(spark, tmp_path):
         spark, path, lower="2030-01-01 00:00:00", upper="2031-01-01 00:00:00"
     )
     assert st0["files_kept"] == 0 and empty.count() == 0
+
+
+def test_zordered_scan_prunes_on_every_dimension(spark, tmp_path):
+    """r14 z-order: the Morton layout must prune files for a predicate
+    on EITHER clustered column, and the pruned scan must return exactly
+    the rows the raw filter returns."""
+    from affinity_propagation_mapreduce_spark.sources.io import (
+        scan_zordered,
+        write_zordered_table,
+    )
+
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_orderkey"
+    )
+    path = str(tmp_path / "zordered")
+    res = write_zordered_table(
+        li, path, ["l_shipdate", "l_extendedprice"], n_files=8
+    )
+    assert res["n_files"] == 8
+    date_rng = ("1996-01-01 00:00:00", "1996-12-31 00:00:00")
+    price_rng = (1000.0, 20000.0)
+    for ranges in (
+        {"l_shipdate": date_rng},
+        {"l_extendedprice": price_rng},
+        {"l_shipdate": date_rng, "l_extendedprice": price_rng},
+    ):
+        df, stats = scan_zordered(spark, path, ranges)
+        assert stats["files_kept"] < stats["files_total"] == 8, ranges
+        cond = F.lit(True)
+        for c, (lo, hi) in ranges.items():
+            cond = cond & (F.col(c) >= lo) & (F.col(c) <= hi)
+        assert df.count() == li.where(cond).count() > 0
+    # disjoint box prunes everything
+    empty, st0 = scan_zordered(
+        spark, path, {"l_extendedprice": (1e12, 2e12)}
+    )
+    assert st0["files_kept"] == 0 and empty.count() == 0
+    # unknown column is an error, not a silent no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not z-ordered"):
+        scan_zordered(spark, path, {"l_quantity": (0, 1)})
