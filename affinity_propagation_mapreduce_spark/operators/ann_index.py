@@ -1336,12 +1336,16 @@ def serve_topk_filtered(
         if filter_expr is not None:
             selectivity = estimate_selectivity(spark, path, filter_expr)
             if selectivity is None:
-                # layout built without meta_cols carries no sample —
-                # columnar fallback: count qualifying over the
-                # (vec_id, predicate-cols) projection of the codes tree
+                # missing/unreadable sample on a meta_cols layout (a
+                # crashed maintenance pass can leave none) — columnar
+                # LIVE-row fallback over the codes tree's predicate
+                # columns; dead rows must not inflate the numerator
+                # while meta["n"] counts live only
                 croot0 = _codes_root_gen(path, _gen_of(meta))
                 selectivity = (
-                    spark.read.parquet(croot0)
+                    _live_codes(
+                        spark, path, spark.read.parquet(croot0), meta
+                    )
                     .where(F.expr(filter_expr))
                     .count()
                     / max(1, meta["n"])
@@ -1449,8 +1453,24 @@ def serve_topk_filtered(
         # result, never on the scan.
         croot0 = _codes_root_gen(path, _gen_of(meta))
         qdirs = _probed_cell_dirs(croot0, cells)
-        qualifying = (
+        if not qdirs:  # every probed cell empty (fully-dead folds vanish)
+            return (
+                spark.createDataFrame(
+                    [], "query_id long, neighbor_id long, cosine double, rn long"
+                ),
+                fmode,
+            )
+        qscan = (
             spark.read.option("basePath", croot0).parquet(*qdirs)
+            .where(F.col("cell").isin([int(c) for c in cells]))
+        )
+        # LIVE rows only: a tombstoned row's STALE metadata must never
+        # qualify a re-inserted neighbor whose current metadata does
+        # not (found by review: delete vec X [qualifying label], re-add
+        # it with a non-qualifying label → the dead row's label matched
+        # the predicate and the serve returned X)
+        qualifying = (
+            _live_codes(spark, path, qscan, meta)
             .where(F.expr(filter_expr))
             .select(F.col("vec_id").alias("neighbor_id"))
         )
@@ -2825,23 +2845,11 @@ def migrate_ann_index(
         if os.path.isdir(new_root):
             shutil.rmtree(new_root)
         os.rename(tmp, new_root)
-        if mcols_all:
-            # rebuild the selectivity sample from the NEW generation —
-            # backfilled columns enter it, deleted rows leave it.  The
-            # sample is advisory (estimates only), so replace-by-rename
-            # without joining the generation commit is sound; a crash
-            # here leaves the old sample (stale, still inside the ±2x
-            # band) or a scratch dir (reaped by prefix).
-            stmp = os.path.join(path, f".batch-tmp-{uuid.uuid4().hex}")
-            _write_selectivity_sample(
-                spark.read.parquet(new_root).select("vec_id", *mcols_all),
-                n_live,
-                os.path.join(stmp, "batch=migrated"),
-            )
-            sold = os.path.join(path, "sample.parquet")
-            if os.path.isdir(sold):
-                shutil.rmtree(sold)
-            os.rename(stmp, sold)
+        # rebuild the selectivity sample from the NEW generation —
+        # backfilled columns enter it, deleted rows leave it
+        _rebuild_selectivity_sample(
+            spark, path, new_root, mcols_all, int(n_live)
+        )
         dir_tags = [
             b.split("=", 1)[1]
             for b in batch_dirs

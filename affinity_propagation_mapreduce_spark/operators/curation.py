@@ -530,7 +530,10 @@ def _curation_report(spark, docs, pairs_of):
         labels = new_labels
         if changed == 0:
             break
-    quality = q_text_quality_score(spark, None, docs=docs).select(
+    # score the SURVIVORS only (the oracle's q CTE is FROM ed too):
+    # per-row function, so restricting the input changes no kept score
+    # and skips the duplicate fraction's scoring work at scale
+    quality = q_text_quality_score(spark, None, docs=ed).select(
         "doc_id", "quality_score_x1e4"
     )
     w_kb = Window.partitionBy("comp").orderBy(

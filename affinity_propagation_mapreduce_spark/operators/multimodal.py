@@ -44,14 +44,6 @@ from ..sources import table
 
 FEATURE_DIM = 8
 
-try:  # pragma: no cover - not installed in this container
-    import PIL.Image  # noqa: F401
-
-    HAVE_IMAGE_DECODE = True
-except ImportError:
-    HAVE_IMAGE_DECODE = False
-
-
 # --- real pure-numpy/stdlib codecs (r10 verdict "What's missing" #3) ---------
 #
 # BMP (24bpp uncompressed) and WAV (RIFF PCM16 mono) are fully specified

@@ -185,10 +185,14 @@ _MANIFEST_NAME = "_scan_manifest.json"  # leading "_": invisible to scans
 
 
 def _manifest_key(v):
-    """JSON-portable ordering key: numerics stay numeric, everything
-    else (dates, timestamps, strings) compares as its string rendering
-    — callers must pass bounds in the SAME rendering the column
-    stringifies to (e.g. '1995-06-01 00:00:00' for a timestamp key)."""
+    """JSON-portable ordering key: None stays None (an all-NULL file's
+    min/max — NULL keys satisfy no range predicate, so such files prune
+    under any bound), numerics stay numeric, everything else (dates,
+    timestamps, strings) compares as its string rendering — callers
+    must pass bounds in the SAME rendering the column stringifies to
+    (e.g. '1995-06-01 00:00:00' for a timestamp key)."""
+    if v is None:
+        return None
     return v if isinstance(v, (int, float)) else str(v)
 
 
@@ -263,10 +267,13 @@ def scan_clustered(
     key = manifest["cluster_by"]
     lo_b = _manifest_key(lower) if lower is not None else None
     hi_b = _manifest_key(upper) if upper is not None else None
+    bounded = lo_b is not None or hi_b is not None
     kept = [
         e
         for e in manifest["files"]
-        if not (
+        # an all-NULL-key file (min/max None) satisfies no range bound
+        if not (bounded and (e["min"] is None or e["max"] is None))
+        and not (
             (hi_b is not None and e["min"] > hi_b)
             or (lo_b is not None and e["max"] < lo_b)
         )
@@ -339,10 +346,11 @@ def write_zordered_table(
     ]
     proj = df.select("*", *znum)
     probs = [i / b for i in range(1, b)]
-    bounds = {
-        i: proj.approxQuantile(f"__z{i}", probs, 0.001)
-        for i in range(len(cols))
-    }
+    # ONE multi-column quantile job, not one full scan per dimension
+    qlists = proj.approxQuantile(
+        [f"__z{i}" for i in range(len(cols))], probs, 0.001
+    )
+    bounds = dict(enumerate(qlists))
 
     def bucket(i):
         lits = ", ".join(repr(float(v)) for v in bounds[i])
@@ -430,6 +438,10 @@ def scan_zordered(
         for c, (lo, hi) in ranges.items():
             lo_b = _manifest_key(lo) if lo is not None else None
             hi_b = _manifest_key(hi) if hi is not None else None
+            if (lo_b is not None or hi_b is not None) and (
+                e["min"][c] is None or e["max"][c] is None
+            ):
+                return False  # all-NULL keys satisfy no range bound
             if hi_b is not None and e["min"][c] > hi_b:
                 return False
             if lo_b is not None and e["max"][c] < lo_b:

@@ -469,3 +469,71 @@ class TestSampleLifecycle:
         }
         got = res.select("neighbor_id").collect()
         assert got and all(r.neighbor_id in ok for r in got)
+
+
+class TestReviewRegressions:
+    """Round-14 review findings, runtime-verified then fixed."""
+
+    def test_post_mode_stale_tombstone_metadata_never_qualifies(
+        self, spark, tmp_path
+    ):
+        """A deleted row's STALE metadata must not qualify a
+        re-inserted neighbor whose current metadata does not: the
+        post-mode qualifying scan anti-joins tombstones like every
+        other read of the codes tree."""
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        path = str(tmp_path / "layout")
+        raw = table(spark, SF_SMALL, "embeddings")
+        ai.build_ann_index(
+            spark, SF_SMALL, path=path, emb_raw=raw, store_raw=True,
+            meta_cols=("label",),
+        )
+        expr = "label % 2 = 0"
+        # kill every even-label vector, then re-add the SAME vectors
+        # with an odd label (the takedown-then-reindex shape)
+        evens = raw.where(F.col("label") % 2 == 0)
+        ai.delete_ann_index(spark, path, evens.select("vec_id"), "kill-even")
+        ai.append_ann_index(
+            spark, path,
+            evens.withColumn("label", F.lit(1).cast("int")), "readd-odd",
+        )
+        readded = {r.vec_id for r in evens.select("vec_id").collect()}
+        qids, qmat, qnrm = ai._query_rows(spark, SF_SMALL)
+        for mode in ("pre", "post"):
+            res, _ = ai.serve_topk_filtered(
+                spark, path, qids, qmat, qnrm, filter_expr=expr, mode=mode
+            )
+            bad = [
+                r.neighbor_id
+                for r in res.select("neighbor_id").collect()
+                if r.neighbor_id in readded
+            ]
+            assert not bad, (mode, bad[:5])
+
+    def test_clustered_manifest_handles_all_null_key_files(
+        self, spark, tmp_path
+    ):
+        """An output file whose cluster key is entirely NULL records
+        None min/max; bounded scans must prune it (NULL satisfies no
+        range predicate), not crash comparing str to the bound."""
+        from pyspark.sql import functions as F
+
+        from affinity_propagation_mapreduce_spark.sources.io import (
+            scan_clustered,
+            write_clustered_table,
+        )
+
+        df = spark.range(1000).select(
+            F.when(F.col("id") % 5 != 0, F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        path = str(tmp_path / "clustered")
+        write_clustered_table(df, path, "k", n_files=6)
+        out, stats = scan_clustered(spark, path, lower=500, upper=600)
+        assert stats["files_kept"] < stats["files_total"]
+        assert out.count() == df.where(
+            (F.col("k") >= 500) & (F.col("k") <= 600)
+        ).count() > 0
