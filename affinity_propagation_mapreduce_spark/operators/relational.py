@@ -1671,6 +1671,84 @@ GROUP BY l_returnflag
 """
 
 
+# --- (⊕ r14) Bloom-filter point-lookup file skipping ---------------------------
+
+def _bloomed_lineitem(spark, sf_dir):
+    """lineitem clustered on l_shipdate WITH per-file Bloom filters over
+    l_orderkey — the point-lookup column whose min/max ranges span every
+    file (high-cardinality, uncorrelated with the cluster key), written
+    once per (application, sf_dir)."""
+    import json
+    import os
+
+    from ..sources.io import _MANIFEST_NAME, write_clustered_table_with_blooms
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/bloomed_lineitem"
+    mpath = os.path.join(base, _MANIFEST_NAME)
+    have = False
+    if os.path.isfile(mpath):
+        with open(mpath) as fh:
+            have = "l_orderkey" in json.load(fh).get("bloom_for", [])
+    if not have:
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        write_clustered_table_with_blooms(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_shipdate", "l_orderkey", "l_returnflag", "l_quantity"
+            ),
+            base,
+            "l_shipdate",
+            bloom_for=["l_orderkey"],
+            n_files=SKIP_N_FILES,
+        )
+    return base
+
+
+def q_scan_bloom_skip(spark, sf_dir):
+    """Point-lookup file skipping where min/max manifests are USELESS:
+    l_orderkey is high-cardinality and uncorrelated with the
+    l_shipdate clustering, so every file's [min, max] orderkey range
+    covers any probe — range manifests keep all files.  The per-file
+    Bloom filter prunes instead: only files that actually contain the
+    probed key (plus ~5e-5 false positives) reach the reader.  At
+    100 TB this is the needle-in-haystack id lookup (takedown by id,
+    debugging one document) done without a full partition scan.
+
+    SELF-VERIFYING: raises unless the bloom pruned to a strict subset
+    and the reader's file list is within the manifest's.  The hashed
+    result is the probed order's line rollup; the probe key is the
+    deterministic min orderkey, and the oracle computes from the raw
+    table — bloom pruning must be semantically invisible."""
+    from ..sources.io import scan_clustered_point
+
+    base = _bloomed_lineitem(spark, sf_dir)
+    key = _t(spark, sf_dir, "lineitem").agg(
+        F.min("l_orderkey").alias("k")
+    ).first().k
+    df, stats = scan_clustered_point(spark, base, "l_orderkey", key)
+    if stats["files_kept"] >= stats["files_total"]:
+        raise AssertionError(f"bloom skip did not engage: {stats}")
+    if len(df.inputFiles()) > stats["files_kept"]:
+        raise AssertionError(
+            f"reader listed {len(df.inputFiles())} files, bloom kept "
+            f"{stats['files_kept']}"
+        )
+    return df.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+O_SCAN_BLOOM_SKIP = """
+SELECT l_orderkey, l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+GROUP BY l_orderkey, l_returnflag
+"""
+
+
 # --- (⊕ r8) CDC MERGE / upsert ----------------------------------------------
 
 MERGE_DELETE_PCT = 10   # md5 bucket < 10  → delete the customer
@@ -1920,6 +1998,7 @@ QUERIES = {
     "join_bucketed": q_join_bucketed,
     "scan_clustered_skip": q_scan_clustered_skip,
     "scan_zorder_skip": q_scan_zorder_skip,
+    "scan_bloom_skip": q_scan_bloom_skip,
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,
     "agg_distinct_kmv": q_agg_distinct_kmv,
@@ -1973,6 +2052,7 @@ ORACLES = {
     "join_bucketed": O_JOIN_BUCKETED,
     "scan_clustered_skip": O_SCAN_CLUSTERED_SKIP,
     "scan_zorder_skip": O_SCAN_ZORDER_SKIP,
+    "scan_bloom_skip": O_SCAN_BLOOM_SKIP,
     "agg_distinct": O_AGG_DISTINCT,
     "agg_distinct_approx": O_AGG_DISTINCT_APPROX,
     "agg_distinct_kmv": O_AGG_DISTINCT_KMV,

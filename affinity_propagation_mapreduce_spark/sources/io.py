@@ -467,3 +467,138 @@ def scan_zordered(
         if hi is not None:
             guard = guard & (F.col(c) <= F.lit(hi))
     return df.where(guard), stats
+
+
+# --- Bloom-filter file skipping for point lookups (round 14) ------------------
+#
+# Min/max manifests skip RANGE predicates on the clustered key; a point
+# lookup on a high-cardinality NON-clustered key (order id, user id,
+# document id) overlaps every file's range and prunes nothing.  The
+# classic fix is a per-file Bloom filter over the lookup key (what
+# parquet bloom filters / Iceberg bloom write-properties give you) —
+# built here from primitives so the prune happens DRIVER-SIDE before
+# Spark lists a single file.
+
+_BLOOM_BITS = 1 << 17   # 16 KiB per (file, column): FP ~5e-5 at 4k keys/file
+_BLOOM_K = 5
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+def _bloom_position_cols(col: str):
+    """The K bit positions of a value, as Spark columns — xxhash64 with
+    K seeds over the value's STRING rendering (xxhash64 is
+    type-sensitive: hashing the table's BIGINT column but probing an
+    int literal that Spark types as INT silently never matches; the
+    canonical string rendering makes build and probe agree for any id
+    type).  The probe runs a one-row Spark job rather than
+    re-implementing xxhash64 driver-side."""
+    v = F.col(col).cast("string")
+    return [
+        F.pmod(F.xxhash64(v, F.lit(i)), F.lit(_BLOOM_BITS))
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _build_file_blooms(spark: SparkSession, path: str, col: str) -> dict:
+    """{file: base64 bitmap} for one column — scale-shaped: rows carry
+    (file, word_idx, or-word) through a map-side-combining bit_or
+    aggregate, so the driver collects BLOOM_WORDS rows per file, never
+    per-key data."""
+    import base64
+
+    pos = F.explode(F.array(*_bloom_position_cols(col))).alias("pos")
+    words = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"), pos)
+        .select(
+            "file",
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # shiftleft's bit-count argument must itself be a column
+            # expression here (pyspark's F.shiftleft only takes an int)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("bit").alias("w"))
+        .collect()
+    )
+    out: dict[str, bytearray] = {}
+    for r in words:
+        bm = out.setdefault(r.file, bytearray(_BLOOM_WORDS * 8))
+        w = int(r.w) & 0xFFFFFFFFFFFFFFFF
+        i = int(r.word) * 8
+        bm[i : i + 8] = w.to_bytes(8, "little")
+    return {f: base64.b64encode(bytes(bm)).decode() for f, bm in out.items()}
+
+
+def write_clustered_table_with_blooms(
+    df: DataFrame,
+    path: str,
+    cluster_by: str,
+    bloom_for: list[str],
+    n_files: int = 16,
+) -> dict:
+    """write_clustered_table + per-file Bloom filters over the given
+    point-lookup columns, recorded in the same manifest: range
+    predicates on the clustered key AND equality lookups on the bloom
+    columns both prune files before the reader lists them."""
+    import json
+    import os
+
+    res = write_clustered_table(df, path, cluster_by, n_files=n_files)
+    spark = df.sparkSession
+    blooms = {c: _build_file_blooms(spark, path, c) for c in bloom_for}
+    with open(os.path.join(path, _MANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    manifest["bloom_for"] = list(bloom_for)
+    for e in manifest["files"]:
+        e["bloom"] = {c: blooms[c].get(e["file"]) for c in bloom_for}
+    with open(os.path.join(path, _MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh)
+    return {**res, "bloom_for": list(bloom_for)}
+
+
+def scan_clustered_point(
+    spark: SparkSession, path: str, col: str, value
+) -> tuple[DataFrame, dict]:
+    """Point-lookup scan: keep only the files whose Bloom filter for
+    ``col`` admits ``value`` (all K bits set; a file without a bloom is
+    conservatively kept).  The K probe positions come from a one-row
+    Spark job so build and probe share the exact xxhash64.  The
+    equality guard is applied on top — Bloom false positives cost a
+    file read, never a wrong row."""
+    import base64
+    import json
+    import os
+
+    with open(os.path.join(path, _MANIFEST_NAME)) as fh:
+        manifest = json.load(fh)
+    if col not in manifest.get("bloom_for", []):
+        raise ValueError(f"no bloom filter recorded for column {col!r}")
+    probe = (
+        spark.range(1)
+        .select(F.lit(value).alias(col))
+        .select(*_bloom_position_cols(col))
+        .first()
+    )
+    positions = [int(p) for p in probe]
+
+    def admits(e):
+        b64 = (e.get("bloom") or {}).get(col)
+        if b64 is None:
+            return True  # conservative: no bloom, no prune
+        bm = base64.b64decode(b64)
+        return all(bm[p // 8] & (1 << (p % 8)) for p in positions)
+
+    kept = [e for e in manifest["files"] if admits(e)]
+    stats = {
+        "files_total": len(manifest["files"]),
+        "files_kept": len(kept),
+        "rows_kept_bound": sum(e["rows"] for e in kept),
+    }
+    if not kept:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.option("basePath", path).parquet(
+            *[e["file"] for e in kept]
+        )
+    return df.where(F.col(col) == F.lit(value)), stats

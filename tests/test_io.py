@@ -310,3 +310,34 @@ def test_zordered_scan_prunes_on_every_dimension(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not z-ordered"):
         scan_zordered(spark, path, {"l_quantity": (0, 1)})
+
+
+def test_bloom_point_lookup_prunes_files(spark, tmp_path):
+    """r14 Bloom skipping: a point lookup on a high-cardinality
+    non-clustered key prunes to the file(s) actually containing it,
+    while the range manifest alone would keep everything."""
+    import pytest as _pytest
+
+    from affinity_propagation_mapreduce_spark.sources.io import (
+        scan_clustered_point,
+        write_clustered_table_with_blooms,
+    )
+
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_quantity"
+    )
+    path = str(tmp_path / "bloomed")
+    res = write_clustered_table_with_blooms(
+        li, path, "l_shipdate", bloom_for=["l_orderkey"], n_files=8
+    )
+    assert res["n_files"] == 8 and res["bloom_for"] == ["l_orderkey"]
+    keys = [r.l_orderkey for r in li.select("l_orderkey").distinct().limit(5).collect()]
+    for k in keys:
+        df, stats = scan_clustered_point(spark, path, "l_orderkey", k)
+        assert stats["files_kept"] < stats["files_total"] == 8, (k, stats)
+        assert df.count() == li.where(F.col("l_orderkey") == k).count() > 0
+    # a key that cannot exist prunes (near-)everything and returns zero
+    df0, st0 = scan_clustered_point(spark, path, "l_orderkey", -12345)
+    assert st0["files_kept"] <= 1 and df0.count() == 0  # FP tolerance
+    with _pytest.raises(ValueError, match="no bloom"):
+        scan_clustered_point(spark, path, "l_quantity", 1)
