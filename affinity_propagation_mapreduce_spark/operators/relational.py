@@ -1938,7 +1938,114 @@ def q_merge_upsert_chain(spark, sf_dir):
     return state
 
 
-def _merge_chain_oracle() -> str:
+# --- (⊕ r14) versioned snapshots: time travel over the MERGE chain -----------
+
+TT_READ_VERSION = 2  # the intermediate snapshot the hashed key reads
+
+
+def _versioned_merge_table(spark, sf_dir):
+    """Materialize the MERGE chain as IMMUTABLE versioned snapshots —
+    the Delta/Iceberg time-travel layout from primitives: v=0 is the
+    initial customer snapshot, v=<b+1> the state after change batch b;
+    each version is written to a temp dir and renamed (crash-atomic),
+    and a version log commits LAST, so a crashed writer leaves either
+    no log (rebuilt next call) or a fully-consistent set.  Once per
+    (application, sf_dir); returns the layout path."""
+    import json
+    import os
+    import uuid
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/versioned_customer"
+    log = os.path.join(base, "_version_log.json")
+    if os.path.isfile(log):
+        return base
+    os.makedirs(base, exist_ok=True)
+    changes = _merge_changes(spark, sf_dir)
+    state = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+    def land(df, v):
+        tmp = os.path.join(base, f".v-tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        final = os.path.join(base, f"v={v}")
+        if os.path.isdir(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+
+    land(state, 0)
+    for b in range(MERGE_CHAIN_BATCHES):
+        state = _merge_apply(
+            state, changes.where(F.col("batch") == b)
+        ).localCheckpoint(eager=True)
+        land(state, b + 1)
+    with open(log + ".tmp", "w") as fh:
+        json.dump(
+            {"versions": list(range(MERGE_CHAIN_BATCHES + 1)),
+             "head": MERGE_CHAIN_BATCHES},
+            fh,
+        )
+    os.replace(log + ".tmp", log)  # the commit
+    return base
+
+
+def read_table_version(spark, base: str, version: int):
+    """Snapshot read at an explicit version — versions are immutable
+    directories, so a reader pinned to v=N is isolated from every later
+    MERGE (the time-travel/audit read).  Raises on an uncommitted or
+    unknown version."""
+    import json
+    import os
+
+    with open(os.path.join(base, "_version_log.json")) as fh:
+        log = json.load(fh)
+    if version not in log["versions"]:
+        raise ValueError(
+            f"version {version} not in committed set {log['versions']}"
+        )
+    return spark.read.parquet(os.path.join(base, f"v={version}"))
+
+
+def q_table_time_travel(spark, sf_dir):
+    """Time travel: read the INTERMEDIATE snapshot v=2 of the 3-batch
+    MERGE chain while the table's head is v=3 — the audit/reproduce-a-
+    training-run read every lakehouse job needs.  The oracle replays
+    only the first TT_READ_VERSION change batches in SQL, so the hash
+    proves the versioned layout preserves each historical state
+    EXACTLY (a version dir leaking later changes, or a non-atomic
+    version write, breaks the match).
+
+    SELF-VERIFYING on top: the head snapshot must equal the live
+    recompute (merge_upsert_chain's frame) row-for-row, and every
+    committed version must exist on disk — raises otherwise."""
+    base = _versioned_merge_table(spark, sf_dir)
+    import json
+    import os
+
+    with open(os.path.join(base, "_version_log.json")) as fh:
+        log = json.load(fh)
+    for v in log["versions"]:
+        if not os.path.isdir(os.path.join(base, f"v={v}")):
+            raise AssertionError(f"committed version {v} missing on disk")
+    head = read_table_version(spark, base, log["head"])
+    live = q_merge_upsert_chain(spark, sf_dir)
+    if head.exceptAll(live).count() or live.exceptAll(head).count():
+        raise AssertionError(
+            "head snapshot diverged from the live MERGE-chain recompute"
+        )
+    return read_table_version(spark, base, TT_READ_VERSION).select(
+        "custkey", "name", "mktsegment", "acctbal"
+    )
+
+
+def _merge_chain_oracle(n_batches: int = MERGE_CHAIN_BATCHES) -> str:
     apply_tpl = """
 state{nxt} AS (
   SELECT COALESCE(s.custkey, l.key) AS custkey,
@@ -1952,7 +2059,7 @@ state{nxt} AS (
   ) l ON s.custkey = l.key
   WHERE l.op IS NULL OR l.op = 'U')"""
     steps = ",".join(
-        apply_tpl.format(cur=b, nxt=b + 1, b=b) for b in range(MERGE_CHAIN_BATCHES)
+        apply_tpl.format(cur=b, nxt=b + 1, b=b) for b in range(n_batches)
     )
     return f"""
 WITH changes AS (
@@ -1970,11 +2077,15 @@ state0 AS (
   SELECT c_custkey AS custkey, c_name AS name,
          c_mktsegment AS mktsegment, c_acctbal AS acctbal FROM customer),
 {steps}
-SELECT custkey, name, mktsegment, acctbal FROM state{MERGE_CHAIN_BATCHES}
+SELECT custkey, name, mktsegment, acctbal FROM state{n_batches}
 """
 
 
 O_MERGE_CHAIN = _merge_chain_oracle()
+
+# time travel reads the state after only the first TT_READ_VERSION
+# change batches — the oracle is the SAME chain, truncated there
+O_TABLE_TIME_TRAVEL = _merge_chain_oracle(TT_READ_VERSION)
 
 
 QUERIES = {
@@ -1995,6 +2106,7 @@ QUERIES = {
     "join_full_outer": q_join_full_outer,
     "merge_upsert": q_merge_upsert,
     "merge_upsert_chain": q_merge_upsert_chain,
+    "table_time_travel": q_table_time_travel,
     "join_bucketed": q_join_bucketed,
     "scan_clustered_skip": q_scan_clustered_skip,
     "scan_zorder_skip": q_scan_zorder_skip,
@@ -2049,6 +2161,7 @@ ORACLES = {
     "join_full_outer": O_JOIN_FULL_OUTER,
     "merge_upsert": O_MERGE_UPSERT,
     "merge_upsert_chain": O_MERGE_CHAIN,
+    "table_time_travel": O_TABLE_TIME_TRAVEL,
     "join_bucketed": O_JOIN_BUCKETED,
     "scan_clustered_skip": O_SCAN_CLUSTERED_SKIP,
     "scan_zorder_skip": O_SCAN_ZORDER_SKIP,

@@ -537,3 +537,31 @@ class TestReviewRegressions:
         assert out.count() == df.where(
             (F.col("k") >= 500) & (F.col("k") <= 600)
         ).count() > 0
+
+
+class TestTimeTravel:
+    def test_versions_are_immutable_isolated_snapshots(self, spark):
+        import pytest as _pytest
+
+        from affinity_propagation_mapreduce_spark.operators import (
+            relational as R,
+        )
+        from affinity_propagation_mapreduce_spark.sources import table
+
+        base = R._versioned_merge_table(spark, SF_SMALL)
+        v0 = R.read_table_version(spark, base, 0)
+        cust = table(spark, SF_SMALL, "customer")
+        assert v0.count() == cust.count()
+        # pinned-version isolation: v2 differs from head v3 (batch 2
+        # applied changes), and both reads are stable across calls
+        v2 = R.read_table_version(spark, base, R.TT_READ_VERSION)
+        v3 = R.read_table_version(spark, base, R.MERGE_CHAIN_BATCHES)
+        assert v2.exceptAll(v3).count() > 0
+        assert (
+            R.read_table_version(spark, base, R.TT_READ_VERSION)
+            .exceptAll(v2)
+            .count()
+            == 0
+        )
+        with _pytest.raises(ValueError, match="not in committed"):
+            R.read_table_version(spark, base, 99)
