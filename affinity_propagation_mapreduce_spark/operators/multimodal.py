@@ -1239,9 +1239,10 @@ def q_media_decode_jpeg(spark, sf_dir):
     extended to the dominant lossy format).
 
     Per asset, two legs, both raising on failure:
-    * smooth-gradient round trip (per-doc phases): max abs error ≤ 12,
-      mean ≤ 4 — a broken Huffman table, zigzag, dequant, or IDCT blows
-      these bounds by an order of magnitude;
+    * smooth-gradient round trip (per-doc phases): max abs error ≤
+      JPEG_MAX_ABS_ERR (12), mean ≤ JPEG_MEAN_ABS_ERR (8) — a broken
+      Huffman table, zigzag, dequant, or IDCT blows these bounds by an
+      order of magnitude;
     * flat-tile percept (8×8-aligned tiles, ≥1 low + ≥1 high forced):
       encode via the real PNG, BMP, AND JPEG codecs, decode all three,
       assert the 64-bit phash is bitwise identical across containers.

@@ -184,6 +184,58 @@ def compact_small_files(
 _MANIFEST_NAME = "_scan_manifest.json"  # leading "_": invisible to scans
 
 
+def _check_manifest_drift(path: str, entries: list[dict]) -> None:
+    """Drift guard (r14 advice): these write-once layouts trust the
+    manifest's file list absolutely, so any parquet file that appeared
+    in the directory AFTER the manifest was written (an append, a
+    compaction, a second writer) would be silently invisible to every
+    manifest-pruned scan — rows lost without an error.  Compare the
+    directory's actual data-file set against the manifest's and raise
+    on ANY mismatch; mutation belongs to the lakehouse table layout
+    (sources.lakehouse), whose manifests are versioned with the data."""
+    import os
+
+    on_disk = {
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    in_manifest = {os.path.basename(e["file"]) for e in entries}
+    if on_disk != in_manifest:
+        extra = sorted(on_disk - in_manifest)[:5]
+        missing = sorted(in_manifest - on_disk)[:5]
+        raise RuntimeError(
+            "manifest drift: the directory's data files no longer match "
+            f"the write-once manifest (files added after write: {extra}; "
+            f"manifest files gone: {missing}).  This layout does not "
+            "support mutation — rewrite it, or use a lakehouse table "
+            "(sources.lakehouse) whose manifest survives append/compact."
+        )
+
+
+def _check_bound_type(key: str, bound, entries, get_min) -> None:
+    """Fail fast on a type-mismatched range bound (r14 advice): a string
+    bound probed against a numeric-keyed manifest (or vice versa) used
+    to surface as a bare TypeError deep inside the kept-files
+    comprehension.  Compare the bound's manifest rendering against the
+    first non-NULL stored min and raise a ValueError naming the
+    expected rendering."""
+    if bound is None:
+        return
+    b = _manifest_key(bound)
+    stored = next((get_min(e) for e in entries if get_min(e) is not None), None)
+    if stored is None:
+        return  # all-NULL key column: every file prunes under any bound
+    if isinstance(b, str) != isinstance(stored, str):
+        want = "string-rendered" if isinstance(stored, str) else "numeric"
+        raise ValueError(
+            f"bound {bound!r} for column {key!r} does not match the "
+            f"manifest's {want} min/max rendering (stored example: "
+            f"{stored!r}); pass bounds in the column's own rendering "
+            "(e.g. '1995-06-01 00:00:00' for a timestamp key)"
+        )
+
+
 def _manifest_key(v):
     """JSON-portable ordering key: None stays None (an all-NULL file's
     min/max — NULL keys satisfy no range predicate, so such files prune
@@ -265,6 +317,9 @@ def scan_clustered(
     with open(os.path.join(path, _MANIFEST_NAME)) as fh:
         manifest = json.load(fh)
     key = manifest["cluster_by"]
+    _check_manifest_drift(path, manifest["files"])
+    _check_bound_type(key, lower, manifest["files"], lambda e: e["min"])
+    _check_bound_type(key, upper, manifest["files"], lambda e: e["min"])
     lo_b = _manifest_key(lower) if lower is not None else None
     hi_b = _manifest_key(upper) if upper is not None else None
     bounded = lo_b is not None or hi_b is not None
@@ -433,6 +488,10 @@ def scan_zordered(
     unknown = set(ranges) - set(cols)
     if unknown:
         raise ValueError(f"not z-ordered columns: {sorted(unknown)}")
+    _check_manifest_drift(path, manifest["files"])
+    for c, (lo, hi) in ranges.items():
+        _check_bound_type(c, lo, manifest["files"], lambda e: e["min"][c])
+        _check_bound_type(c, hi, manifest["files"], lambda e: e["min"][c])
 
     def overlaps(e):
         for c, (lo, hi) in ranges.items():
@@ -574,9 +633,16 @@ def scan_clustered_point(
         manifest = json.load(fh)
     if col not in manifest.get("bloom_for", []):
         raise ValueError(f"no bloom filter recorded for column {col!r}")
+    _check_manifest_drift(path, manifest["files"])
+    # Cast the probe literal to the column's STORED type before the
+    # string-rendered hash (r14 advice): probing a BIGINT column with
+    # Python 5.0 would hash '5.0' while the build hashed '5' — a bloom
+    # FALSE NEGATIVE, which (unlike min/max pruning, whose errors are
+    # FP-only) silently loses rows the equality guard would match.
+    stored_type = spark.read.parquet(path).schema[col].dataType
     probe = (
         spark.range(1)
-        .select(F.lit(value).alias(col))
+        .select(F.lit(value).cast(stored_type).alias(col))
         .select(*_bloom_position_cols(col))
         .first()
     )
