@@ -2088,6 +2088,314 @@ O_MERGE_CHAIN = _merge_chain_oracle()
 O_TABLE_TIME_TRAVEL = _merge_chain_oracle(TT_READ_VERSION)
 
 
+# --- (⊕ r15) unified lakehouse table lifecycle --------------------------------
+#
+# The r14 verdict's top item: clustered/z-order/bloom skipping,
+# compaction, MERGE, and versioned snapshots each worked ALONE — no
+# mutation updated a manifest.  sources.lakehouse is the unification
+# (versioned sharded manifests, bloom sidecars, COW merge, read-grace
+# retention); these keys drive the COMPOSED lifecycle and hash the
+# results against oracles computed from the raw tables, so the entire
+# layout machinery must stay semantically invisible.
+
+LH_LO, LH_HI = "1996-03-01 00:00:00", "1996-09-30 00:00:00"
+LH_INSERT_OFFSET = 10_000_000
+
+
+def _lakehouse_lineitem(spark, sf_dir):
+    """Build the lifecycle table ONCE per (application, sf_dir):
+    create (the l_orderkey%3!=0 slice, clustered on l_shipdate, bloom
+    sidecars on l_orderkey, 8 files) → append (the %3==0 slice, 4
+    files — manifest GROWS by reference) → compact (to ~6 files —
+    manifest REWRITES atomically, blooms recomputed).  Persists the
+    stage pins beside the table so re-entry re-validates without
+    rebuilding."""
+    import json
+    import os
+
+    from ..sources import lakehouse as lh
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/lakehouse_lineitem"
+    pins_path = base + ".pins.json"
+    if os.path.isfile(pins_path):
+        return base, json.load(open(pins_path))
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_orderkey", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice",
+    )
+    lh.create_table(
+        li.where(F.col("l_orderkey") % 3 != 0),
+        base,
+        "l_shipdate",
+        bloom_for=["l_orderkey"],
+        n_files=8,
+    )
+    r_app = lh.append_table(
+        li.where(F.col("l_orderkey") % 3 == 0), base, n_files=4
+    )
+    st1 = lh.head_stats(base)
+    r_cmp = lh.compact_table(spark, base, target_bytes=st1["bytes"] // 6 + 1)
+    log = lh._read_log(base)
+    rows_by_v = {v["v"]: v["rows"] for v in log["versions"]}
+    pins = {
+        "append": r_app,
+        "compact": r_cmp,
+        "rows_by_version": {str(k): v for k, v in rows_by_v.items()},
+    }
+    with open(pins_path, "w") as fh:
+        json.dump(pins, fh)
+    return base, pins
+
+
+def q_table_lifecycle(spark, sf_dir):
+    """The COMPOSED lakehouse lifecycle (r14 verdict #1): one table
+    goes through create → append → compact, and the skipping manifest
+    SURVIVES every mutation — append grows it incrementally (new
+    shards by reference), compaction rewrites it atomically with the
+    data, and the bloom sidecars are rebuilt for the compacted files.
+    The hashed result is a date-band rollup at the HEAD version,
+    which the oracle computes from the raw lineitem table: the whole
+    layout lifecycle must be semantically invisible.
+
+    SELF-VERIFYING file-count pins at every stage (raises on any):
+    append added files; compact shrank the file count; row totals
+    conserve across versions (v2 = v0 + appended, from the version
+    log — zero data touched); the head range scan PRUNES files and
+    the reader lists no more than the manifest kept; the post-compact
+    bloom point lookup PRUNES files and returns exactly the probed
+    order's rows."""
+    from ..sources import lakehouse as lh
+
+    base, pins = _lakehouse_lineitem(spark, sf_dir)
+    if pins["append"]["files_added"] <= 0:
+        raise AssertionError(f"append added no files: {pins['append']}")
+    cmp_ = pins["compact"]
+    if cmp_["files_after"] >= cmp_["files_before"]:
+        raise AssertionError(f"compaction did not shrink files: {cmp_}")
+    rows = {int(k): v for k, v in pins["rows_by_version"].items()}
+    if rows[2] != rows[1] or rows[1] <= rows[0]:
+        raise AssertionError(f"row totals not conserved across versions: {rows}")
+    df, st = lh.read_table(spark, base, lower=LH_LO, upper=LH_HI)
+    if st["files_kept"] >= st["files_total"]:
+        raise AssertionError(f"lakehouse range skip did not engage: {st}")
+    if len(df.inputFiles()) > st["files_kept"]:
+        raise AssertionError(
+            f"reader listed {len(df.inputFiles())} files, manifest kept "
+            f"{st['files_kept']}"
+        )
+    probe_key = _t(spark, sf_dir, "lineitem").agg(
+        F.min("l_orderkey").alias("k")
+    ).first().k
+    pt, pst = lh.read_table_point(spark, base, "l_orderkey", probe_key)
+    if pst["files_kept"] >= pst["files_total"]:
+        raise AssertionError(
+            f"post-compaction bloom skip did not engage: {pst} — the "
+            "sidecars must be rebuilt with the compacted files"
+        )
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+O_TABLE_LIFECYCLE = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{LH_LO}'
+  AND l_shipdate <= TIMESTAMP '{LH_HI}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_table_merge_cow(spark, sf_dir):
+    """Copy-on-write MERGE against the lakehouse layout — the mutation
+    leg the r14 MERGE keys lacked (they recomputed state; this one
+    REWRITES THE TABLE, and the manifest follows).  A deterministic
+    change feed touches only the first custkey DECILE (op = D when
+    custkey%5=0, else U with acctbal+1000) plus brand-new insert keys
+    (custkey+1e7 for the %5=1 slice), so the COW prune has something
+    to prove: only the files whose key range can contain a change key
+    may be rewritten.
+
+    SELF-VERIFYING: raises unless files_rewritten < files_total (the
+    COW claim), the pre-merge version is still readable with its
+    original row count (snapshot isolation), and the head's manifest
+    row total equals the merged expectation.  The hashed result is
+    the merged head state; the oracle replays the same MERGE in SQL
+    from the raw customer table — a wrong COW affected-file set,
+    a lost carry-forward shard, or a bloom/stat drift all break the
+    hash."""
+    import uuid
+
+    from ..sources import lakehouse as lh
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    # fresh dir per call: the merge mutates, and the table is tiny
+    base = f"/tmp/spark_graft_{app}/{safe}/lh_merge_{uuid.uuid4().hex[:8]}"
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    lh.create_table(cust, base, "c_custkey", n_files=8)
+    band_hi = cust.agg(F.max("c_custkey")).first()[0] // 10
+    in_band = cust.where(F.col("c_custkey") <= band_hi)
+    updates = in_band.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+    ).withColumn(
+        "op", F.when(F.col("c_custkey") % 5 == 0, "D").otherwise(F.lit("U"))
+    )
+    inserts = in_band.where(F.col("c_custkey") % 5 == 1).select(
+        (F.col("c_custkey") + LH_INSERT_OFFSET).alias("c_custkey"),
+        F.concat(
+            F.lit("new-"),
+            (F.col("c_custkey") + LH_INSERT_OFFSET).cast("string"),
+        ).alias("c_name"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(9999.0).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+    )
+    res = lh.merge_table(spark, base, updates.unionByName(inserts))
+    if res["files_rewritten"] >= res["files_total"]:
+        raise AssertionError(
+            f"COW merge rewrote every file: {res} — a first-decile "
+            "change feed must leave most range-disjoint files untouched"
+        )
+    pre, _ = lh.read_table(spark, base, version=0)
+    n_base = cust.count()
+    if pre.count() != n_base:
+        raise AssertionError("pre-merge snapshot lost isolation")
+    from ..sources.lakehouse import head_stats
+
+    n_del = in_band.where(F.col("c_custkey") % 5 == 0).count()
+    n_ins = in_band.where(F.col("c_custkey") % 5 == 1).count()
+    if head_stats(base)["rows"] != n_base - n_del + n_ins:
+        raise AssertionError("merged head row total off")
+    head, _ = lh.read_table(spark, base)
+    return head.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+O_TABLE_MERGE_COW = f"""
+WITH band AS (
+  SELECT * FROM customer
+  WHERE c_custkey <= (SELECT max(c_custkey) // 10 FROM customer)),
+changes AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 5 = 0 THEN 'D' ELSE 'U' END AS op,
+         c_acctbal + 1000.0 AS new_bal,
+         NULL AS new_name, NULL AS new_seg
+  FROM band
+  UNION ALL
+  SELECT c_custkey + {LH_INSERT_OFFSET} AS key, 'U' AS op, 9999.0 AS new_bal,
+         'new-' || (c_custkey + {LH_INSERT_OFFSET})::VARCHAR AS new_name,
+         'NEW' AS new_seg
+  FROM band WHERE c_custkey % 5 = 1)
+SELECT COALESCE(c.c_custkey, ch.key) AS custkey,
+       COALESCE(c.c_name, ch.new_name) AS name,
+       COALESCE(c.c_mktsegment, ch.new_seg) AS mktsegment,
+       CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE c.c_acctbal END AS acctbal
+FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+WHERE ch.op IS NULL OR ch.op = 'U'
+"""
+
+
+def q_table_retention(spark, sf_dir):
+    """Snapshot retention with read-grace (r14 verdict #3 — without it
+    a versioned table grows without bound): a 3-version table
+    (create → append → compact) is expired with keep_last=1 and a
+    1-hour grace window after v0's read stamp is AGED OUT and v1's is
+    fresh — v0 drops (its unique data files physically reclaimed), v1
+    SURVIVES on grace (the ANN reaper's never-break-a-pinned-reader
+    rule), and a second expire with grace=0 reclaims v1 too, leaving
+    exactly the head's files on disk.
+
+    SELF-VERIFYING: raises unless the expired v0 read raises the
+    declared ValueError, the grace-protected v1 stays readable with
+    its full row count, and the post-expire disk parquet census
+    equals the head manifest's file count (ref-count exactness).  The
+    hashed result is the head read — the oracle is the raw customer
+    table, so retention must never touch live data."""
+    import os
+    import time
+    import uuid
+
+    from ..sources import lakehouse as lh
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/lh_retain_{uuid.uuid4().hex[:8]}"
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    half_a = cust.where(F.col("c_custkey") % 2 == 0)
+    half_b = cust.where(F.col("c_custkey") % 2 == 1)
+    lh.create_table(half_a, base, "c_custkey", n_files=4)
+    lh.append_table(half_b, base, n_files=2)
+    n_b = half_b.count()
+    v1_df, _ = lh.read_table(spark, base, version=1)  # stamps v1 fresh
+    st1 = lh.head_stats(base)
+    lh.compact_table(spark, base, target_bytes=st1["bytes"] // 3 + 1)
+    # age v0's stamp out of the grace window (it was stamped at create
+    # time by internal reads; simulate an old pin)
+    s0 = os.path.join(base, "meta", "reads", "v0.last-read")
+    if os.path.isfile(s0):
+        os.utime(s0, (time.time() - 7200, time.time() - 7200))
+    lh._stamp_read(base, 1)
+    r1 = lh.expire_versions(base, keep_last=1, grace_seconds=3600)
+    if 0 not in r1["dropped"]:
+        raise AssertionError(f"v0 not expired: {r1}")
+    try:
+        lh.read_table(spark, base, version=0)
+        raise AssertionError("expired v0 still readable")
+    except ValueError:
+        pass  # the declared expired-version error
+    surv, _ = lh.read_table(spark, base, version=1)
+    if surv.count() != cust.count():
+        raise AssertionError("grace-protected v1 lost rows")
+    r2 = lh.expire_versions(base, keep_last=1, grace_seconds=0.0)
+    if 1 not in r2["dropped"]:
+        raise AssertionError(f"v1 survived a zero-grace expire: {r2}")
+    n_disk = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _d, _s, fs in os.walk(base)
+    )
+    head = lh.head_stats(base)
+    if n_disk != head["files"]:
+        raise AssertionError(
+            f"disk census {n_disk} != head manifest {head['files']} — "
+            "expire leaked or over-deleted data files"
+        )
+    df, _ = lh.read_table(spark, base)
+    _ = n_b  # documented: v1 = half_a + half_b = full customer
+    return df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+O_TABLE_RETENTION = """
+SELECT c_custkey AS custkey, c_name AS name,
+       c_mktsegment AS mktsegment, c_acctbal AS acctbal
+FROM customer
+"""
+
+
 QUERIES = {
     "scan_project_filter": q_scan_project_filter,
     "pivot_status": q_pivot_status,
@@ -2107,6 +2415,9 @@ QUERIES = {
     "merge_upsert": q_merge_upsert,
     "merge_upsert_chain": q_merge_upsert_chain,
     "table_time_travel": q_table_time_travel,
+    "table_lifecycle": q_table_lifecycle,
+    "table_merge_cow": q_table_merge_cow,
+    "table_retention": q_table_retention,
     "join_bucketed": q_join_bucketed,
     "scan_clustered_skip": q_scan_clustered_skip,
     "scan_zorder_skip": q_scan_zorder_skip,
@@ -2162,6 +2473,9 @@ ORACLES = {
     "merge_upsert": O_MERGE_UPSERT,
     "merge_upsert_chain": O_MERGE_CHAIN,
     "table_time_travel": O_TABLE_TIME_TRAVEL,
+    "table_lifecycle": O_TABLE_LIFECYCLE,
+    "table_merge_cow": O_TABLE_MERGE_COW,
+    "table_retention": O_TABLE_RETENTION,
     "join_bucketed": O_JOIN_BUCKETED,
     "scan_clustered_skip": O_SCAN_CLUSTERED_SKIP,
     "scan_zorder_skip": O_SCAN_ZORDER_SKIP,

@@ -725,6 +725,21 @@ def expire_versions(
     return {"dropped": [v["v"] for v in dropped], "data_files_deleted": deleted}
 
 
+def head_stats(path: str) -> dict:
+    """Driver-side totals of the head version (from the log + list —
+    no data touched): {version, files, rows, bytes, shards}."""
+    log = _read_log(path)
+    h = log["versions"][-1]
+    lst = _read_list(path, h["v"])
+    return {
+        "version": h["v"],
+        "files": h["files"],
+        "rows": h["rows"],
+        "bytes": sum(s["bytes"] for s in lst["shards"]),
+        "shards": len(lst["shards"]),
+    }
+
+
 def _rm(p: str) -> None:
     try:
         os.remove(p)
