@@ -1671,6 +1671,98 @@ GROUP BY l_returnflag
 """
 
 
+# --- (⊕ r15) z-order with STRING dimensions (dictionary-rank bucketing) -------
+
+ZSTR_NAME_LO, ZSTR_NAME_HI = "Customer#000000100", "Customer#000000400"
+ZSTR_BAL_LO, ZSTR_BAL_HI = 0.0, 5000.0
+
+
+def _zordered_customer_str(spark, sf_dir):
+    """customer Z-ORDERED on (c_name STRING, c_acctbal) — the string
+    dimension goes through dictionary-rank bucketing (hash-sampled
+    boundary strings, sources/io.py); written once per (application,
+    sf_dir)."""
+    import os
+
+    from ..sources.io import _ZMANIFEST_NAME, write_zordered_table
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/zordered_customer_str"
+    if not os.path.isfile(os.path.join(base, _ZMANIFEST_NAME)):
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        write_zordered_table(
+            _t(spark, sf_dir, "customer").select(
+                "c_name", "c_acctbal", "c_mktsegment"
+            ),
+            base,
+            ["c_name", "c_acctbal"],
+            n_files=ZSKIP_N_FILES,
+        )
+    return base
+
+
+def q_scan_zorder_string_skip(spark, sf_dir):
+    """Z-order file skipping with a STRING dimension (r14 verdict
+    "missing" #5): tenant/category/name columns are strings, and the
+    r14 z-order path declared-raised on them.  Dictionary-rank
+    bucketing (boundary strings from a deterministic hash-sample, the
+    selectivity-estimator pattern) makes c_name a first-class z-order
+    dim: a name-band predicate — alone or with a balance band — prunes
+    files driver-side off the per-file string min/max, which the
+    manifest stores in the column's own lexical rendering.
+
+    SELF-VERIFYING: raises unless (a) the 2-D (name × balance)
+    predicate prunes, (b) a name-ONLY predicate ALSO prunes (the
+    string-dimension claim itself — a balance-only clustering would
+    keep every file), and (c) the reader's file list is within the
+    manifest's.  Hashed result: market-segment rollup over the 2-D
+    band, oracle from the raw customer table."""
+    from ..sources.io import scan_zordered
+
+    base = _zordered_customer_str(spark, sf_dir)
+    df, stats = scan_zordered(
+        spark,
+        base,
+        {
+            "c_name": (ZSTR_NAME_LO, ZSTR_NAME_HI),
+            "c_acctbal": (ZSTR_BAL_LO, ZSTR_BAL_HI),
+        },
+    )
+    if stats["files_kept"] >= stats["files_total"]:
+        raise AssertionError(f"string z-order 2-D skip did not engage: {stats}")
+    _ndf, nstats = scan_zordered(
+        spark, base, {"c_name": (ZSTR_NAME_LO, ZSTR_NAME_HI)}
+    )
+    if nstats["files_kept"] >= nstats["files_total"]:
+        raise AssertionError(
+            f"name-only skip did not engage: {nstats} — the string "
+            "dimension must prune on its own, not ride the numeric dim"
+        )
+    if len(df.inputFiles()) > stats["files_kept"]:
+        raise AssertionError(
+            f"reader listed {len(df.inputFiles())} files, manifest kept "
+            f"{stats['files_kept']}"
+        )
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+O_SCAN_ZORDER_STRING_SKIP = f"""
+SELECT c_mktsegment, count(*) AS n_rows,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+WHERE c_name >= '{ZSTR_NAME_LO}' AND c_name <= '{ZSTR_NAME_HI}'
+  AND c_acctbal >= {ZSTR_BAL_LO} AND c_acctbal <= {ZSTR_BAL_HI}
+GROUP BY c_mktsegment
+"""
+
+
 # --- (⊕ r14) Bloom-filter point-lookup file skipping ---------------------------
 
 def _bloomed_lineitem(spark, sf_dir):
@@ -2421,6 +2513,7 @@ QUERIES = {
     "join_bucketed": q_join_bucketed,
     "scan_clustered_skip": q_scan_clustered_skip,
     "scan_zorder_skip": q_scan_zorder_skip,
+    "scan_zorder_string_skip": q_scan_zorder_string_skip,
     "scan_bloom_skip": q_scan_bloom_skip,
     "agg_distinct": q_agg_distinct,
     "agg_distinct_approx": q_agg_distinct_approx,
@@ -2479,6 +2572,7 @@ ORACLES = {
     "join_bucketed": O_JOIN_BUCKETED,
     "scan_clustered_skip": O_SCAN_CLUSTERED_SKIP,
     "scan_zorder_skip": O_SCAN_ZORDER_SKIP,
+    "scan_zorder_string_skip": O_SCAN_ZORDER_STRING_SKIP,
     "scan_bloom_skip": O_SCAN_BLOOM_SKIP,
     "agg_distinct": O_AGG_DISTINCT,
     "agg_distinct_approx": O_AGG_DISTINCT_APPROX,

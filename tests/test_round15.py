@@ -257,11 +257,59 @@ def test_lakehouse_crash_atomicity(spark, customer):
     shutil.rmtree(base)
 
 
-# --- the three new declared keys run green end-to-end --------------------------
+# --- z-order string dimensions (r14 missing #5) --------------------------------
+
+
+def test_zorder_string_dimension_prunes(spark, customer):
+    """A string z-order dim must prune on its own: write customer
+    z-ordered on (c_name, c_acctbal), assert a name-band-only scan
+    keeps a strict file subset AND returns exactly the predicate's
+    rows."""
+    from affinity_propagation_mapreduce_spark.sources.io import (
+        scan_zordered,
+        write_zordered_table,
+    )
+
+    base = _tmp("zstr")
+    write_zordered_table(
+        customer.select("c_name", "c_acctbal", "c_mktsegment"),
+        base,
+        ["c_name", "c_acctbal"],
+        n_files=8,
+    )
+    lo, hi = "Customer#000000020", "Customer#000000060"
+    df, st = scan_zordered(spark, base, {"c_name": (lo, hi)})
+    assert st["files_kept"] < st["files_total"]
+    exact = customer.where(
+        (F.col("c_name") >= lo) & (F.col("c_name") <= hi)
+    ).count()
+    assert df.count() == exact > 0
+    shutil.rmtree(base)
+
+
+def test_zorder_string_boundaries_deterministic(spark, customer):
+    from affinity_propagation_mapreduce_spark.sources.io import (
+        _string_rank_bounds,
+    )
+
+    b1 = _string_rank_bounds(customer, "c_name", 16)
+    b2 = _string_rank_bounds(customer, "c_name", 16)
+    assert b1 == b2
+    assert b1 == sorted(b1)
+    assert 1 <= len(b1) <= 15
+
+
+# --- the new declared keys run green end-to-end --------------------------------
 
 
 @pytest.mark.parametrize(
-    "key", ["table_lifecycle", "table_merge_cow", "table_retention"]
+    "key",
+    [
+        "table_lifecycle",
+        "table_merge_cow",
+        "table_retention",
+        "scan_zorder_string_skip",
+    ],
 )
 def test_new_keys_run(spark, key):
     from affinity_propagation_mapreduce_spark import registry
