@@ -3137,6 +3137,97 @@ def _filtered_lifecycle_drill(spark, sf_dir):
     check("post-append", ~dead0, ("pre", "post"))
 
 
+def _compound_filter_drill(spark, sf_dir):
+    """COMPOUND-predicate filtered serving (r14 verdict "next" #5):
+    every prior drill/pin used a single equality over one metadata
+    column; real filters are conjunctions over several — tenant
+    equality AND a date band.  This leg builds a layout with TWO
+    metadata columns (``label`` the tenant stand-in, ``day`` =
+    pmod(vec_id, 7) the date stand-in) and proves, at gate scale, the
+    three properties the planner rests on for compound predicates:
+
+    * ESTIMATOR: the persisted hash-sample prices the conjunction
+      (and the disjunction) within the ±2× band — the sample holds
+      whole rows, so cross-column correlation is captured, not
+      assumed independent;
+    * MODE RULE: the low-selectivity conjunction resolves to
+      pre-filter, the high-selectivity disjunction to post-filter;
+    * SERVE: both modes return ONLY compound-qualifying neighbors and
+      clear the shared recall floor vs the exact compound answer.
+
+    Raises on any breach — this runs inside q_knn_cosine_filtered's
+    gate, so the driver row goes red."""
+    from .vector import RECALL_FLOORS, TOP_K
+
+    raw = table(spark, sf_dir, "embeddings").withColumn(
+        "day", F.pmod(F.col("vec_id"), F.lit(7))
+    )
+    path = ann_index_path(sf_dir) + "-fcomp"
+    build_ann_index(
+        spark, sf_dir, path=path, emb_raw=raw, store_raw=True,
+        meta_cols=("label", "day"),
+    )
+    lo_expr = "label % 4 = 0 AND day < 3"
+    hi_expr = "label % 4 != 0 OR day < 3"
+    rows = raw.select("vec_id", "embedding", "label", "day").collect()
+    ids = np.array([r.vec_id for r in rows], dtype="i8")
+    X = np.array([list(r.embedding) for r in rows], dtype="f8")
+    lab = np.array([r.label for r in rows], dtype="i8")
+    day = np.array([r.day for r in rows], dtype="i8")
+    qual_lo = (lab % 4 == 0) & (day < 3)
+    qual_hi = (lab % 4 != 0) | (day < 3)
+    nrm_x = np.sqrt((X * X).sum(axis=1))
+    qids, qmat, qnrm = _query_rows(spark, sf_dir)
+    for expr, qual, want_mode in (
+        (lo_expr, qual_lo, "pre"),
+        (hi_expr, qual_hi, "post"),
+    ):
+        true_sel = float(qual.mean())
+        est = estimate_selectivity(spark, path, expr)
+        if est is None or not (0.5 * true_sel <= est <= 2.0 * true_sel):
+            raise AssertionError(
+                f"compound selectivity estimate {est} outside ±2x of "
+                f"{true_sel:.3f} for {expr!r}"
+            )
+        if choose_filter_mode(est) != want_mode:
+            raise AssertionError(
+                f"mode rule unstable on compound predicate {expr!r}: "
+                f"est {est:.3f} chose {choose_filter_mode(est)!r}, "
+                f"wanted {want_mode!r}"
+            )
+        ex_pairs = set()
+        keep = np.flatnonzero(qual)
+        for qi in range(len(qids)):
+            cos = (X @ qmat[qi]) / (nrm_x * qnrm[qi] + 1e-300)
+            order = sorted(keep, key=lambda j: (-cos[j], ids[j]))
+            ex_pairs |= {(int(qids[qi]), int(ids[j])) for j in order[:TOP_K]}
+        nonq = set(ids[~qual].tolist())
+        res, used = serve_topk_filtered(
+            spark, path, qids, qmat, qnrm, filter_expr=expr, mode="auto"
+        )
+        if used != want_mode:
+            raise AssertionError(
+                f"auto resolved to {used!r} on {expr!r}, wanted {want_mode!r}"
+            )
+        got = [
+            (r.query_id, r.neighbor_id)
+            for r in res.select("query_id", "neighbor_id").collect()
+        ]
+        bad = [p for p in got if p[1] in nonq]
+        if bad:
+            raise AssertionError(
+                f"compound filtered serve returned non-qualifying "
+                f"neighbors for {expr!r}: {bad[:3]}"
+            )
+        floor = RECALL_FLOORS["knn_cosine_served"]
+        hit = sum(1 for p in got if p in ex_pairs)
+        if not ex_pairs or hit / len(ex_pairs) < floor:
+            raise AssertionError(
+                f"compound filtered recall collapsed on {expr!r}: "
+                f"{hit}/{len(ex_pairs)} vs floor {floor}"
+            )
+
+
 def q_knn_cosine_filtered(spark, sf_dir):
     """HASHED: exact filtered top-k — cosine top-5 for the 10 fixed
     queries among neighbors satisfying the metadata predicate
@@ -3204,6 +3295,9 @@ def q_knn_cosine_filtered(spark, sf_dir):
         # the r14 composition legs: filtered serving × tombstones ×
         # partial fold × migration, on the filter_expr/pushdown path
         _filtered_lifecycle_drill(spark, sf_dir)
+        # the r15 compound-predicate legs: two meta_cols, conjunction +
+        # disjunction — estimator, mode rule, recall (r14 "next" #5)
+        _compound_filter_drill(spark, sf_dir)
     return exact
 
 

@@ -10,12 +10,13 @@ DEFLATE, which ships in stdlib ``zlib`` (``decode_png``: chunk walk with
 CRC32 verification, IDAT reassembly, inflate, all five scanline
 unfilter predictors).  Decoded pixel/sample statistics are hash-checked
 against closed-form oracles (``media_decode_bmp`` / ``media_decode_png``
-/ ``media_decode_wav``).  Baseline sequential JPEG (SOF0, 4:4:4 /
-grayscale) decodes from scratch too (``decode_jpeg``: DQT/DHT table
-builds, canonical Huffman, differential-DC + run/size-AC entropy
-decode, IDCT, JFIF color inverse), with a lossy-aware round-trip +
-cross-codec phash-invariance gate (``media_decode_jpeg``).  Subsampled
-/ progressive JPEG and MP4 keep the declared ``NotImplementedError``
+/ ``media_decode_wav``).  Baseline sequential JPEG (SOF0 — 4:4:4,
+4:2:2, 4:2:0, grayscale; restart intervals) decodes from scratch too
+(``decode_jpeg``: DQT/DHT table builds, canonical Huffman,
+MCU-interleaved differential-DC + run/size-AC entropy decode with RST
+resync, IDCT, chroma upsample, JFIF color inverse), with a lossy-aware
+round-trip + cross-codec phash-invariance gate (``media_decode_jpeg``).
+Progressive JPEG and MP4 keep the declared ``NotImplementedError``
 seam, with ``_decode_stub`` (md5-seeded pseudo-features) standing in so
 the Spark plumbing stays exercised end-to-end:
 
@@ -400,6 +401,19 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # pad with 1s per spec
         return bytes(self.out)
 
+    def align(self) -> None:
+        """Pad to a byte boundary with 1s (before a restart marker)."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (NO 0xFF00 stuffing) — only
+        valid at a byte boundary."""
+        if self.n:
+            raise ValueError("raw() needs byte alignment")
+        self.out += b
+
 
 def _jpeg_encode_codes(bits, vals):
     """Symbol → (code, length) for the encoder."""
@@ -413,72 +427,117 @@ def _jpeg_segment(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_jpeg(pixels) -> bytes:
+def _jpeg_emit_block(bw, plane, by, bx, qt, dc_codes, ac_codes, prev_dc, ci):
+    """Entropy-encode one 8×8 block (forward DCT, quant, diff-DC +
+    run/size AC); returns nothing, mutates prev_dc[ci]."""
+    blk = plane[by : by + 8, bx : bx + 8] - 128.0
+    coef = _DCT_C @ blk @ _DCT_C.T
+    q = np.round(coef / qt).astype("i8")
+    zz = q.reshape(64)[_ZZ]
+    diff = int(zz[0]) - prev_dc[ci]
+    prev_dc[ci] = int(zz[0])
+    s = int(abs(diff)).bit_length()
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+
+
+def encode_jpeg(pixels, subsample: str = "444", restart_mcus: int = 0) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a baseline sequential
-    JPEG (SOF0, 4:4:4, Annex-K quant tables, own canonical DHT).  Lossy
-    by nature — the round-trip gate bounds the error instead of hashing
-    pixel equality (see q_media_decode_jpeg)."""
+    JPEG (SOF0, Annex-K quant tables, own canonical DHT).  Lossy by
+    nature — the round-trip gate bounds the error instead of hashing
+    pixel equality (see q_media_decode_jpeg).
+
+    ``subsample`` = "444" (one 8×8 block per component per MCU) or
+    "420" (r14 verdict "missing" #4 — the dominant wild format: Y at
+    2×2 sampling, chroma box-averaged to half resolution, 16×16-pixel
+    MCUs of 4 Y + 1 Cb + 1 Cr blocks).  ``restart_mcus`` > 0 emits a
+    DRI segment and an RST0-7 marker after every that many MCUs
+    (byte-aligned, DC predictors reset) — the resync points real
+    encoders insert for error resilience and parallel decode."""
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
     px = np.asarray(pixels, dtype=np.float64)
     h, w, _ = px.shape
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = []
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample == "420" else [(1, 1)] * 3
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+    hp, wp = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
+    full = []
     for comp in (y, cb, cr):
         p = np.empty((hp, wp))
         p[:h, :w] = comp
         p[h:, :w] = comp[h - 1 : h, :]  # edge-replicate padding
         p[:, w:] = p[:, w - 1 : w]
-        planes.append(p)
+        full.append(p)
+    planes = []
+    for (hi, vi), p in zip(samp, full):
+        fy, fx = vmax // vi, hmax // hi
+        if fy == fx == 1:
+            planes.append(p)
+        else:  # box-average downsample (the standard 4:2:0 filter)
+            planes.append(
+                p.reshape(hp // fy, fy, wp // fx, fx).mean(axis=(1, 3))
+            )
     dc_codes = _jpeg_encode_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _jpeg_encode_codes(_ENC_AC_BITS, _ENC_AC_VALS)
     bw = _BitWriter()
     prev_dc = [0, 0, 0]
     qtabs = [_JPEG_QY, _JPEG_QC, _JPEG_QC]
-    for by in range(0, hp, 8):
-        for bx in range(0, wp, 8):
-            for ci in range(3):
-                blk = planes[ci][by : by + 8, bx : bx + 8] - 128.0
-                coef = _DCT_C @ blk @ _DCT_C.T
-                q = np.round(coef / qtabs[ci]).astype("i8")
-                zz = q.reshape(64)[_ZZ]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                s = int(abs(diff)).bit_length()
-                code, ln = dc_codes[s]
-                bw.put(code, ln)
-                if s:
-                    bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if k > last_nz:
-                        code, ln = ac_codes[0x00]  # EOB
-                        bw.put(code, ln)
-                        break
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = ac_codes[0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    s = int(abs(v)).bit_length()
-                    code, ln = ac_codes[(run << 4) | s]
-                    bw.put(code, ln)
-                    bw.put(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
+    n_mcux, n_mcuy = wp // mcu_w, hp // mcu_h
+    mcu_i = 0
+    rst_i = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if restart_mcus and mcu_i and mcu_i % restart_mcus == 0:
+                bw.align()
+                bw.raw(bytes([0xFF, 0xD0 + (rst_i % 8)]))
+                rst_i += 1
+                prev_dc = [0, 0, 0]
+            for ci, (hi, vi) in enumerate(samp):
+                for v in range(vi):
+                    for u in range(hi):
+                        _jpeg_emit_block(
+                            bw, planes[ci],
+                            (my * vi + v) * 8, (mx * hi + u) * 8,
+                            qtabs[ci], dc_codes, ac_codes, prev_dc, ci,
+                        )
+            mcu_i += 1
     out = bytearray(b"\xff\xd8")  # SOI
     for tid, qt in ((0, _JPEG_QY), (1, _JPEG_QC)):
         out += _jpeg_segment(
             0xDB, bytes([tid]) + qt.reshape(64)[_ZZ].astype("u1").tobytes()
         )
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, qid])
+    for i, (cid, qid) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = samp[i]
+        sof += bytes([cid, (hi << 4) | vi, qid])
     out += _jpeg_segment(0xC0, sof)
     for tc_th, bits, vals in (
         (0x00, _ENC_DC_BITS, _ENC_DC_VALS),
@@ -487,6 +546,8 @@ def encode_jpeg(pixels) -> bytes:
         out += _jpeg_segment(
             0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals)
         )
+    if restart_mcus:
+        out += _jpeg_segment(0xDD, restart_mcus.to_bytes(2, "big"))
     sos = bytes([3])
     for cid in (1, 2, 3):
         sos += bytes([cid, 0x00])  # DC table 0, AC table 0 for all
@@ -537,18 +598,31 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")
 
+    def restart(self) -> None:
+        """Consume an RST0-7 marker at a byte boundary (drop any pad
+        bits, skip fill 0xFFs) — the DC predictors reset is the
+        caller's job."""
+        self.n = 0  # discard padding bits of the ending segment
+        while self.data[self.pos] == 0xFF and self.data[self.pos + 1] == 0xFF:
+            self.pos += 1  # fill bytes
+        m = self.data[self.pos : self.pos + 2]
+        if m[0] != 0xFF or not (0xD0 <= m[1] <= 0xD7):
+            raise ValueError(f"expected JPEG restart marker, got {m.hex()}")
+        self.pos += 2
+
 
 def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, 4:4:4 or
-    grayscale) to uint8 pixels — numpy + stdlib only: marker walk,
-    DQT/DHT table builds (zigzag dequant, canonical Huffman),
-    differential-DC + run/size-AC entropy decode with 0xFF00
-    unstuffing, IDCT, and the JFIF YCbCr→RGB inverse.  Subsampling,
-    progressive scans, 12-bit precision, and restart intervals raise
+    """Decode a baseline sequential JPEG (SOF0, 8-bit — 4:4:4, 4:2:2,
+    4:2:0, or grayscale; restart intervals honored) to uint8 pixels —
+    numpy + stdlib only: marker walk, DQT/DHT table builds (zigzag
+    dequant, canonical Huffman), MCU-interleaved differential-DC +
+    run/size-AC entropy decode with 0xFF00 unstuffing and RST resync,
+    IDCT, per-component nearest-neighbor chroma upsample, and the JFIF
+    YCbCr→RGB inverse.  Progressive scans and 12-bit precision raise
     the declared NotImplementedError seam."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -558,6 +632,7 @@ def decode_jpeg(payload: bytes):
     comps = None
     h = w = None
     scan = None
+    restart_int = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -595,17 +670,15 @@ def decode_jpeg(payload: bytes):
             comps = []
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (only 4:4:4 / grayscale decode)"
-                    )
-                comps.append({"id": cid, "q": qid})
+                comps.append(
+                    {"id": cid, "q": qid, "hi": samp >> 4, "vi": samp & 0xF}
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise NotImplementedError(
                 "only baseline sequential (SOF0) JPEG"
             )
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals")
+            restart_int = int.from_bytes(seg[:2], "big")
         elif marker == 0xDA:
             ns = seg[0]
             scan = []
@@ -619,38 +692,70 @@ def decode_jpeg(payload: bytes):
         raise ValueError("JPEG missing SOF0/SOS")
     by_id = {c["id"]: c for c in comps}
     order = [by_id[s["id"]] | s for s in scan]
-    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
-    planes = [np.zeros((hp, wp)) for _ in order]
+    hmax = max(c["hi"] for c in order)
+    vmax = max(c["vi"] for c in order)
+    for c in order:
+        if hmax % c["hi"] or vmax % c["vi"]:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {c['hi']}x{c['vi']} vs "
+                f"{hmax}x{vmax}"
+            )
+    n_mcux = -(-w // (8 * hmax))
+    n_mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((n_mcuy * 8 * c["vi"], n_mcux * 8 * c["hi"]))
+        for c in order
+    ]
     br = _BitReader(payload, pos)
     prev_dc = [0] * len(order)
-    for by in range(0, hp, 8):
-        for bx in range(0, wp, 8):
+    mcu_i = 0
+    for my in range(n_mcuy):
+        for mx in range(n_mcux):
+            if restart_int and mcu_i and mcu_i % restart_int == 0:
+                br.restart()
+                prev_dc = [0] * len(order)
             for ci, c in enumerate(order):
                 dct, act = htabs[(0, c["dc"])], htabs[(1, c["ac"])]
-                zz = np.zeros(64, dtype="i8")
-                s = br.huff(dct)
-                diff = _jpeg_extend(br.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = br.huff(act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    sz = sym & 0xF
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _jpeg_extend(br.bits(sz), sz)
-                    k += 1
-                blk = np.zeros(64, dtype="f8")
-                blk[_ZZ] = zz * qtabs[c["q"]].reshape(64)[_ZZ]
-                planes[ci][by : by + 8, bx : bx + 8] = (
-                    _DCT_C.T @ blk.reshape(8, 8) @ _DCT_C + 128.0
-                )
+                for v in range(c["vi"]):
+                    for u in range(c["hi"]):
+                        zz = np.zeros(64, dtype="i8")
+                        s = br.huff(dct)
+                        diff = _jpeg_extend(br.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = br.huff(act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            sz = sym & 0xF
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _jpeg_extend(br.bits(sz), sz)
+                            k += 1
+                        blk = np.zeros(64, dtype="f8")
+                        blk[_ZZ] = zz * qtabs[c["q"]].reshape(64)[_ZZ]
+                        by = (my * c["vi"] + v) * 8
+                        bx = (mx * c["hi"] + u) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = (
+                            _DCT_C.T @ blk.reshape(8, 8) @ _DCT_C + 128.0
+                        )
+            mcu_i += 1
+    # nearest-neighbor upsample each component to full sampling grid
+    up = []
+    for ci, c in enumerate(order):
+        p = planes[ci]
+        fy, fx = vmax // c["vi"], hmax // c["hi"]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        up.append(p)
+    planes = up
     if len(order) == 1:
         return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
     y, cb, cr = (p[:h, :w] for p in planes)
@@ -1226,6 +1331,10 @@ JPEG_MEAN_ABS_ERR = 8.0   # mean of the per-pixel channel-max error
 # (measured healthy band on the gradient corpus: 1.6-6.3; the broken-
 # codec regime measures ~29 on the same metric — an order of magnitude
 # of slack on either side)
+JPEG_MAX_ABS_ERR_420 = 32    # 4:2:0 leg: chroma is HALF-res by design, so
+JPEG_MEAN_ABS_ERR_420 = 10.0  # saturated color ramps add NN-upsample error
+# (measured healthy band on the wrap-free sinusoid corpus: max 22 /
+# mean 6.4; swapped chroma planes or a broken upsample measure 100+)
 
 
 def q_media_decode_jpeg(spark, sf_dir):
@@ -1238,14 +1347,22 @@ def q_media_decode_jpeg(spark, sf_dir):
     (the re-encode-dedup container-invariance claim, r12 verdict #6,
     extended to the dominant lossy format).
 
-    Per asset, two legs, both raising on failure:
+    Per asset, three legs, all raising on failure:
     * smooth-gradient round trip (per-doc phases): max abs error ≤
       JPEG_MAX_ABS_ERR (12), mean ≤ JPEG_MEAN_ABS_ERR (8) — a broken
       Huffman table, zigzag, dequant, or IDCT blows these bounds by an
       order of magnitude;
+    * 4:2:0 + restart-interval round trip (r15, r14 verdict "missing"
+      #4 — the dominant wild format): a wrap-free sinusoid field
+      encoded with 2×2 chroma subsampling and a per-doc DRI, bounds
+      JPEG_MAX_ABS_ERR_420 (32) / JPEG_MEAN_ABS_ERR_420 (10) — chroma
+      half-resolution is lossy by DESIGN, so the bounds carry the
+      NN-upsample cost; swapped chroma planes, a broken MCU walk, or a
+      mis-reset DC predictor at a restart marker measure 100+;
     * flat-tile percept (8×8-aligned tiles, ≥1 low + ≥1 high forced):
-      encode via the real PNG, BMP, AND JPEG codecs, decode all three,
-      assert the 64-bit phash is bitwise identical across containers.
+      encode via the real PNG, BMP, AND JPEG codecs — 4:4:4 and 4:2:0
+      both — decode all four, assert the 64-bit phash is bitwise
+      identical across containers.
 
     Deterministic numpy both sides → the emitted stats are stable, but
     no SQL engine can re-derive lossy-decoded sums: declared
@@ -1299,6 +1416,33 @@ def q_media_decode_jpeg(spark, sf_dir):
                             f"JPEG round trip out of bounds for doc "
                             f"{doc_id}: max {e_max} mean {e_mean:.2f}"
                         )
+                # leg 1b: 4:2:0 + restart-interval round trip on a
+                # wrap-free smooth field (chroma varies slowly — the
+                # signal 2x2 subsampling is designed for)
+                img420 = np.stack(
+                    [
+                        128 + 100 * np.sin(xx / 16.0 + ph),
+                        128 + 90 * np.cos(yy / 14.0 + 2 * ph),
+                        128 + 80 * np.sin((xx + yy) / 22.0 + 3 * ph),
+                    ],
+                    axis=-1,
+                ).clip(0, 255).astype(np.uint8)
+                p420 = encode_jpeg(
+                    img420, subsample="420", restart_mcus=1 + doc_id % 3
+                )
+                d420 = decode_jpeg(p420)
+                e420 = np.abs(d420.astype("i4") - img420.astype("i4")).max(
+                    axis=2
+                )
+                if (
+                    int(e420.max()) > JPEG_MAX_ABS_ERR_420
+                    or float(e420.mean()) > JPEG_MEAN_ABS_ERR_420
+                ):
+                    raise AssertionError(
+                        f"4:2:0 JPEG round trip out of bounds for doc "
+                        f"{doc_id}: max {int(e420.max())} mean "
+                        f"{float(e420.mean()):.2f}"
+                    )
                 # leg 2: cross-codec phash invariance on flat tiles
                 g, off = doc_id % PHASH_GROUPS, doc_id % 7
                 gh = (g * 2654435761) & 0xFFFFFFFF
@@ -1327,6 +1471,12 @@ def q_media_decode_jpeg(spark, sf_dir):
                         ("png", encode_png),
                         ("bmp", encode_bmp),
                         ("jpeg", encode_jpeg),
+                        (
+                            "jpeg420",
+                            lambda px: encode_jpeg(
+                                px, subsample="420", restart_mcus=2
+                            ),
+                        ),
                     )
                 }
                 if len(set(hashes.values())) != 1:

@@ -299,6 +299,89 @@ def test_zorder_string_boundaries_deterministic(spark, customer):
     assert 1 <= len(b1) <= 15
 
 
+# --- JPEG 4:2:0 + restart intervals (r14 missing #4) ----------------------------
+
+
+def _smooth_img(h, w, ph):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        np.stack(
+            [
+                128 + 100 * np.sin(xx / 16.0 + ph),
+                128 + 90 * np.cos(yy / 14.0 + 2 * ph),
+                128 + 80 * np.sin((xx + yy) / 22.0 + 3 * ph),
+            ],
+            axis=-1,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+import numpy as np  # noqa: E402
+
+
+def test_jpeg_420_round_trip_bounded():
+    from affinity_propagation_mapreduce_spark.operators.multimodal import (
+        JPEG_MAX_ABS_ERR_420,
+        JPEG_MEAN_ABS_ERR_420,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for ph in (0, 5, 41):
+        img = _smooth_img(40, 56, ph)
+        dec = decode_jpeg(encode_jpeg(img, subsample="420"))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype("i4") - img.astype("i4")).max(axis=2)
+        assert int(err.max()) <= JPEG_MAX_ABS_ERR_420
+        assert float(err.mean()) <= JPEG_MEAN_ABS_ERR_420
+
+
+def test_jpeg_restart_intervals_resync():
+    """A DRI stream must decode identically to the no-restart stream —
+    and the decoder must actually consume RST markers (byte counts
+    differ)."""
+    from affinity_propagation_mapreduce_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth_img(48, 64, 9)
+    plain = encode_jpeg(img, subsample="420")
+    rst = encode_jpeg(img, subsample="420", restart_mcus=1)
+    assert rst != plain and b"\xff\xdd" in rst
+    assert np.array_equal(decode_jpeg(rst), decode_jpeg(plain))
+
+
+def test_jpeg_420_non_mcu_aligned_dims():
+    """Odd dims exercise the edge-replicate padding + crop on the
+    16x16 MCU grid."""
+    from affinity_propagation_mapreduce_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth_img(37, 51, 3)
+    dec = decode_jpeg(encode_jpeg(img, subsample="420", restart_mcus=2))
+    assert dec.shape == (37, 51, 3)
+
+
+def test_jpeg_progressive_still_raises():
+    from affinity_propagation_mapreduce_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    payload = bytearray(encode_jpeg(_smooth_img(16, 16, 1)))
+    i = payload.index(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # rebrand SOF0 as progressive SOF2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(payload))
+
+
 # --- the new declared keys run green end-to-end --------------------------------
 
 

@@ -385,7 +385,149 @@ def filtered10m() -> None:
     _emit({"step": "done", "disk_floor_gb": floor.stop()})
 
 
+def compound1m() -> None:
+    """Round-15 drill (r14 verdict "next" #5): COMPOUND predicates over
+    TWO metadata columns at 1M×16 — tenant equality AND a date band —
+    measuring what every prior leg measured for single equalities:
+    sample-estimator accuracy on the conjunction/disjunction (whole-row
+    sample ⇒ cross-column correlation captured), mode-rule stability,
+    recall@5 of the pre arm vs the exact compound answer, and walls."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+
+    spark = _spark("ann-compound-1m")
+    index = os.path.join(BASE1, "index-meta2")
+    src = spark.read.parquet(os.path.join(BASE1, "embeddings.parquet")).withColumn(
+        "day", F.pmod(F.col("vec_id"), F.lit(7))
+    )
+    out = {"phase": "compound1m", "n": 1_000_000, "d": 16}
+    t0 = time.monotonic()
+    ai.build_ann_index(
+        spark, BASE1, path=index, emb_raw=src, store_raw=True,
+        meta_cols=("label", "day"),
+    )
+    out["build_sec"] = round(time.monotonic() - t0, 1)
+    lo_expr = "label % 3 = 0 AND day < 3"
+    hi_expr = "label % 3 != 0 OR day < 3"
+    n = src.count()
+    lo_true = src.where(F.expr(lo_expr)).count() / n
+    hi_true = src.where(F.expr(hi_expr)).count() / n
+    out["lo_true"] = round(lo_true, 4)
+    out["hi_true"] = round(hi_true, 4)
+    out["lo_est"] = round(ai.estimate_selectivity(spark, index, lo_expr), 4)
+    out["hi_est"] = round(ai.estimate_selectivity(spark, index, hi_expr), 4)
+    out["lo_mode"] = ai.choose_filter_mode(out["lo_est"])
+    out["hi_mode"] = ai.choose_filter_mode(out["hi_est"])
+    qrows = (
+        src.where(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], dtype="i8")
+    qmat = np.array([list(r.embedding) for r in qrows], dtype="f8")
+    qnrm = np.sqrt((qmat * qmat).sum(axis=1))
+    # exact compound top-5 for the lo predicate (numpy at 1M×16)
+    pdf = src.select("vec_id", "embedding", "label", "day").toPandas()
+    order0 = np.argsort(pdf["vec_id"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()[order0]
+    X = np.array([list(e) for e in pdf["embedding"]], dtype="f8")[order0]
+    lab = pdf["label"].to_numpy()[order0]
+    day = pdf["day"].to_numpy()[order0]
+    nrm = np.sqrt((X * X).sum(axis=1))
+    qual_lo = (lab % 3 == 0) & (day < 3)
+    exact_lo = {}
+    for qi in range(len(qids)):
+        cos = (X @ qmat[qi]) / (nrm * qnrm[qi] + 1e-300)
+        cand = np.flatnonzero(qual_lo)
+        order = cand[np.lexsort((ids[cand], -cos[cand]))]
+        exact_lo[int(qids[qi])] = [int(ids[j]) for j in order[:TOP_K]]
+    res, row = _timed_filtered(
+        spark, index, qids, qmat, qnrm, filter_expr=lo_expr, mode="auto"
+    )
+    served = {}
+    for r in res.select("query_id", "neighbor_id").collect():
+        served.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+    bad = [
+        nb
+        for q, nbs in served.items()
+        for nb in nbs
+        if not (lab[np.searchsorted(ids, nb)] % 3 == 0 and nb % 7 < 3)
+    ]
+    if bad:
+        raise AssertionError(f"non-qualifying compound neighbors: {bad[:3]}")
+    hits = sum(
+        len(served.get(q, set()) & set(v)) for q, v in exact_lo.items()
+    )
+    row["recall_at5"] = round(hits / (len(qids) * TOP_K), 3)
+    out["pre_auto_lo"] = row
+    _res, row = _timed_filtered(
+        spark, index, qids, qmat, qnrm, filter_expr=hi_expr, mode="auto"
+    )
+    out["post_auto_hi"] = row
+    print(json.dumps(out))
+
+
+def compound10m() -> None:
+    """The 10M×768 compound leg: the layout's sample and codes both
+    carry (vec_id, label), so a two-COLUMN compound — tenant equality
+    on label AND a band on pmod(vec_id, 7) (the date stand-in; a
+    physical scan column, no second 47-min backfill migration) —
+    exercises estimator, mode rule, and both serve arms at the big
+    rung.  Deleted slice (vec_id%25==3, folded in r14) must never
+    surface."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ai
+
+    spark = _spark("ann-compound-10m")
+    meta = ai._read_meta(INDEX10)
+    if "label" not in meta.get("meta_cols", []):
+        raise SystemExit("run migrate10m first (label backfill)")
+    out = {"phase": "compound10m", "n": meta["n"], "gen": ai._gen_of(meta)}
+    lo_expr = "label % 10 = 3 AND pmod(vec_id, 7) < 3"
+    hi_expr = "label % 10 != 3 OR pmod(vec_id, 7) < 3"
+    croot = ai._codes_root_gen(INDEX10, ai._gen_of(meta))
+    codes = spark.read.parquet(croot)
+    n_live = meta["n"]
+    lo_true = codes.where(F.expr(lo_expr)).count() / n_live
+    hi_true = codes.where(F.expr(hi_expr)).count() / n_live
+    out["lo_true"] = round(lo_true, 4)
+    out["hi_true"] = round(hi_true, 4)
+    out["lo_est"] = round(ai.estimate_selectivity(spark, INDEX10, lo_expr), 4)
+    out["hi_est"] = round(ai.estimate_selectivity(spark, INDEX10, hi_expr), 4)
+    out["lo_mode"] = ai.choose_filter_mode(out["lo_est"])
+    out["hi_mode"] = ai.choose_filter_mode(out["hi_est"])
+    _emit(out)
+    qids, qmat, qnrm = _queries10(10)
+
+    def assert_clean(res, stage):
+        rows = res.select("query_id", "neighbor_id").collect()
+        for r in rows:
+            nb = int(r.neighbor_id)
+            if nb % 25 == FDEL10_RESIDUE:
+                raise AssertionError(f"{stage}: DELETED neighbor {nb}")
+            if not (nb % 100 % 10 == 3 and nb % 7 < 3):
+                raise AssertionError(f"{stage}: non-qualifying {nb}")
+        return len(rows)
+
+    res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm, filter_expr=lo_expr, mode="auto"
+    )
+    row["rows_checked"] = assert_clean(res, "compound-pre")
+    _emit({"step": "compound_pre_pushdown", **row})
+    _res, row = _timed_filtered(
+        spark, INDEX10, qids, qmat, qnrm, filter_expr=hi_expr, mode="auto"
+    )
+    _emit({"step": "compound_post_pushdown", **row})
+
+
 if __name__ == "__main__":
-    {"m1": m1, "migrate10m": migrate10m, "filtered10m": filtered10m}[
-        sys.argv[1]
-    ]()
+    {
+        "m1": m1,
+        "migrate10m": migrate10m,
+        "filtered10m": filtered10m,
+        "compound1m": compound1m,
+        "compound10m": compound10m,
+    }[sys.argv[1]]()
