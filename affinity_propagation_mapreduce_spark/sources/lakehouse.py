@@ -63,7 +63,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .io import _BLOOM_WORDS, _bloom_position_cols, _manifest_key
+from .io import _BLOOM_K, _manifest_key
 
 _LOG_NAME = "_table_log.json"
 SHARD_FILES = 256  # file entries per manifest shard
@@ -179,16 +179,49 @@ def _file_stats(spark: SparkSession, batch_dir: str, cluster_by: str) -> list[di
     return sorted(out, key=lambda e: (str(e["min"]), e["file"]))
 
 
+_BLOOM_BITS_PER_KEY = 10      # ~1% FP at K=5
+_BLOOM_MIN_BITS = 1 << 17     # 16 KiB floor (tiny files)
+_BLOOM_MAX_BITS = 1 << 24     # 2 MiB/ (file, col) ceiling
+
+
+def _bloom_bits_for(rows_max: int) -> int:
+    """Bloom size SCALED to the batch's largest file (r15, found by the
+    bench at sf0.1): a fixed 16 KiB bloom saturates at ~100k keys/file
+    (fill 0.98, FP 0.9 — prunes nothing), and a 100 TB table's 128 MB
+    files hold millions of keys.  ~10 bits/key (FP ≈ 1% at K=5),
+    power-of-two for cheap pmod, clamped [16 KiB, 2 MiB]."""
+    bits = _BLOOM_MIN_BITS
+    while bits < rows_max * _BLOOM_BITS_PER_KEY and bits < _BLOOM_MAX_BITS:
+        bits <<= 1
+    return bits
+
+
+def _bloom_cols(col: str, bits: int):
+    """The K bit positions at ``bits`` table size — same canonical
+    string-rendered xxhash64 family as sources.io (build and probe
+    must agree for any value type)."""
+    v = F.col(col).cast("string")
+    return [
+        F.pmod(F.xxhash64(v, F.lit(i)), F.lit(bits)) for i in range(_BLOOM_K)
+    ]
+
+
 def _batch_blooms(
-    spark: SparkSession, batch_dir: str, bloom_for: list[str]
-) -> dict[str, dict[str, str]]:
-    """{file: {col: base64 bitmap}} for one batch — the map-side
-    bit_or aggregate from sources.io, scoped to the batch's files."""
+    spark: SparkSession,
+    batch_dir: str,
+    bloom_for: list[str],
+    rows_max: int,
+) -> dict[str, dict]:
+    """{file: {"bits": n, "cols": {col: base64 bitmap}}} for one batch —
+    a map-side-combining bit_or aggregate per column: the driver
+    collects bits/64 words per file, never per-key data.  ``bits`` is
+    sized to the batch's largest file (_bloom_bits_for)."""
     import base64
 
-    out: dict[str, dict[str, str]] = {}
+    bits = _bloom_bits_for(rows_max)
+    out: dict[str, dict] = {}
     for col in bloom_for:
-        pos = F.explode(F.array(*_bloom_position_cols(col))).alias("pos")
+        pos = F.explode(F.array(*_bloom_cols(col, bits))).alias("pos")
         words = (
             spark.read.parquet(batch_dir)
             .select(F.input_file_name().alias("file"), pos)
@@ -201,16 +234,17 @@ def _batch_blooms(
             )
             .groupBy("file", "word")
             .agg(F.bit_or("bit").alias("w"))
-            .collect()  # BLOOM_WORDS rows per file, never per-key data
+            .collect()  # bits/64 rows per file, never per-key data
         )
         maps: dict[str, bytearray] = {}
         for r in words:
-            bm = maps.setdefault(r.file, bytearray(_BLOOM_WORDS * 8))
+            bm = maps.setdefault(r.file, bytearray(bits // 8))
             w = int(r.w) & 0xFFFFFFFFFFFFFFFF
             i = int(r.word) * 8
             bm[i : i + 8] = w.to_bytes(8, "little")
         for f, bm in maps.items():
-            out.setdefault(f, {})[col] = base64.b64encode(bytes(bm)).decode()
+            ent = out.setdefault(f, {"bits": bits, "cols": {}})
+            ent["cols"][col] = base64.b64encode(bytes(bm)).decode()
     return out
 
 
@@ -305,7 +339,12 @@ def create_table(
     bloom_for = list(bloom_for or [])
     batch = _land_batch(df, path, cluster_by, n_files)
     entries = _file_stats(spark, batch, cluster_by)
-    blooms = _batch_blooms(spark, batch, bloom_for) if bloom_for else None
+    rows_max = max((e["rows"] for e in entries), default=0)
+    blooms = (
+        _batch_blooms(spark, batch, bloom_for, rows_max)
+        if bloom_for and entries
+        else None
+    )
     shards = _make_shards(path, entries, blooms)
     log = {"versions": [], "head": -1}
     _commit_log(path, log)
@@ -350,7 +389,12 @@ def append_table(df: DataFrame, path: str, n_files: int = 4) -> dict:
     head_list = _read_list(path, log["head"])
     batch = _land_batch(df, path, cluster_by, n_files)
     entries = _file_stats(spark, batch, cluster_by)
-    blooms = _batch_blooms(spark, batch, bloom_for) if bloom_for else None
+    rows_max = max((e["rows"] for e in entries), default=0)
+    blooms = (
+        _batch_blooms(spark, batch, bloom_for, rows_max)
+        if bloom_for and entries
+        else None
+    )
     new_shards = _make_shards(path, entries, blooms)
     v = _commit_version(path, head_list["shards"] + new_shards, "append")
     return {"version": v, "files_added": len(entries), "shards_added": len(new_shards)}
@@ -379,7 +423,12 @@ def compact_table(
     df = spark.read.parquet(*files)
     batch = _land_batch(df, path, cluster_by, n_out)
     entries = _file_stats(spark, batch, cluster_by)
-    blooms = _batch_blooms(spark, batch, bloom_for) if bloom_for else None
+    rows_max = max((e["rows"] for e in entries), default=0)
+    blooms = (
+        _batch_blooms(spark, batch, bloom_for, rows_max)
+        if bloom_for and entries
+        else None
+    )
     shards = _make_shards(path, entries, blooms)
     v = _commit_version(path, shards, "compact")
     return {
@@ -481,7 +530,12 @@ def merge_table(spark: SparkSession, path: str, changes: DataFrame) -> dict:
         )
     batch = _land_batch(merged, path, cluster_by, max(1, min(4, len(rewritten) or 1)))
     entries = _file_stats(spark, batch, cluster_by)
-    new_blooms = _batch_blooms(spark, batch, bloom_for) if bloom_for else None
+    rows_max = max((e["rows"] for e in entries), default=0)
+    new_blooms = (
+        _batch_blooms(spark, batch, bloom_for, rows_max)
+        if bloom_for and entries
+        else None
+    )
     new_shards = _make_shards(path, entries, new_blooms)
     v = _commit_version(path, carried + new_shards, "merge")
     return {
@@ -604,25 +658,30 @@ def read_table_point(
         _read_shard(path, lst["shards"][0]["shard"])["files"][0]["file"]
     )
     stored_type = probe_df.schema[col].dataType
-    probe = (
+    # ONE raw-hash job; per-file positions derive driver-side from the
+    # file's bloom size (raw % bits ≡ the build's pmod for pow-2 bits)
+    raw = (
         spark.range(1)
-        .select(F.lit(value).cast(stored_type).alias(col))
-        .select(*_bloom_position_cols(col))
+        .select(F.lit(value).cast(stored_type).cast("string").alias("v"))
+        .select(*[F.xxhash64("v", F.lit(i)) for i in range(_BLOOM_K)])
         .first()
     )
-    positions = [int(p) for p in probe]
+    raw_hashes = [int(x) for x in raw]
 
     kept, rows_bound, shards_opened = [], 0, 0
     for s in lst["shards"]:
         shards_opened += 1
         side = _read_shard(path, s["bloom"]) if s.get("bloom") else {}
         for e in _read_shard(path, s["shard"])["files"]:
-            b64 = (side.get(e["file"]) or {}).get(col)
+            ent = side.get(e["file"]) or {}
+            b64 = (ent.get("cols") or {}).get(col)
             if b64 is None:
                 kept.append(e)  # conservative: no bloom, no prune
                 rows_bound += e["rows"]
                 continue
             bm = base64.b64decode(b64)
+            bits = int(ent["bits"])
+            positions = [h % bits for h in raw_hashes]
             if all(bm[p // 8] & (1 << (p % 8)) for p in positions):
                 kept.append(e)
                 rows_bound += e["rows"]

@@ -48,6 +48,11 @@ HEADLINE = [
     # warm filtered serve; per-query timings remain the comparable
     # units across rounds.
     "knn_cosine_filtered_served",
+    # r15: LAKEHOUSE row — the composed create→append→compact lifecycle
+    # with manifest-pruned range scan + sidecar-bloom point lookup.
+    # Pass 1 pays the one-time layout build (persisted per app/sf);
+    # min-of-passes records the warm pruned-scan + pin-validation wall.
+    "table_lifecycle",
 ]
 
 
