@@ -701,6 +701,72 @@ def read_table_point(
 
 # --- retention ------------------------------------------------------------------
 
+def _referenced_sets(path: str) -> tuple[set, set, set]:
+    """(shards, sidecars, local data paths) referenced by any version
+    in the CURRENT log."""
+    log = _read_log(path)
+    kept_shards, kept_sidecars, kept_data = set(), set(), set()
+    for v in log["versions"]:
+        lst = _read_list(path, v["v"])
+        for s in lst["shards"]:
+            kept_shards.add(s["shard"])
+            if s.get("bloom"):
+                kept_sidecars.add(s["bloom"])
+            for e in _read_shard(path, s["shard"])["files"]:
+                kept_data.add(_local(e["file"]))
+    return kept_shards, kept_sidecars, kept_data
+
+
+def vacuum(path: str, orphan_age_seconds: float = 900.0) -> dict:
+    """Reclaim ORPHANS — batch dirs and meta files no committed version
+    references (a writer that crashed between landing a batch and the
+    log commit, or a crash mid-expire).  Age-gated (mtime older than
+    ``orphan_age_seconds``) so an IN-FLIGHT writer's just-landed,
+    not-yet-committed batch is never swept — the ANN reaper's grace
+    rule applied to the write path."""
+    now = time.time()
+    kept_shards, kept_sidecars, kept_data = _referenced_sets(path)
+
+    def old_enough(p: str) -> bool:
+        try:
+            return (now - os.path.getmtime(p)) >= orphan_age_seconds
+        except FileNotFoundError:
+            return False
+
+    deleted = 0
+    data_dir = os.path.join(path, "data")
+    for batch in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+        bdir = os.path.join(data_dir, batch)
+        if not os.path.isdir(bdir):
+            continue
+        for f in os.listdir(bdir):
+            fp = os.path.join(bdir, f)
+            if (
+                f.endswith(".parquet")
+                and fp not in kept_data
+                and old_enough(fp)
+            ):
+                _rm(fp)
+                deleted += 1
+        if not any(f.endswith(".parquet") for f in os.listdir(bdir)):
+            shutil.rmtree(bdir, ignore_errors=True)
+    meta_dir = _meta(path)
+    log = _read_log(path)
+    kept_lists = {v["list"] for v in log["versions"]}
+    meta_deleted = 0
+    for f in os.listdir(meta_dir):
+        fp = os.path.join(meta_dir, f)
+        if not os.path.isfile(fp):
+            continue
+        referenced = (
+            f in kept_shards or f in kept_sidecars or f in kept_lists
+        )
+        if not referenced and old_enough(fp):
+            _rm(fp)
+            meta_deleted += 1
+    return {"data_files_deleted": deleted, "meta_files_deleted": meta_deleted}
+
+
 def expire_versions(
     path: str, keep_last: int = 2, grace_seconds: float = 0.0
 ) -> dict:
@@ -712,9 +778,13 @@ def expire_versions(
     reaper's read-grace: an in-flight or recently-pinned reader is
     never broken).  Commit order is crash-safe: the SHRUNK log commits
     FIRST (no new reader can pin a dropping version), then meta files
-    unique to dropped versions are deleted, then data files referenced
-    by NO retained version.  A crash mid-delete leaves only orphan
-    files — re-running expire (or any future expire) reclaims them."""
+    unique to dropped versions are deleted, then the dropped versions'
+    data files where no retained version shares them.  A crash
+    mid-delete leaves only orphan files — ``vacuum`` (or the next
+    expire's sweep) reclaims them.  Files of a concurrent writer's
+    not-yet-committed batch are NEVER touched here: only files listed
+    by a DROPPED version's manifest are deleted (orphan reclaim is
+    vacuum's age-gated job)."""
     log = _read_log(path)
     versions = log["versions"]
     if len(versions) <= keep_last:
@@ -741,45 +811,40 @@ def expire_versions(
     new_log = {"versions": retained, "head": log["head"]}
     _commit_log(path, new_log)
 
-    # 2) compute referenced meta/data sets of RETAINED versions
-    kept_lists = {v["list"] for v in retained}
-    kept_shards, kept_sidecars, kept_data = set(), set(), set()
-    for v in retained:
-        lst = _read_list(path, v["v"])
-        for s in lst["shards"]:
-            kept_shards.add(s["shard"])
-            if s.get("bloom"):
-                kept_sidecars.add(s["bloom"])
-            for e in _read_shard(path, s["shard"])["files"]:
-                kept_data.add(_local(e["file"]))
+    # 2) referenced sets of RETAINED versions
+    kept_shards, kept_sidecars, kept_data = _referenced_sets(path)
 
-    # 3) delete meta files unique to dropped versions
+    # 3) delete meta unique to dropped versions, collecting THEIR data
     meta_dir = _meta(path)
+    dropped_data: set[str] = set()
     for v in dropped:
         lp = os.path.join(meta_dir, v["list"])
         if os.path.isfile(lp):
             with open(lp) as fh:
                 lst = json.load(fh)
             for s in lst["shards"]:
+                sp = os.path.join(meta_dir, s["shard"])
+                if os.path.isfile(sp):
+                    with open(sp) as fh:
+                        for e in json.load(fh)["files"]:
+                            dropped_data.add(_local(e["file"]))
                 if s["shard"] not in kept_shards:
-                    _rm(os.path.join(meta_dir, s["shard"]))
+                    _rm(sp)
                 if s.get("bloom") and s["bloom"] not in kept_sidecars:
                     _rm(os.path.join(meta_dir, s["bloom"]))
             _rm(lp)
 
-    # 4) delete data files (and emptied batch dirs) nothing references
+    # 4) delete exactly the dropped versions' unshared data files
     deleted = 0
+    for fp in sorted(dropped_data - kept_data):
+        _rm(fp)
+        deleted += 1
     data_dir = os.path.join(path, "data")
-    for batch in os.listdir(data_dir):
+    for batch in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
         bdir = os.path.join(data_dir, batch)
-        if not os.path.isdir(bdir):
-            continue
-        for f in os.listdir(bdir):
-            fp = os.path.join(bdir, f)
-            if f.endswith(".parquet") and fp not in kept_data:
-                _rm(fp)
-                deleted += 1
-        if not any(f.endswith(".parquet") for f in os.listdir(bdir)):
+        if os.path.isdir(bdir) and not any(
+            f.endswith(".parquet") for f in os.listdir(bdir)
+        ):
             shutil.rmtree(bdir, ignore_errors=True)
     return {"dropped": [v["v"] for v in dropped], "data_files_deleted": deleted}
 

@@ -254,6 +254,17 @@ def test_lakehouse_crash_atomicity(spark, customer):
     head, st = lh.read_table(spark, base)
     assert head.count() == customer.count()  # orphan invisible
     assert st["files_total"] == 4
+    # a FRESH orphan survives the age-gated vacuum (it may be an
+    # in-flight writer about to commit) …
+    r = lh.vacuum(base, orphan_age_seconds=3600)
+    assert r["data_files_deleted"] == 0
+    assert os.path.isdir(orphan)
+    # … an aged one is reclaimed
+    r = lh.vacuum(base, orphan_age_seconds=0.0)
+    assert r["data_files_deleted"] >= 1
+    assert not os.path.isdir(orphan)
+    head2, _ = lh.read_table(spark, base)
+    assert head2.count() == customer.count()
     shutil.rmtree(base)
 
 
