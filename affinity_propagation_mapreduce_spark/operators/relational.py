@@ -2308,6 +2308,125 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+LHZ_DATE_LO, LHZ_DATE_HI = "1997-01-01 00:00:00", "1997-12-31 00:00:00"
+LHZ_PRICE_LO, LHZ_PRICE_HI = 5000.0, 25000.0
+
+
+def _lakehouse_zorder_lineitem(spark, sf_dir):
+    """Z-ORDERED lakehouse lifecycle table, built once per
+    (application, sf_dir): create (2/3 slice, zorder_by=(l_shipdate,
+    l_extendedprice), 8 files) → append (1/3, 4 files) → compact (~8
+    files) — every batch re-z-orders itself and records per-dimension
+    bounding boxes, so multi-dimensional skipping SURVIVES mutation
+    (what the write-once z layout of r14 could not do)."""
+    import json
+    import os
+
+    from ..sources import lakehouse as lh
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/lakehouse_z_lineitem"
+    pins_path = base + ".pins.json"
+    if os.path.isfile(pins_path):
+        return base, json.load(open(pins_path))
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_extendedprice", "l_orderkey",
+        "l_returnflag", "l_quantity",
+    )
+    lh.create_table(
+        li.where(F.col("l_orderkey") % 3 != 0),
+        base,
+        "l_shipdate",
+        n_files=8,
+        zorder_by=["l_shipdate", "l_extendedprice"],
+    )
+    r_app = lh.append_table(
+        li.where(F.col("l_orderkey") % 3 == 0), base, n_files=4
+    )
+    st1 = lh.head_stats(base)
+    r_cmp = lh.compact_table(spark, base, target_bytes=st1["bytes"] // 8 + 1)
+    log = lh._read_log(base)
+    pins = {
+        "append": r_app,
+        "compact": r_cmp,
+        "rows_by_version": {str(v["v"]): v["rows"] for v in log["versions"]},
+    }
+    with open(pins_path, "w") as fh:
+        json.dump(pins, fh)
+    return base, pins
+
+
+def q_table_zorder_lifecycle(spark, sf_dir):
+    """Z-ORDER × the lakehouse lifecycle (r15 — the composition the
+    r14 verdict's 'one table abstraction' asks for): the table is
+    z-ordered on (l_shipdate, l_extendedprice), mutated through
+    append and compaction, and multi-dimensional file skipping still
+    engages at the HEAD — each landed batch re-z-orders itself and
+    the sharded manifest carries per-dimension bounding boxes through
+    every mutation.  The hashed result is the 2-D band rollup at the
+    head, oracle-computed from the raw lineitem table.
+
+    SELF-VERIFYING (raises on any): append added files and compact
+    shrank them; row totals conserve across versions; the 2-D (date ×
+    price) scan PRUNES files; a price-ONLY scan ALSO prunes (the
+    multi-dimensional claim — a 1-D shipdate-clustered table keeps
+    every file under it); the reader lists no more files than the
+    manifest kept."""
+    from ..sources import lakehouse as lh
+
+    base, pins = _lakehouse_zorder_lineitem(spark, sf_dir)
+    if pins["append"]["files_added"] <= 0:
+        raise AssertionError(f"append added no files: {pins['append']}")
+    if pins["compact"]["files_after"] >= pins["compact"]["files_before"]:
+        raise AssertionError(f"compaction did not shrink: {pins['compact']}")
+    rows = {int(k): v for k, v in pins["rows_by_version"].items()}
+    if rows[2] != rows[1] or rows[1] <= rows[0]:
+        raise AssertionError(f"row totals not conserved: {rows}")
+    ranges = {
+        "l_shipdate": (LHZ_DATE_LO, LHZ_DATE_HI),
+        "l_extendedprice": (LHZ_PRICE_LO, LHZ_PRICE_HI),
+    }
+    df, st = lh.read_table(spark, base, ranges=ranges)
+    if st["files_kept"] >= st["files_total"]:
+        raise AssertionError(f"z lifecycle 2-D skip did not engage: {st}")
+    _pdf, pst = lh.read_table(
+        spark, base, ranges={"l_extendedprice": (LHZ_PRICE_LO, LHZ_PRICE_HI)}
+    )
+    if pst["files_kept"] >= pst["files_total"]:
+        raise AssertionError(
+            f"post-mutation price-only skip did not engage: {pst} — the "
+            "z bounding boxes must survive append AND compaction"
+        )
+    if len(df.inputFiles()) > st["files_kept"]:
+        raise AssertionError(
+            f"reader listed {len(df.inputFiles())} files, manifest kept "
+            f"{st['files_kept']}"
+        )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+O_TABLE_ZORDER_LIFECYCLE = f"""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{LHZ_DATE_LO}'
+  AND l_shipdate <= TIMESTAMP '{LHZ_DATE_HI}'
+  AND l_extendedprice >= {LHZ_PRICE_LO}
+  AND l_extendedprice <= {LHZ_PRICE_HI}
+GROUP BY l_returnflag
+"""
+
+
 def q_table_merge_cow(spark, sf_dir):
     """Copy-on-write MERGE against the lakehouse layout — the mutation
     leg the r14 MERGE keys lacked (they recomputed state; this one
@@ -2508,6 +2627,7 @@ QUERIES = {
     "merge_upsert_chain": q_merge_upsert_chain,
     "table_time_travel": q_table_time_travel,
     "table_lifecycle": q_table_lifecycle,
+    "table_zorder_lifecycle": q_table_zorder_lifecycle,
     "table_merge_cow": q_table_merge_cow,
     "table_retention": q_table_retention,
     "join_bucketed": q_join_bucketed,
@@ -2567,6 +2687,7 @@ ORACLES = {
     "merge_upsert_chain": O_MERGE_CHAIN,
     "table_time_travel": O_TABLE_TIME_TRAVEL,
     "table_lifecycle": O_TABLE_LIFECYCLE,
+    "table_zorder_lifecycle": O_TABLE_ZORDER_LIFECYCLE,
     "table_merge_cow": O_TABLE_MERGE_COW,
     "table_retention": O_TABLE_RETENTION,
     "join_bucketed": O_JOIN_BUCKETED,

@@ -411,28 +411,17 @@ def _string_rank_bounds(df: DataFrame, c: str, b: int) -> list[str]:
     return [vals[i] for i in range(step, len(vals), step)][: b - 1]
 
 
-def write_zordered_table(
-    df: DataFrame, path: str, zorder_by: list[str], n_files: int = 16
-) -> dict:
-    """Write ``df`` clustered on the Z-ORDER (Morton) interleave of the
-    given columns' rank buckets, with a per-file min/max manifest for
-    EVERY clustering column — multi-dimensional data skipping
-    (Delta/Iceberg `OPTIMIZE ZORDER BY`'s layout, from primitives): a
-    predicate on ANY subset of the clustered columns prunes files
-    driver-side, because z-ordering keeps each file's bounding
-    hyperrectangle tight in every dimension simultaneously, where 1-D
-    range clustering is tight in one and useless in the rest.
-
-    Rank buckets come from approxQuantile boundaries (equi-depth, skew
-    robust), interleaved bitwise JVM-side; the write is one
-    repartitionByRange on the z-value + an in-file sort.  Layout
-    choice never affects semantics — readers apply the real predicate
-    on top of the pruned file list."""
-    import json
-    import os
+def zorder_frame(df: DataFrame, zorder_by: list[str], n_files: int) -> DataFrame:
+    """``df`` repartitionByRange'd on the Z-ORDER (Morton) interleave
+    of the given columns' rank buckets and sorted within files — the
+    reusable write-side expression behind write_zordered_table AND the
+    lakehouse z-ordered batches.  Rank buckets: approxQuantile
+    boundaries for numeric/temporal dims (ONE multi-column job),
+    dictionary-rank sampled boundaries for string dims; interleave is
+    bitwise JVM-side.  Returns a frame ready to write (helper columns
+    dropped)."""
     from functools import reduce
 
-    spark = df.sparkSession
     cols = list(zorder_by)
     dtypes = dict(df.dtypes)
     b = 1 << _Z_BITS_PER_DIM
@@ -481,14 +470,34 @@ def write_zordered_table(
         return reduce(lambda a_, b_: a_ + b_, terms)
 
     z = interleave([bucket(i) for i in range(len(cols))]).alias("__zval")
-    (
+    return (
         proj.select("*", z)
         .repartitionByRange(n_files, "__zval")
         .sortWithinPartitions("__zval")
         .drop("__zval", *[f"__z{i}" for i in range(len(cols))])
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def write_zordered_table(
+    df: DataFrame, path: str, zorder_by: list[str], n_files: int = 16
+) -> dict:
+    """Write ``df`` clustered on the Z-ORDER (Morton) interleave of the
+    given columns' rank buckets, with a per-file min/max manifest for
+    EVERY clustering column — multi-dimensional data skipping
+    (Delta/Iceberg `OPTIMIZE ZORDER BY`'s layout, from primitives): a
+    predicate on ANY subset of the clustered columns prunes files
+    driver-side, because z-ordering keeps each file's bounding
+    hyperrectangle tight in every dimension simultaneously, where 1-D
+    range clustering is tight in one and useless in the rest.
+
+    Layout choice never affects semantics — readers apply the real
+    predicate on top of the pruned file list."""
+    import json
+    import os
+
+    spark = df.sparkSession
+    cols = list(zorder_by)
+    zorder_frame(df, cols, n_files).write.mode("overwrite").parquet(path)
     stats = (
         spark.read.parquet(path)
         .groupBy(F.input_file_name().alias("file"))

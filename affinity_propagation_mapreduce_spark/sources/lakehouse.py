@@ -133,27 +133,48 @@ def _write_json(path: str, name: str, obj: dict) -> str:
 
 # --- internal: landing a batch ----------------------------------------------
 
-def _land_batch(df: DataFrame, path: str, cluster_by: str, n_files: int) -> str:
-    """Write ``df`` range-clustered on the table key into a NEW
-    immutable batch dir under data/ (tmp dir + atomic rename).  One
-    shuffle (repartitionByRange) + in-file sort — the same write shape
-    as sources.io.write_clustered_table."""
+def _land_batch(
+    df: DataFrame,
+    path: str,
+    cluster_by: str,
+    n_files: int,
+    zorder_by: list[str] | None = None,
+) -> str:
+    """Write ``df`` into a NEW immutable batch dir under data/ (tmp dir
+    + atomic rename): range-clustered on the table key, or — for a
+    z-ordered table — clustered on the Morton interleave of
+    ``zorder_by`` (sources.io.zorder_frame) so every file's bounding
+    box stays tight in EVERY clustered dimension.  One shuffle + an
+    in-file sort either way."""
+    from .io import zorder_frame
+
     bid = f"b-{uuid.uuid4().hex[:12]}"
     tmp = os.path.join(path, "data", f".tmp-{bid}")
-    (
-        df.repartitionByRange(n_files, cluster_by)
-        .sortWithinPartitions(cluster_by)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    if zorder_by:
+        out = zorder_frame(df, zorder_by, n_files)
+    else:
+        out = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
+            cluster_by
+        )
+    out.write.mode("overwrite").parquet(tmp)
     final = os.path.join(path, "data", bid)
     os.rename(tmp, final)
     return final
 
 
-def _file_stats(spark: SparkSession, batch_dir: str, cluster_by: str) -> list[dict]:
+def _file_stats(
+    spark: SparkSession,
+    batch_dir: str,
+    cluster_by: str,
+    zcols: list[str] | None = None,
+) -> list[dict]:
     """Per-file (rows, bytes, min, max) for one batch — one columnar
-    aggregate, one tiny driver row per file."""
+    aggregate, one tiny driver row per file.  For a z-ordered table,
+    per-file min/max for EVERY clustered dimension land in
+    ``zmin``/``zmax`` (the bounding boxes multi-dimensional pruning
+    needs); ``min``/``max`` stay the cluster key's, so COW merge and
+    1-D scans work identically on both layouts."""
+    extra = [c for c in (zcols or []) if c != cluster_by]
     rows = (
         spark.read.parquet(batch_dir)
         .groupBy(F.input_file_name().alias("file"))
@@ -161,21 +182,28 @@ def _file_stats(spark: SparkSession, batch_dir: str, cluster_by: str) -> list[di
             F.min(cluster_by).alias("lo"),
             F.max(cluster_by).alias("hi"),
             F.count("*").alias("rows"),
+            *[F.min(c).alias(f"zlo_{i}") for i, c in enumerate(extra)],
+            *[F.max(c).alias(f"zhi_{i}") for i, c in enumerate(extra)],
         )
         .collect()  # one row per file of THIS batch
     )
     out = []
     for r in rows:
         local = _local(r.file)
-        out.append(
-            {
-                "file": r.file,
-                "rows": int(r.rows),
-                "bytes": os.path.getsize(local),
-                "min": _manifest_key(r.lo),
-                "max": _manifest_key(r.hi),
-            }
-        )
+        e = {
+            "file": r.file,
+            "rows": int(r.rows),
+            "bytes": os.path.getsize(local),
+            "min": _manifest_key(r.lo),
+            "max": _manifest_key(r.hi),
+        }
+        if zcols:
+            e["zmin"] = {cluster_by: e["min"]}
+            e["zmax"] = {cluster_by: e["max"]}
+            for i, c in enumerate(extra):
+                e["zmin"][c] = _manifest_key(r[f"zlo_{i}"])
+                e["zmax"][c] = _manifest_key(r[f"zhi_{i}"])
+        out.append(e)
     return sorted(out, key=lambda e: (str(e["min"]), e["file"]))
 
 
@@ -270,17 +298,32 @@ def _make_shards(
                 side = _write_json(path, f"bloom-{sid}.json", side_map)
         mins = [e["min"] for e in chunk if e["min"] is not None]
         maxs = [e["max"] for e in chunk if e["max"] is not None]
-        rows.append(
-            {
-                "shard": shard_name,
-                "bloom": side,
-                "files": len(chunk),
-                "rows": sum(e["rows"] for e in chunk),
-                "bytes": sum(e["bytes"] for e in chunk),
-                "min": min(mins) if mins else None,
-                "max": max(maxs) if maxs else None,
+        row = {
+            "shard": shard_name,
+            "bloom": side,
+            "files": len(chunk),
+            "rows": sum(e["rows"] for e in chunk),
+            "bytes": sum(e["bytes"] for e in chunk),
+            "min": min(mins) if mins else None,
+            "max": max(maxs) if maxs else None,
+        }
+        if chunk and "zmin" in chunk[0]:
+            zcols = list(chunk[0]["zmin"])
+            row["zmin"] = {
+                c: min(
+                    (e["zmin"][c] for e in chunk if e["zmin"][c] is not None),
+                    default=None,
+                )
+                for c in zcols
             }
-        )
+            row["zmax"] = {
+                c: max(
+                    (e["zmax"][c] for e in chunk if e["zmax"][c] is not None),
+                    default=None,
+                )
+                for c in zcols
+            }
+        rows.append(row)
     return rows
 
 
@@ -303,13 +346,17 @@ def _commit_version(
     prev_bloom = next(
         (r["bloom_for"] for r in log["versions"] if "bloom_for" in r), []
     )
+    prev_z = next(
+        (r["zorder_by"] for r in log["versions"] if "zorder_by" in r), []
+    )
     log["versions"].append(
         {
             "v": v,
             "list": name,
             "op": op,
             "cluster_by": lst["cluster_by"],
-            "bloom_for": prev_bloom,  # table property survives expire
+            "bloom_for": prev_bloom,  # table properties survive expire
+            "zorder_by": prev_z,
             "rows": sum(s["rows"] for s in shards),
             "files": sum(s["files"] for s in shards),
         }
@@ -327,18 +374,29 @@ def create_table(
     cluster_by: str,
     bloom_for: list[str] | None = None,
     n_files: int = 16,
+    zorder_by: list[str] | None = None,
 ) -> dict:
-    """Create a lakehouse table at ``path``: land ``df`` range-clustered
-    on ``cluster_by`` as batch 0, build its sharded manifest (+ bloom
-    sidecars for ``bloom_for``), and commit version 0."""
+    """Create a lakehouse table at ``path``: land ``df`` as batch 0 —
+    range-clustered on ``cluster_by``, or Z-ORDERED on ``zorder_by``
+    (multi-dimensional skipping that SURVIVES mutation: every batch of
+    every later append/compact/merge re-z-orders itself and records
+    per-dimension bounding boxes) — build its sharded manifest
+    (+ bloom sidecars), and commit version 0.  ``zorder_by[0]`` must
+    equal ``cluster_by`` (the merge/range key)."""
     if os.path.isfile(_log_path(path)):
         raise ValueError(f"table already exists at {path}")
+    if zorder_by and zorder_by[0] != cluster_by:
+        raise ValueError(
+            f"zorder_by[0] ({zorder_by[0]!r}) must be the cluster/merge "
+            f"key ({cluster_by!r})"
+        )
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     os.makedirs(_meta(path), exist_ok=True)
     spark = df.sparkSession
     bloom_for = list(bloom_for or [])
-    batch = _land_batch(df, path, cluster_by, n_files)
-    entries = _file_stats(spark, batch, cluster_by)
+    zorder_by = list(zorder_by or [])
+    batch = _land_batch(df, path, cluster_by, n_files, zorder_by or None)
+    entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
     rows_max = max((e["rows"] for e in entries), default=0)
     blooms = (
         _batch_blooms(spark, batch, bloom_for, rows_max)
@@ -357,6 +415,7 @@ def create_table(
             "op": "create",
             "cluster_by": cluster_by,
             "bloom_for": bloom_for,
+            "zorder_by": zorder_by,
             "rows": sum(s["rows"] for s in shards),
             "files": sum(s["files"] for s in shards),
         }
@@ -366,16 +425,19 @@ def create_table(
     return {"version": 0, "files": len(entries), "shards": len(shards)}
 
 
-def _table_props(path: str) -> tuple[str, list[str]]:
-    # cluster_by/bloom_for are table-level, recorded at create; v=0 may
-    # have been expired, so read them off the oldest RETAINED version
-    # (every log row carries cluster_by; bloom_for propagates below)
+def _table_props(path: str) -> tuple[str, list[str], list[str]]:
+    # cluster_by/bloom_for/zorder_by are table-level, recorded at
+    # create; v=0 may have been expired, so read them off the oldest
+    # RETAINED version (every log row carries them via _commit_version)
     log = _read_log(path)
     first = log["versions"][0]
     bloom_for = next(
         (v["bloom_for"] for v in log["versions"] if "bloom_for" in v), []
     )
-    return first["cluster_by"], bloom_for
+    zorder_by = next(
+        (v["zorder_by"] for v in log["versions"] if "zorder_by" in v), []
+    )
+    return first["cluster_by"], bloom_for, zorder_by
 
 
 def append_table(df: DataFrame, path: str, n_files: int = 4) -> dict:
@@ -385,10 +447,10 @@ def append_table(df: DataFrame, path: str, n_files: int = 4) -> dict:
     manifest GROWS incrementally; cost ∝ batch size, never table size."""
     spark = df.sparkSession
     log = _read_log(path)
-    cluster_by, bloom_for = _table_props(path)
+    cluster_by, bloom_for, zorder_by = _table_props(path)
     head_list = _read_list(path, log["head"])
-    batch = _land_batch(df, path, cluster_by, n_files)
-    entries = _file_stats(spark, batch, cluster_by)
+    batch = _land_batch(df, path, cluster_by, n_files, zorder_by or None)
+    entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
     rows_max = max((e["rows"] for e in entries), default=0)
     blooms = (
         _batch_blooms(spark, batch, bloom_for, rows_max)
@@ -412,7 +474,7 @@ def compact_table(
     import math
 
     log = _read_log(path)
-    cluster_by, bloom_for = _table_props(path)
+    cluster_by, bloom_for, zorder_by = _table_props(path)
     head = _read_list(path, log["head"])
     files, total_bytes = [], 0
     for s in head["shards"]:
@@ -421,8 +483,8 @@ def compact_table(
             total_bytes += e["bytes"]
     n_out = max(1, math.ceil(total_bytes / target_bytes))
     df = spark.read.parquet(*files)
-    batch = _land_batch(df, path, cluster_by, n_out)
-    entries = _file_stats(spark, batch, cluster_by)
+    batch = _land_batch(df, path, cluster_by, n_out, zorder_by or None)
+    entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
     rows_max = max((e["rows"] for e in entries), default=0)
     blooms = (
         _batch_blooms(spark, batch, bloom_for, rows_max)
@@ -461,7 +523,7 @@ def merge_table(spark: SparkSession, path: str, changes: DataFrame) -> dict:
     volume — at 100 TB a point-key change feed rewrites a handful of
     files, never the table."""
     log = _read_log(path)
-    cluster_by, bloom_for = _table_props(path)
+    cluster_by, bloom_for, zorder_by = _table_props(path)
     head = _read_list(path, log["head"])
     shards = [
         (s, _read_shard(path, s["shard"])["files"]) for s in head["shards"]
@@ -528,8 +590,11 @@ def merge_table(spark: SparkSession, path: str, changes: DataFrame) -> dict:
                 for col in data_cols
             ]
         )
-    batch = _land_batch(merged, path, cluster_by, max(1, min(4, len(rewritten) or 1)))
-    entries = _file_stats(spark, batch, cluster_by)
+    batch = _land_batch(
+        merged, path, cluster_by,
+        max(1, min(4, len(rewritten) or 1)), zorder_by or None,
+    )
+    entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
     rows_max = max((e["rows"] for e in entries), default=0)
     new_blooms = (
         _batch_blooms(spark, batch, bloom_for, rows_max)
@@ -548,37 +613,88 @@ def merge_table(spark: SparkSession, path: str, changes: DataFrame) -> dict:
 
 # --- reads --------------------------------------------------------------------
 
-def plan_scan(path: str, lower=None, upper=None, version: int | None = None) -> dict:
+def plan_scan(
+    path: str,
+    lower=None,
+    upper=None,
+    version: int | None = None,
+    ranges: dict | None = None,
+) -> dict:
     """The DRIVER-SIDE planning step, exposed for measurement
     (tools/manifest_scale_run.py): open the version's manifest LIST,
-    prune whole shards by aggregate key range, parse only overlapping
-    shards, prune files within.  Returns kept file list + stats
-    including how many shard files were actually opened — the quantity
-    that must stay O(overlapping shards) at 10⁵–10⁶ files."""
+    prune whole shards by aggregate range, parse only overlapping
+    shards, prune files within.  ``lower``/``upper`` bound the cluster
+    key; ``ranges`` ({col: (lo, hi)}) bounds ANY z-ordered dimension —
+    shard rows and file entries both carry per-dimension bounding
+    boxes on z tables, so a predicate on any clustered subset prunes
+    at BOTH levels.  Returns kept files + stats including how many
+    shard files were actually opened — the quantity that must stay
+    O(overlapping shards) at 10⁵–10⁶ files."""
     log = _read_log(path)
     v = log["head"] if version is None else version
     lst = _read_list(path, v)
-    lo_b = _manifest_key(lower) if lower is not None else None
-    hi_b = _manifest_key(upper) if upper is not None else None
-    bounded = lo_b is not None or hi_b is not None
+    bounds = dict(ranges or {})
+    if lower is not None or upper is not None:
+        key = lst["cluster_by"]
+        prev = bounds.get(key, (None, None))
+        bounds[key] = (
+            lower if lower is not None else prev[0],
+            upper if upper is not None else prev[1],
+        )
+    norm = {
+        c: (
+            _manifest_key(lo) if lo is not None else None,
+            _manifest_key(hi) if hi is not None else None,
+        )
+        for c, (lo, hi) in bounds.items()
+    }
+    bounded = any(lo is not None or hi is not None for lo, hi in norm.values())
 
-    def overlaps(mn, mx):
-        if bounded and (mn is None or mx is None):
-            return False  # all-NULL key range satisfies no bound
-        if hi_b is not None and mn > hi_b:
-            return False
-        if lo_b is not None and mx < lo_b:
-            return False
+    def box_overlaps(get_min, get_max):
+        for c, (lo_b, hi_b) in norm.items():
+            if lo_b is None and hi_b is None:
+                continue
+            mn, mx = get_min(c), get_max(c)
+            if mn is None or mx is None:
+                return False  # all-NULL range satisfies no bound
+            if hi_b is not None and mn > hi_b:
+                return False
+            if lo_b is not None and mx < lo_b:
+                return False
         return True
+
+    def entry_bounds(e):
+        zmin, zmax = e.get("zmin") or {}, e.get("zmax") or {}
+        key = lst["cluster_by"]
+
+        def get_min(c):
+            return e["min"] if c == key and c not in zmin else zmin.get(c)
+
+        def get_max(c):
+            return e["max"] if c == key and c not in zmax else zmax.get(c)
+
+        return get_min, get_max
+
+    for c in norm:
+        if c != lst["cluster_by"]:
+            # non-key bound: legal only on a z table that tracked it
+            sample = lst["shards"][0] if lst["shards"] else {}
+            if c not in (sample.get("zmin") or {}):
+                raise ValueError(
+                    f"column {c!r} is not a clustered dimension of this "
+                    "table (no bounding-box stats recorded)"
+                )
 
     kept_files, rows_bound = [], 0
     shards_opened = 0
     for s in lst["shards"]:
-        if bounded and not overlaps(s["min"], s["max"]):
+        gmin, gmax = entry_bounds(s)
+        if bounded and not box_overlaps(gmin, gmax):
             continue  # whole shard pruned: its file never parsed
         shards_opened += 1
         for e in _read_shard(path, s["shard"])["files"]:
-            if not bounded or overlaps(e["min"], e["max"]):
+            emin, emax = entry_bounds(e)
+            if not bounded or box_overlaps(emin, emax):
                 kept_files.append(e["file"])
                 rows_bound += e["rows"]
     return {
@@ -609,12 +725,15 @@ def read_table(
     lower=None,
     upper=None,
     version: int | None = None,
+    ranges: dict | None = None,
 ) -> tuple[DataFrame, dict]:
-    """Manifest-pruned (and optionally time-traveled) scan.  The
-    returned frame carries the semantic WHERE guard on top of the
-    pruned file list — manifests are performance, never correctness.
-    Stamps the version's `.last-read` for expire's grace window."""
-    plan = plan_scan(path, lower, upper, version)
+    """Manifest-pruned (and optionally time-traveled) scan.
+    ``lower``/``upper`` bound the cluster key; ``ranges`` bounds any
+    z-ordered dimension.  The returned frame carries the semantic
+    WHERE guard for EVERY bound on top of the pruned file list —
+    manifests are performance, never correctness.  Stamps the
+    version's `.last-read` for expire's grace window."""
+    plan = plan_scan(path, lower, upper, version, ranges)
     _stamp_read(path, plan["version"])
     if not plan["files"]:
         any_file = None
@@ -635,6 +754,11 @@ def read_table(
         guard = guard & (F.col(key) >= F.lit(lower))
     if upper is not None:
         guard = guard & (F.col(key) <= F.lit(upper))
+    for c, (lo, hi) in (ranges or {}).items():
+        if lo is not None:
+            guard = guard & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            guard = guard & (F.col(c) <= F.lit(hi))
     stats = {k: v for k, v in plan.items() if k != "files"}
     return df.where(guard), stats
 

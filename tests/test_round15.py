@@ -396,10 +396,64 @@ def test_jpeg_progressive_still_raises():
 # --- the new declared keys run green end-to-end --------------------------------
 
 
+def test_lakehouse_zorder_boxes_survive_mutation(spark, lineitem):
+    """A z-ordered lakehouse table keeps multi-dimensional pruning
+    through append + compaction: a quantity-only range must prune
+    files at the head even though the cluster key is l_shipdate."""
+    from affinity_propagation_mapreduce_spark.sources import lakehouse as lh
+
+    base = _tmp("zlake")
+    li = lineitem  # l_shipdate, l_orderkey, l_returnflag, l_quantity
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    lh.create_table(
+        a, base, "l_shipdate", n_files=6,
+        zorder_by=["l_shipdate", "l_quantity"],
+    )
+    lh.append_table(b, base, n_files=3)
+    st = lh.head_stats(base)
+    lh.compact_table(spark, base, target_bytes=st["bytes"] // 6 + 1)
+    df, stats = lh.read_table(spark, base, ranges={"l_quantity": (1.0, 10.0)})
+    assert stats["files_kept"] < stats["files_total"]
+    exact = li.where(
+        (F.col("l_quantity") >= 1.0) & (F.col("l_quantity") <= 10.0)
+    ).count()
+    assert df.count() == exact > 0
+    # COW merge works identically on the z layout (update-all-matching)
+    k = li.agg(F.min("l_shipdate")).first()[0]
+    ch = li.where(F.col("l_shipdate") == k).select(
+        "l_shipdate", "l_orderkey", "l_returnflag",
+        F.lit(-5.0).alias("l_quantity"),
+    ).withColumn("op", F.lit("U"))
+    res = lh.merge_table(spark, base, ch)
+    assert res["files_rewritten"] < res["files_total"]
+    head, _ = lh.read_table(spark, base)
+    assert head.where(F.col("l_quantity") == -5.0).count() == ch.count()
+    assert head.count() == li.count()
+    # and the z boxes are still there for the NEXT scan
+    _df2, st2 = lh.read_table(spark, base, ranges={"l_quantity": (1.0, 10.0)})
+    assert st2["files_kept"] < st2["files_total"]
+    shutil.rmtree(base)
+
+
+def test_lakehouse_zorder_unknown_dim_raises(spark, customer):
+    from affinity_propagation_mapreduce_spark.sources import lakehouse as lh
+
+    base = _tmp("zdim")
+    lh.create_table(
+        customer, base, "c_custkey", n_files=4,
+        zorder_by=["c_custkey", "c_acctbal"],
+    )
+    with pytest.raises(ValueError, match="not a clustered dimension"):
+        lh.read_table(spark, base, ranges={"c_nationkey": (0, 3)})
+    shutil.rmtree(base)
+
+
 @pytest.mark.parametrize(
     "key",
     [
         "table_lifecycle",
+        "table_zorder_lifecycle",
         "table_merge_cow",
         "table_retention",
         "scan_zorder_string_skip",
