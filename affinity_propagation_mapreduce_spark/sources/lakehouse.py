@@ -533,6 +533,20 @@ def merge_table(spark: SparkSession, path: str, changes: DataFrame) -> dict:
         if s.get("bloom"):
             blooms_by_file.update(_read_shard(path, s["bloom"]))
 
+    # the CDC contract: ONE change row per key (callers compact
+    # multi-change feeds first).  A duplicate-keyed feed would FAN OUT
+    # the outer join — every matched row multiplied by the key's change
+    # count, silent row inflation — so it raises here.  Two counts over
+    # the change feed: CDC volume, never table size.
+    n_ch = changes.count()
+    n_keys = changes.select(cluster_by).distinct().count()
+    if n_ch != n_keys:
+        raise ValueError(
+            f"change feed has {n_ch} rows over {n_keys} keys — MERGE "
+            "needs one row per key (compact the feed to its latest "
+            "change per key first, as q_merge_upsert does)"
+        )
+
     # driver-side affected-file resolution: change-key min/max per file
     keys = [
         r.k

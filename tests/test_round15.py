@@ -167,6 +167,24 @@ def test_lakehouse_merge_legs(spark, customer):
     shutil.rmtree(base)
 
 
+def test_lakehouse_merge_rejects_duplicate_key_feed(spark, customer):
+    """A change feed with multiple rows per key would FAN OUT the
+    outer join (silent row inflation) — merge_table enforces the CDC
+    one-row-per-key contract up front."""
+    from affinity_propagation_mapreduce_spark.sources import lakehouse as lh
+
+    base = _tmp("mdup")
+    lh.create_table(customer, base, "c_custkey", n_files=4)
+    k = customer.agg(F.min("c_custkey")).first()[0]
+    one = customer.where(F.col("c_custkey") == k).withColumn(
+        "op", F.lit("U")
+    )
+    dup = one.unionByName(one)
+    with pytest.raises(ValueError, match="one row per key"):
+        lh.merge_table(spark, base, dup)
+    shutil.rmtree(base)
+
+
 def test_lakehouse_shard_pruning(spark, lineitem, monkeypatch):
     """With tiny shards, a selective scan opens only the OVERLAPPING
     shard files — the manifest-open cost the sharding exists for."""

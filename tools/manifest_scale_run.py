@@ -112,7 +112,72 @@ def plan_monolithic(p: str, lo: int, hi: int) -> dict:
     return {"files_kept": len(kept), "files_total": len(manifest["files"])}
 
 
+def merge_drill() -> None:
+    """COW-merge cost ∝ affected bytes, measured on real data: a
+    64-file lakehouse table from sf0.1 lineitem (~600k rows, keyed
+    l_orderkey), hit with a change feed confined to ~1% of the key
+    space.  Prints rewritten-file count and wall — the quantity that
+    must stay ∝ change locality, not table size."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.session import get_spark
+
+    spark = get_spark("lakehouse-merge-drill")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = f"/tmp/lh_merge_drill_{uuid.uuid4().hex[:8]}"
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_returnflag", "l_quantity"
+    )
+    t0 = time.perf_counter()
+    lh.create_table(li, base, "l_orderkey", n_files=64)
+    t_create = time.perf_counter() - t0
+    lo = li.agg({"l_orderkey": "min"}).first()[0]
+    hi = li.agg({"l_orderkey": "max"}).first()[0]
+    band_hi = lo + (hi - lo) // 100  # ~1% of the key space
+    # ONE change row per key (the CDC contract merge_table enforces);
+    # all of the key's lineitems update to the change row's values
+    ch = (
+        li.where(F.col("l_orderkey") <= band_hi)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_shipdate").alias("l_shipdate"),
+            F.min("l_returnflag").alias("l_returnflag"),
+        )
+        .select(
+            "l_orderkey", "l_shipdate", "l_returnflag",
+            F.lit(0.0).alias("l_quantity"),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    n_ch = li.where(F.col("l_orderkey") <= band_hi).count()  # rows updated
+    t0 = time.perf_counter()
+    res = lh.merge_table(spark, base, ch)
+    t_merge = time.perf_counter() - t0
+    head, _ = lh.read_table(spark, base)
+    n_updated = head.where(F.col("l_quantity") == 0.0).count()
+    assert n_updated == n_ch, (n_updated, n_ch)
+    assert head.count() == li.count()
+    print(
+        json.dumps(
+            {
+                "phase": "merge_drill",
+                "rows": head.count(),
+                "files_total": res["files_total"],
+                "files_rewritten": res["files_rewritten"],
+                "files_added": res["files_added"],
+                "changes": n_ch,
+                "create_sec": round(t_create, 1),
+                "merge_sec": round(t_merge, 1),
+            }
+        )
+    )
+    shutil.rmtree(base)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "merge":
+        merge_drill()
+        return
     sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000]
     for n in sizes:
         lo = (n // 2) * KEY_SPAN
