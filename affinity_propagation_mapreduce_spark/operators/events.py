@@ -1253,6 +1253,96 @@ def q_stream_batch_equiv_gate(spark, sf_dir):
     )
 
 
+# --- (⊕ r15) streaming ingest into the lakehouse table ------------------------
+
+def q_table_stream_append(spark, sf_dir):
+    """HASHED: Structured Streaming feeding a LAKEHOUSE table — the
+    composition a 100 TB ingest actually runs: micro-batches land as
+    idempotent manifest-growing appends (dedup_id = epoch id, so a
+    replayed batch after a crash NO-OPS instead of duplicating rows),
+    small files accumulate across versions, and compaction folds them
+    down under the same manifest.  The hashed result is the event-type
+    rollup at the post-compaction head, which the oracle computes from
+    the raw events table: the entire stream → append → replay →
+    compact lifecycle must be semantically invisible.
+
+    SELF-VERIFYING (raises on any): the stream lands ≥ 2 append
+    versions (maxFilesPerTrigger=1 over a 4-file staging dir); a
+    REPLAYED epoch no-ops (skipped=True, head version unchanged); a
+    ts-band scan PRUNES files on the ts-clustered layout; compaction
+    shrinks the file count and conserves the row total."""
+    import shutil
+    import uuid
+
+    from ..sources import lakehouse as lh
+
+    app = spark.sparkContext.applicationId
+    safe = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/spark_graft_{app}/{safe}/lh_stream_{uuid.uuid4().hex[:8]}"
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    first = ev.where(F.col("event_id") % 5 == 0)
+    rest = ev.where(F.col("event_id") % 5 != 0)
+    lh.create_table(first, base, "ts", n_files=2)
+    stage = base + "_src"
+    rest.repartition(4).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    lh.stream_append_table(stream, base, n_files=2)
+    log = lh._read_log(base)
+    n_appends = sum(1 for v in log["versions"] if v["op"] == "append")
+    if n_appends < 2:
+        raise AssertionError(
+            f"stream landed only {n_appends} append versions — "
+            "maxFilesPerTrigger must split the drain into micro-batches"
+        )
+    head_v = log["head"]
+    replay = lh.append_table(rest.limit(7), base, dedup_id="epoch-0")
+    if not replay.get("skipped") or lh._read_log(base)["head"] != head_v:
+        raise AssertionError(
+            f"replayed epoch was NOT deduplicated: {replay} — at-least-"
+            "once re-delivery would duplicate rows"
+        )
+    if lh.head_stats(base)["rows"] != ev.count():
+        raise AssertionError("stream append lost or duplicated rows")
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    mid = bounds.lo + (bounds.hi - bounds.lo) / 2
+    _bdf, bst = lh.read_table(spark, base, lower=str(mid))
+    if bst["files_kept"] >= bst["files_total"]:
+        raise AssertionError(
+            f"ts-band scan did not prune the streamed layout: {bst}"
+        )
+    st = lh.head_stats(base)
+    res = lh.compact_table(spark, base, target_bytes=st["bytes"] // 2 + 1)
+    if res["files_after"] >= res["files_before"]:
+        raise AssertionError(f"post-stream compaction did not shrink: {res}")
+    if lh.head_stats(base)["rows"] != ev.count():
+        raise AssertionError("compaction changed the streamed row total")
+    head, _ = lh.read_table(spark, base)
+    out = head.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    return out
+
+
+O_TABLE_STREAM_APPEND = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       ROUND(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "attribution_window": q_attribution_window,
@@ -1276,9 +1366,11 @@ QUERIES = {
     "stream_batch_equiv_sessionize": q_stream_batch_equiv_sessionize,
     # rows-only: multiset equality gate over the other six twins
     "stream_batch_equiv_gate": q_stream_batch_equiv_gate,
+    "table_stream_append": q_table_stream_append,
 }
 
 ORACLES = {
+    "table_stream_append": O_TABLE_STREAM_APPEND,
     "attribution_window": O_ATTRIBUTION,
     "rollup_timeseries": O_ROLLUP_TS,
     "anomaly_zscore_daily": O_ANOMALY_Z,

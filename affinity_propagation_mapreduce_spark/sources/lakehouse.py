@@ -328,7 +328,11 @@ def _make_shards(
 
 
 def _commit_version(
-    path: str, shards: list[dict], op: str, meta_extra: dict | None = None
+    path: str,
+    shards: list[dict],
+    op: str,
+    meta_extra: dict | None = None,
+    log_extra: dict | None = None,
 ) -> int:
     log = _read_log(path) if os.path.isfile(_log_path(path)) else {
         "versions": [],
@@ -359,6 +363,7 @@ def _commit_version(
             "zorder_by": prev_z,
             "rows": sum(s["rows"] for s in shards),
             "files": sum(s["files"] for s in shards),
+            **(log_extra or {}),
         }
     )
     log["head"] = v
@@ -440,13 +445,27 @@ def _table_props(path: str) -> tuple[str, list[str], list[str]]:
     return first["cluster_by"], bloom_for, zorder_by
 
 
-def append_table(df: DataFrame, path: str, n_files: int = 4) -> dict:
+def append_table(
+    df: DataFrame, path: str, n_files: int = 4, dedup_id: str | None = None
+) -> dict:
     """Append a batch: land NEW clustered files, shard THEIR manifest
     entries, and commit a version whose list = previous version's
     shards (by reference — zero rewrite) + the new shards.  The
-    manifest GROWS incrementally; cost ∝ batch size, never table size."""
+    manifest GROWS incrementally; cost ∝ batch size, never table size.
+
+    ``dedup_id`` makes the append IDEMPOTENT: a version log row records
+    it, and a re-delivery of the same id no-ops — the exactly-once leg
+    streaming sinks need (foreachBatch re-runs a batch after a crash;
+    the id is the epoch id).  Single-writer-per-stream is Spark's own
+    foreachBatch guarantee; the log read→commit window is only racy
+    across DIFFERENT writers, which the layout (like any lakehouse)
+    serializes at the commit rename."""
     spark = df.sparkSession
     log = _read_log(path)
+    if dedup_id is not None and any(
+        r.get("dedup_id") == dedup_id for r in log["versions"]
+    ):
+        return {"version": log["head"], "skipped": True, "files_added": 0}
     cluster_by, bloom_for, zorder_by = _table_props(path)
     head_list = _read_list(path, log["head"])
     batch = _land_batch(df, path, cluster_by, n_files, zorder_by or None)
@@ -458,7 +477,12 @@ def append_table(df: DataFrame, path: str, n_files: int = 4) -> dict:
         else None
     )
     new_shards = _make_shards(path, entries, blooms)
-    v = _commit_version(path, head_list["shards"] + new_shards, "append")
+    v = _commit_version(
+        path,
+        head_list["shards"] + new_shards,
+        "append",
+        log_extra={"dedup_id": dedup_id} if dedup_id is not None else None,
+    )
     return {"version": v, "files_added": len(entries), "shards_added": len(new_shards)}
 
 
@@ -1007,3 +1031,38 @@ def _rm(p: str) -> None:
         os.remove(p)
     except FileNotFoundError:
         pass
+
+
+# --- streaming sink -----------------------------------------------------------
+
+def stream_append_table(
+    stream_df: DataFrame,
+    path: str,
+    n_files: int = 2,
+    checkpoint: str | None = None,
+    timeout_sec: float = 300.0,
+) -> None:
+    """Structured-Streaming sink into a lakehouse table — the loop the
+    compaction story starts from: every micro-batch lands as ONE
+    idempotent append (``dedup_id`` = the epoch id, so foreachBatch's
+    at-least-once re-delivery after a crash no-ops instead of
+    duplicating rows), versions accumulate small files, and
+    ``compact_table`` folds them back down under the same manifest.
+    Drains bounded input (availableNow) and returns when the stream
+    finishes; raises on timeout."""
+
+    def _sink(batch_df, batch_id):
+        append_table(
+            batch_df, path, n_files=n_files, dedup_id=f"epoch-{batch_id}"
+        )
+
+    ckpt = checkpoint or os.path.join(path, "_stream_checkpoint")
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"lakehouse stream did not drain in {timeout_sec}s")

@@ -467,6 +467,22 @@ def test_lakehouse_zorder_unknown_dim_raises(spark, customer):
     shutil.rmtree(base)
 
 
+def test_lakehouse_idempotent_append(spark, customer):
+    from affinity_propagation_mapreduce_spark.sources import lakehouse as lh
+
+    base = _tmp("idem")
+    half_a = customer.where(F.col("c_custkey") % 2 == 0)
+    half_b = customer.where(F.col("c_custkey") % 2 == 1)
+    lh.create_table(half_a, base, "c_custkey", n_files=2)
+    r1 = lh.append_table(half_b, base, dedup_id="epoch-7")
+    assert not r1.get("skipped")
+    r2 = lh.append_table(half_b, base, dedup_id="epoch-7")  # re-delivery
+    assert r2["skipped"] and r2["files_added"] == 0
+    head, _ = lh.read_table(spark, base)
+    assert head.count() == customer.count()  # no duplication
+    shutil.rmtree(base)
+
+
 @pytest.mark.parametrize(
     "key",
     [
@@ -474,6 +490,7 @@ def test_lakehouse_zorder_unknown_dim_raises(spark, customer):
         "table_zorder_lifecycle",
         "table_merge_cow",
         "table_retention",
+        "table_stream_append",
         "scan_zorder_string_skip",
     ],
 )
