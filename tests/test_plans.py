@@ -312,3 +312,33 @@ def test_filtered_serve_expr_pushes_predicate_into_codes_scan(
     assert "BroadcastHashJoin" in above_kernel, plan_post
     # the codes scan below the kernel stays unfiltered in post-mode
     assert "EqualTo(label,0)" not in plan_post.split("MapInPandas")[-1]
+
+
+def test_lakehouse_pruned_scan_still_pushes_predicate(spark):
+    """Manifest pruning is ABOVE the reader; the semantic guard must
+    still reach it — the kept files' parquet scan shows PushedFilters
+    on the cluster key (row-group pruning below the file level), and
+    the reader's file list stays within the manifest's."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.sources import lakehouse as lh
+
+    base = f"/tmp/spark_graft_tests/plans_lh_{uuid.uuid4().hex[:8]}"
+    li = spark.read.parquet(f"{SF_T2}/lineitem.parquet").select(
+        "l_shipdate", "l_orderkey", "l_quantity"
+    )
+    lh.create_table(li, base, "l_shipdate", n_files=6)
+    df, st = lh.read_table(
+        spark, base,
+        lower="1995-07-01 00:00:00", upper="1995-12-31 00:00:00",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+    assert st["files_kept"] < st["files_total"]
+    assert len(df.inputFiles()) <= st["files_kept"]
+    shutil.rmtree(base)
