@@ -112,6 +112,97 @@ def plan_monolithic(p: str, lo: int, hi: int) -> dict:
     return {"files_kept": len(kept), "files_total": len(manifest["files"])}
 
 
+def _morton(x: int, y: int) -> int:
+    z = 0
+    for b in range(16):
+        z |= ((x >> b) & 1) << (2 * b + 1) | ((y >> b) & 1) << (2 * b)
+    return z
+
+
+def synth_sharded_z(path: str, n_files: int) -> int:
+    """A Z-ORDERED lakehouse meta layout: files tile a √n × √n grid of
+    (d1, d2) bounding boxes and are manifest-ordered by the Morton code
+    of their tile — exactly the locality io.zorder_frame produces — so
+    shard-level bounding boxes stay tight in BOTH dimensions.  Returns
+    the grid side."""
+    import math
+
+    os.makedirs(lh._meta(path), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    g = int(math.isqrt(n_files))
+    tiles = sorted(
+        ((gx, gy) for gx in range(g) for gy in range(g)),
+        key=lambda t: _morton(*t),
+    )
+    entries = []
+    for i, (gx, gy) in enumerate(tiles):
+        d1_lo, d2_lo = gx * KEY_SPAN, gy * KEY_SPAN
+        entries.append(
+            {
+                "file": f"file:///phantom/z{i:08d}.parquet",
+                "rows": 10_000,
+                "bytes": 128 << 20,
+                "min": d1_lo,
+                "max": d1_lo + KEY_SPAN - 1,
+                "zmin": {"d1": d1_lo, "d2": d2_lo},
+                "zmax": {
+                    "d1": d1_lo + KEY_SPAN - 1,
+                    "d2": d2_lo + KEY_SPAN - 1,
+                },
+            }
+        )
+    shards = lh._make_shards(path, entries, None)
+    lh._commit_log(path, {"versions": [], "head": -1})
+    lst = {"v": 0, "op": "create", "cluster_by": "d1", "shards": shards}
+    name = lh._write_json(path, "list-v0.json", lst)
+    lh._commit_log(
+        path,
+        {
+            "versions": [
+                {
+                    "v": 0,
+                    "list": name,
+                    "op": "create",
+                    "cluster_by": "d1",
+                    "bloom_for": [],
+                    "zorder_by": ["d1", "d2"],
+                    "rows": sum(s["rows"] for s in shards),
+                    "files": sum(s["files"] for s in shards),
+                }
+            ],
+            "head": 0,
+        },
+    )
+    return g
+
+
+def z_drill(n_files: int) -> None:
+    """2-D planning cost on a z layout: a band on the SECOND dimension
+    (the one 1-D clustering cannot prune) must open only the shards
+    whose Morton-local bounding boxes overlap."""
+    base = f"/tmp/manifest_zdrill_{uuid.uuid4().hex[:8]}"
+    g = synth_sharded_z(base, n_files)
+    lo = (g // 2) * KEY_SPAN
+    hi = lo + 2 * KEY_SPAN - 1  # a 2-tile-wide band on d2
+    t0 = time.perf_counter()
+    plan = lh.plan_scan(base, ranges={"d2": (lo, hi)})
+    t = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "layout": "sharded-zorder",
+                "n_files": g * g,
+                "predicate": "d2-band (non-cluster dim)",
+                "plan_sec": round(t, 4),
+                "shards_total": plan["shards_total"],
+                "shards_opened": plan["shards_opened"],
+                "files_kept": plan["files_kept"],
+            }
+        )
+    )
+    shutil.rmtree(base)
+
+
 def merge_drill() -> None:
     """COW-merge cost ∝ affected bytes, measured on real data: a
     64-file lakehouse table from sf0.1 lineitem (~600k rows, keyed
@@ -177,6 +268,10 @@ def merge_drill() -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "merge":
         merge_drill()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "zorder":
+        for n in [int(a) for a in sys.argv[2:]] or [10_000, 102_400]:
+            z_drill(n)
         return
     sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000]
     for n in sizes:
