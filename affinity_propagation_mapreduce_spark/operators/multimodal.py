@@ -469,14 +469,16 @@ def encode_jpeg(pixels, subsample: str = "444", restart_mcus: int = 0) -> bytes:
     nature — the round-trip gate bounds the error instead of hashing
     pixel equality (see q_media_decode_jpeg).
 
-    ``subsample`` = "444" (one 8×8 block per component per MCU) or
+    ``subsample`` = "444" (one 8×8 block per component per MCU),
     "420" (r14 verdict "missing" #4 — the dominant wild format: Y at
     2×2 sampling, chroma box-averaged to half resolution, 16×16-pixel
-    MCUs of 4 Y + 1 Cb + 1 Cr blocks).  ``restart_mcus`` > 0 emits a
+    MCUs of 4 Y + 1 Cb + 1 Cr blocks), or "422" (Y at 2×1, chroma
+    halved horizontally only — the broadcast-video flavor).
+    ``restart_mcus`` > 0 emits a
     DRI segment and an RST0-7 marker after every that many MCUs
     (byte-aligned, DC predictors reset) — the resync points real
     encoders insert for error resilience and parallel decode."""
-    if subsample not in ("444", "420"):
+    if subsample not in ("444", "420", "422"):
         raise ValueError(f"unsupported subsampling {subsample!r}")
     px = np.asarray(pixels, dtype=np.float64)
     h, w, _ = px.shape
@@ -484,7 +486,11 @@ def encode_jpeg(pixels, subsample: str = "444", restart_mcus: int = 0) -> bytes:
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    samp = [(2, 2), (1, 1), (1, 1)] if subsample == "420" else [(1, 1)] * 3
+    samp = {
+        "444": [(1, 1)] * 3,
+        "420": [(2, 2), (1, 1), (1, 1)],
+        "422": [(2, 1), (1, 1), (1, 1)],
+    }[subsample]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcu_h, mcu_w = 8 * vmax, 8 * hmax

@@ -131,6 +131,35 @@ def _write_json(path: str, name: str, obj: dict) -> str:
     return name
 
 
+# --- internal: single-writer commit lock --------------------------------------
+
+class _commit_lock:
+    """Serializes MUTATIONS (append / compact / merge / expire) with an
+    exclusive flock on ``_commit.lock`` — the same discipline as the
+    ANN layout lock (events._flock_layout_lock): without it two
+    concurrent appenders both read log head N and both commit N+1, and
+    one writer's version silently vanishes (lost update).  Readers
+    never take it: the log is a single atomically-replaced file, so a
+    read sees some committed state with no lock at all."""
+
+    def __init__(self, path: str):
+        self._p = os.path.join(path, "_commit.lock")
+
+    def __enter__(self):
+        import fcntl
+
+        self._fh = open(self._p, "w")
+        fcntl.flock(self._fh, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+        return False
+
+
 # --- internal: landing a batch ----------------------------------------------
 
 def _land_batch(
@@ -461,29 +490,30 @@ def append_table(
     across DIFFERENT writers, which the layout (like any lakehouse)
     serializes at the commit rename."""
     spark = df.sparkSession
-    log = _read_log(path)
-    if dedup_id is not None and any(
-        r.get("dedup_id") == dedup_id for r in log["versions"]
-    ):
-        return {"version": log["head"], "skipped": True, "files_added": 0}
-    cluster_by, bloom_for, zorder_by = _table_props(path)
-    head_list = _read_list(path, log["head"])
-    batch = _land_batch(df, path, cluster_by, n_files, zorder_by or None)
-    entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
-    rows_max = max((e["rows"] for e in entries), default=0)
-    blooms = (
-        _batch_blooms(spark, batch, bloom_for, rows_max)
-        if bloom_for and entries
-        else None
-    )
-    new_shards = _make_shards(path, entries, blooms)
-    v = _commit_version(
-        path,
-        head_list["shards"] + new_shards,
-        "append",
-        log_extra={"dedup_id": dedup_id} if dedup_id is not None else None,
-    )
-    return {"version": v, "files_added": len(entries), "shards_added": len(new_shards)}
+    with _commit_lock(path):
+        log = _read_log(path)
+        if dedup_id is not None and any(
+            r.get("dedup_id") == dedup_id for r in log["versions"]
+        ):
+            return {"version": log["head"], "skipped": True, "files_added": 0}
+        cluster_by, bloom_for, zorder_by = _table_props(path)
+        head_list = _read_list(path, log["head"])
+        batch = _land_batch(df, path, cluster_by, n_files, zorder_by or None)
+        entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
+        rows_max = max((e["rows"] for e in entries), default=0)
+        blooms = (
+            _batch_blooms(spark, batch, bloom_for, rows_max)
+            if bloom_for and entries
+            else None
+        )
+        new_shards = _make_shards(path, entries, blooms)
+        v = _commit_version(
+            path,
+            head_list["shards"] + new_shards,
+            "append",
+            log_extra={"dedup_id": dedup_id} if dedup_id is not None else None,
+        )
+        return {"version": v, "files_added": len(entries), "shards_added": len(new_shards)}
 
 
 def compact_table(
@@ -497,32 +527,33 @@ def compact_table(
     gap where compaction destroyed the skipping manifest."""
     import math
 
-    log = _read_log(path)
-    cluster_by, bloom_for, zorder_by = _table_props(path)
-    head = _read_list(path, log["head"])
-    files, total_bytes = [], 0
-    for s in head["shards"]:
-        for e in _read_shard(path, s["shard"])["files"]:
-            files.append(e["file"])
-            total_bytes += e["bytes"]
-    n_out = max(1, math.ceil(total_bytes / target_bytes))
-    df = spark.read.parquet(*files)
-    batch = _land_batch(df, path, cluster_by, n_out, zorder_by or None)
-    entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
-    rows_max = max((e["rows"] for e in entries), default=0)
-    blooms = (
-        _batch_blooms(spark, batch, bloom_for, rows_max)
-        if bloom_for and entries
-        else None
-    )
-    shards = _make_shards(path, entries, blooms)
-    v = _commit_version(path, shards, "compact")
-    return {
-        "version": v,
-        "files_before": len(files),
-        "files_after": len(entries),
-        "bytes": total_bytes,
-    }
+    with _commit_lock(path):
+        log = _read_log(path)
+        cluster_by, bloom_for, zorder_by = _table_props(path)
+        head = _read_list(path, log["head"])
+        files, total_bytes = [], 0
+        for s in head["shards"]:
+            for e in _read_shard(path, s["shard"])["files"]:
+                files.append(e["file"])
+                total_bytes += e["bytes"]
+        n_out = max(1, math.ceil(total_bytes / target_bytes))
+        df = spark.read.parquet(*files)
+        batch = _land_batch(df, path, cluster_by, n_out, zorder_by or None)
+        entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
+        rows_max = max((e["rows"] for e in entries), default=0)
+        blooms = (
+            _batch_blooms(spark, batch, bloom_for, rows_max)
+            if bloom_for and entries
+            else None
+        )
+        shards = _make_shards(path, entries, blooms)
+        v = _commit_version(path, shards, "compact")
+        return {
+            "version": v,
+            "files_before": len(files),
+            "files_after": len(entries),
+            "bytes": total_bytes,
+        }
 
 
 def merge_table(spark: SparkSession, path: str, changes: DataFrame) -> dict:
@@ -546,107 +577,108 @@ def merge_table(spark: SparkSession, path: str, changes: DataFrame) -> dict:
     entries), the data never moves.  Cost ∝ affected bytes + change
     volume — at 100 TB a point-key change feed rewrites a handful of
     files, never the table."""
-    log = _read_log(path)
-    cluster_by, bloom_for, zorder_by = _table_props(path)
-    head = _read_list(path, log["head"])
-    shards = [
-        (s, _read_shard(path, s["shard"])["files"]) for s in head["shards"]
-    ]
-    blooms_by_file: dict[str, dict] = {}
-    for s, _entries in shards:
-        if s.get("bloom"):
-            blooms_by_file.update(_read_shard(path, s["bloom"]))
+    with _commit_lock(path):
+        log = _read_log(path)
+        cluster_by, bloom_for, zorder_by = _table_props(path)
+        head = _read_list(path, log["head"])
+        shards = [
+            (s, _read_shard(path, s["shard"])["files"]) for s in head["shards"]
+        ]
+        blooms_by_file: dict[str, dict] = {}
+        for s, _entries in shards:
+            if s.get("bloom"):
+                blooms_by_file.update(_read_shard(path, s["bloom"]))
 
-    # the CDC contract: ONE change row per key (callers compact
-    # multi-change feeds first).  A duplicate-keyed feed would FAN OUT
-    # the outer join — every matched row multiplied by the key's change
-    # count, silent row inflation — so it raises here.  Two counts over
-    # the change feed: CDC volume, never table size.
-    n_ch = changes.count()
-    n_keys = changes.select(cluster_by).distinct().count()
-    if n_ch != n_keys:
-        raise ValueError(
-            f"change feed has {n_ch} rows over {n_keys} keys — MERGE "
-            "needs one row per key (compact the feed to its latest "
-            "change per key first, as q_merge_upsert does)"
+        # the CDC contract: ONE change row per key (callers compact
+        # multi-change feeds first).  A duplicate-keyed feed would FAN OUT
+        # the outer join — every matched row multiplied by the key's change
+        # count, silent row inflation — so it raises here.  Two counts over
+        # the change feed: CDC volume, never table size.
+        n_ch = changes.count()
+        n_keys = changes.select(cluster_by).distinct().count()
+        if n_ch != n_keys:
+            raise ValueError(
+                f"change feed has {n_ch} rows over {n_keys} keys — MERGE "
+                "needs one row per key (compact the feed to its latest "
+                "change per key first, as q_merge_upsert does)"
+            )
+
+        # driver-side affected-file resolution: change-key min/max per file
+        keys = [
+            r.k
+            for r in changes.select(F.col(cluster_by).alias("k")).distinct().collect()
+        ]  # bounded by the change feed's key count — CDC volume, not table size
+        kset = sorted(_manifest_key(k) for k in keys)
+
+        def affected(e):
+            if e["min"] is None or e["max"] is None:
+                return False  # all-NULL-key file: no change key can match
+            import bisect
+
+            i = bisect.bisect_left(kset, e["min"])
+            return i < len(kset) and kset[i] <= e["max"]
+
+        rewritten, carried = [], []
+        for s, entries in shards:
+            hit = [e for e in entries if affected(e)]
+            miss = [e for e in entries if not affected(e)]
+            rewritten.extend(hit)
+            if not hit:
+                carried.append(s)  # whole shard untouched: reuse by reference
+            elif miss:
+                side = {
+                    e["file"]: blooms_by_file[e["file"]]
+                    for e in miss
+                    if e["file"] in blooms_by_file
+                }
+                carried.extend(_make_shards(path, miss, side or None))
+
+        if rewritten:
+            old = spark.read.parquet(*[e["file"] for e in rewritten])
+        else:
+            # no file can contain any change key: pure-insert merge
+            old = spark.read.parquet(
+                shards[0][1][0]["file"]
+            ).limit(0) if shards and shards[0][1] else None
+        ch = changes
+        data_cols = [c for c in ch.columns if c != "op"]
+        if old is None:
+            merged = ch.where(F.col("op") == "U").select(*data_cols)
+        else:
+            o = old.alias("o")
+            c = ch.alias("c")
+            joined = o.join(
+                c, F.col(f"o.{cluster_by}") == F.col(f"c.{cluster_by}"), "full_outer"
+            )
+            merged = joined.where(
+                F.col("c.op").isNull() | (F.col("c.op") == "U")
+            ).select(
+                *[
+                    F.when(F.col("c.op") == "U", F.col(f"c.{col}"))
+                    .otherwise(F.col(f"o.{col}"))
+                    .alias(col)
+                    for col in data_cols
+                ]
+            )
+        batch = _land_batch(
+            merged, path, cluster_by,
+            max(1, min(4, len(rewritten) or 1)), zorder_by or None,
         )
-
-    # driver-side affected-file resolution: change-key min/max per file
-    keys = [
-        r.k
-        for r in changes.select(F.col(cluster_by).alias("k")).distinct().collect()
-    ]  # bounded by the change feed's key count — CDC volume, not table size
-    kset = sorted(_manifest_key(k) for k in keys)
-
-    def affected(e):
-        if e["min"] is None or e["max"] is None:
-            return False  # all-NULL-key file: no change key can match
-        import bisect
-
-        i = bisect.bisect_left(kset, e["min"])
-        return i < len(kset) and kset[i] <= e["max"]
-
-    rewritten, carried = [], []
-    for s, entries in shards:
-        hit = [e for e in entries if affected(e)]
-        miss = [e for e in entries if not affected(e)]
-        rewritten.extend(hit)
-        if not hit:
-            carried.append(s)  # whole shard untouched: reuse by reference
-        elif miss:
-            side = {
-                e["file"]: blooms_by_file[e["file"]]
-                for e in miss
-                if e["file"] in blooms_by_file
-            }
-            carried.extend(_make_shards(path, miss, side or None))
-
-    if rewritten:
-        old = spark.read.parquet(*[e["file"] for e in rewritten])
-    else:
-        # no file can contain any change key: pure-insert merge
-        old = spark.read.parquet(
-            shards[0][1][0]["file"]
-        ).limit(0) if shards and shards[0][1] else None
-    ch = changes
-    data_cols = [c for c in ch.columns if c != "op"]
-    if old is None:
-        merged = ch.where(F.col("op") == "U").select(*data_cols)
-    else:
-        o = old.alias("o")
-        c = ch.alias("c")
-        joined = o.join(
-            c, F.col(f"o.{cluster_by}") == F.col(f"c.{cluster_by}"), "full_outer"
+        entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
+        rows_max = max((e["rows"] for e in entries), default=0)
+        new_blooms = (
+            _batch_blooms(spark, batch, bloom_for, rows_max)
+            if bloom_for and entries
+            else None
         )
-        merged = joined.where(
-            F.col("c.op").isNull() | (F.col("c.op") == "U")
-        ).select(
-            *[
-                F.when(F.col("c.op") == "U", F.col(f"c.{col}"))
-                .otherwise(F.col(f"o.{col}"))
-                .alias(col)
-                for col in data_cols
-            ]
-        )
-    batch = _land_batch(
-        merged, path, cluster_by,
-        max(1, min(4, len(rewritten) or 1)), zorder_by or None,
-    )
-    entries = _file_stats(spark, batch, cluster_by, zorder_by or None)
-    rows_max = max((e["rows"] for e in entries), default=0)
-    new_blooms = (
-        _batch_blooms(spark, batch, bloom_for, rows_max)
-        if bloom_for and entries
-        else None
-    )
-    new_shards = _make_shards(path, entries, new_blooms)
-    v = _commit_version(path, carried + new_shards, "merge")
-    return {
-        "version": v,
-        "files_total": sum(len(e) for _s, e in shards),
-        "files_rewritten": len(rewritten),
-        "files_added": len(entries),
-    }
+        new_shards = _make_shards(path, entries, new_blooms)
+        v = _commit_version(path, carried + new_shards, "merge")
+        return {
+            "version": v,
+            "files_total": sum(len(e) for _s, e in shards),
+            "files_rewritten": len(rewritten),
+            "files_added": len(entries),
+        }
 
 
 # --- reads --------------------------------------------------------------------
@@ -886,47 +918,48 @@ def vacuum(path: str, orphan_age_seconds: float = 900.0) -> dict:
     ``orphan_age_seconds``) so an IN-FLIGHT writer's just-landed,
     not-yet-committed batch is never swept — the ANN reaper's grace
     rule applied to the write path."""
-    now = time.time()
-    kept_shards, kept_sidecars, kept_data = _referenced_sets(path)
+    with _commit_lock(path):
+        now = time.time()
+        kept_shards, kept_sidecars, kept_data = _referenced_sets(path)
 
-    def old_enough(p: str) -> bool:
-        try:
-            return (now - os.path.getmtime(p)) >= orphan_age_seconds
-        except FileNotFoundError:
-            return False
+        def old_enough(p: str) -> bool:
+            try:
+                return (now - os.path.getmtime(p)) >= orphan_age_seconds
+            except FileNotFoundError:
+                return False
 
-    deleted = 0
-    data_dir = os.path.join(path, "data")
-    for batch in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
-        bdir = os.path.join(data_dir, batch)
-        if not os.path.isdir(bdir):
-            continue
-        for f in os.listdir(bdir):
-            fp = os.path.join(bdir, f)
-            if (
-                f.endswith(".parquet")
-                and fp not in kept_data
-                and old_enough(fp)
-            ):
+        deleted = 0
+        data_dir = os.path.join(path, "data")
+        for batch in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+            bdir = os.path.join(data_dir, batch)
+            if not os.path.isdir(bdir):
+                continue
+            for f in os.listdir(bdir):
+                fp = os.path.join(bdir, f)
+                if (
+                    f.endswith(".parquet")
+                    and fp not in kept_data
+                    and old_enough(fp)
+                ):
+                    _rm(fp)
+                    deleted += 1
+            if not any(f.endswith(".parquet") for f in os.listdir(bdir)):
+                shutil.rmtree(bdir, ignore_errors=True)
+        meta_dir = _meta(path)
+        log = _read_log(path)
+        kept_lists = {v["list"] for v in log["versions"]}
+        meta_deleted = 0
+        for f in os.listdir(meta_dir):
+            fp = os.path.join(meta_dir, f)
+            if not os.path.isfile(fp):
+                continue
+            referenced = (
+                f in kept_shards or f in kept_sidecars or f in kept_lists
+            )
+            if not referenced and old_enough(fp):
                 _rm(fp)
-                deleted += 1
-        if not any(f.endswith(".parquet") for f in os.listdir(bdir)):
-            shutil.rmtree(bdir, ignore_errors=True)
-    meta_dir = _meta(path)
-    log = _read_log(path)
-    kept_lists = {v["list"] for v in log["versions"]}
-    meta_deleted = 0
-    for f in os.listdir(meta_dir):
-        fp = os.path.join(meta_dir, f)
-        if not os.path.isfile(fp):
-            continue
-        referenced = (
-            f in kept_shards or f in kept_sidecars or f in kept_lists
-        )
-        if not referenced and old_enough(fp):
-            _rm(fp)
-            meta_deleted += 1
-    return {"data_files_deleted": deleted, "meta_files_deleted": meta_deleted}
+                meta_deleted += 1
+        return {"data_files_deleted": deleted, "meta_files_deleted": meta_deleted}
 
 
 def expire_versions(
@@ -947,68 +980,69 @@ def expire_versions(
     not-yet-committed batch are NEVER touched here: only files listed
     by a DROPPED version's manifest are deleted (orphan reclaim is
     vacuum's age-gated job)."""
-    log = _read_log(path)
-    versions = log["versions"]
-    if len(versions) <= keep_last:
-        return {"dropped": [], "data_files_deleted": 0}
-    now = time.time()
-    keep_tail = {v["v"] for v in versions[-keep_last:]}
+    with _commit_lock(path):
+        log = _read_log(path)
+        versions = log["versions"]
+        if len(versions) <= keep_last:
+            return {"dropped": [], "data_files_deleted": 0}
+        now = time.time()
+        keep_tail = {v["v"] for v in versions[-keep_last:]}
 
-    def grace_protected(v: int) -> bool:
-        stamp = os.path.join(_meta(path), "reads", f"v{v}.last-read")
-        if not os.path.isfile(stamp):
-            return False
-        return (now - os.path.getmtime(stamp)) < grace_seconds
+        def grace_protected(v: int) -> bool:
+            stamp = os.path.join(_meta(path), "reads", f"v{v}.last-read")
+            if not os.path.isfile(stamp):
+                return False
+            return (now - os.path.getmtime(stamp)) < grace_seconds
 
-    retained = [
-        v
-        for v in versions
-        if v["v"] in keep_tail or grace_protected(v["v"])
-    ]
-    dropped = [v for v in versions if v not in retained]
-    if not dropped:
-        return {"dropped": [], "data_files_deleted": 0}
+        retained = [
+            v
+            for v in versions
+            if v["v"] in keep_tail or grace_protected(v["v"])
+        ]
+        dropped = [v for v in versions if v not in retained]
+        if not dropped:
+            return {"dropped": [], "data_files_deleted": 0}
 
-    # 1) commit the shrunk log (the point of no return for readers)
-    new_log = {"versions": retained, "head": log["head"]}
-    _commit_log(path, new_log)
+        # 1) commit the shrunk log (the point of no return for readers)
+        new_log = {"versions": retained, "head": log["head"]}
+        _commit_log(path, new_log)
 
-    # 2) referenced sets of RETAINED versions
-    kept_shards, kept_sidecars, kept_data = _referenced_sets(path)
+        # 2) referenced sets of RETAINED versions
+        kept_shards, kept_sidecars, kept_data = _referenced_sets(path)
 
-    # 3) delete meta unique to dropped versions, collecting THEIR data
-    meta_dir = _meta(path)
-    dropped_data: set[str] = set()
-    for v in dropped:
-        lp = os.path.join(meta_dir, v["list"])
-        if os.path.isfile(lp):
-            with open(lp) as fh:
-                lst = json.load(fh)
-            for s in lst["shards"]:
-                sp = os.path.join(meta_dir, s["shard"])
-                if os.path.isfile(sp):
-                    with open(sp) as fh:
-                        for e in json.load(fh)["files"]:
-                            dropped_data.add(_local(e["file"]))
-                if s["shard"] not in kept_shards:
-                    _rm(sp)
-                if s.get("bloom") and s["bloom"] not in kept_sidecars:
-                    _rm(os.path.join(meta_dir, s["bloom"]))
-            _rm(lp)
+        # 3) delete meta unique to dropped versions, collecting THEIR data
+        meta_dir = _meta(path)
+        dropped_data: set[str] = set()
+        for v in dropped:
+            lp = os.path.join(meta_dir, v["list"])
+            if os.path.isfile(lp):
+                with open(lp) as fh:
+                    lst = json.load(fh)
+                for s in lst["shards"]:
+                    sp = os.path.join(meta_dir, s["shard"])
+                    if os.path.isfile(sp):
+                        with open(sp) as fh:
+                            for e in json.load(fh)["files"]:
+                                dropped_data.add(_local(e["file"]))
+                    if s["shard"] not in kept_shards:
+                        _rm(sp)
+                    if s.get("bloom") and s["bloom"] not in kept_sidecars:
+                        _rm(os.path.join(meta_dir, s["bloom"]))
+                _rm(lp)
 
-    # 4) delete exactly the dropped versions' unshared data files
-    deleted = 0
-    for fp in sorted(dropped_data - kept_data):
-        _rm(fp)
-        deleted += 1
-    data_dir = os.path.join(path, "data")
-    for batch in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
-        bdir = os.path.join(data_dir, batch)
-        if os.path.isdir(bdir) and not any(
-            f.endswith(".parquet") for f in os.listdir(bdir)
-        ):
-            shutil.rmtree(bdir, ignore_errors=True)
-    return {"dropped": [v["v"] for v in dropped], "data_files_deleted": deleted}
+        # 4) delete exactly the dropped versions' unshared data files
+        deleted = 0
+        for fp in sorted(dropped_data - kept_data):
+            _rm(fp)
+            deleted += 1
+        data_dir = os.path.join(path, "data")
+        for batch in os.listdir(data_dir) if os.path.isdir(data_dir) else []:
+            bdir = os.path.join(data_dir, batch)
+            if os.path.isdir(bdir) and not any(
+                f.endswith(".parquet") for f in os.listdir(bdir)
+            ):
+                shutil.rmtree(bdir, ignore_errors=True)
+        return {"dropped": [v["v"] for v in dropped], "data_files_deleted": deleted}
 
 
 def head_stats(path: str) -> dict:

@@ -398,6 +398,20 @@ def test_jpeg_420_non_mcu_aligned_dims():
     assert dec.shape == (37, 51, 3)
 
 
+def test_jpeg_422_round_trip_bounded():
+    from affinity_propagation_mapreduce_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = _smooth_img(40, 56, 11)
+    dec = decode_jpeg(encode_jpeg(img, subsample="422", restart_mcus=2))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype("i4") - img.astype("i4"))
+    # horizontal-only chroma halving loses less than 4:2:0
+    assert int(err.max()) <= 20 and float(err.mean()) <= 5.0
+
+
 def test_jpeg_progressive_still_raises():
     from affinity_propagation_mapreduce_spark.operators.multimodal import (
         decode_jpeg,
@@ -464,6 +478,43 @@ def test_lakehouse_zorder_unknown_dim_raises(spark, customer):
     )
     with pytest.raises(ValueError, match="not a clustered dimension"):
         lh.read_table(spark, base, ranges={"c_nationkey": (0, 3)})
+    shutil.rmtree(base)
+
+
+def test_lakehouse_concurrent_appends_serialize(spark, customer):
+    """Two writers appending at once must BOTH land: the commit flock
+    serializes the log read→commit window (without it both read head N
+    and both commit N+1 — one version silently vanishes)."""
+    import threading
+
+    from affinity_propagation_mapreduce_spark.sources import lakehouse as lh
+
+    base = _tmp("conc")
+    lh.create_table(customer.limit(10), base, "c_custkey", n_files=1)
+    slices = [
+        customer.where(F.col("c_custkey") % 6 == i).localCheckpoint(eager=True)
+        for i in range(6)
+    ]
+    errs = []
+
+    def writer(tid):
+        try:
+            for i in range(3):
+                lh.append_table(slices[tid * 3 + i], base, n_files=1)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    log = lh._read_log(base)
+    assert sum(1 for v in log["versions"] if v["op"] == "append") == 6
+    assert log["head"] == 6
+    head, _ = lh.read_table(spark, base)
+    assert head.count() == customer.count() + 10
     shutil.rmtree(base)
 
 
