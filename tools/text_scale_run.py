@@ -71,6 +71,13 @@ def pipeline(n: int) -> None:
 
     spark = get_spark("text-scale-pipeline")
     spark.sparkContext.setLogLevel("ERROR")
+    # r15 measured NEGATIVE result: scaling shuffle partitions with n
+    # (tried max(32, n // 50k)) does NOT move the >6M-doc spill
+    # ceiling — the binding term is total shuffle-WRITE volume of the
+    # shingle-explode stage (∝ corpus), not sorter merge passes, so
+    # partition count only changes file granularity.  The ceiling is a
+    # disk-provisioning fact: ~5 GB scratch per 1M docs (BASELINE.md
+    # §curation growth law).
     docs = synth_docs(spark, n).localCheckpoint(eager=True)
     t0 = time.time()
     rows = sorted(
