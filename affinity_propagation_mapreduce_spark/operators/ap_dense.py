@@ -64,6 +64,14 @@ BLOCKED_MAX_N = 10_000  # N² kernel work + 2 resident N² states bound this
 # 4k points, k=32) — see cluster_sparse_blocked's fused-small branch
 SPARSE_FUSED_MAX_N = 4_000
 _TARGET_BLOCK_BYTES = 64 << 20  # per-task state footprint bound (3 N-arrays/row)
+# Work floor per block: the JVM↔Python handshake is paid per TASK, so
+# splitting a small state across every core is a net loss (measured on
+# local[32]: a tiny-payload mapInPandas round trip costs ~0.44 s at 32
+# tasks vs ~0.28 s at 8 — the kernel compute at that size is microseconds).
+# A block must carry at least this much state before we split further;
+# the cap stays defaultParallelism and the memory bound still wins at
+# large N, so the choice is problem-size-adaptive, not a core-count tune.
+_MIN_BLOCK_BYTES = 8 << 20
 
 _STATE_SCHEMA = "i long, s array<double>, r array<double>, a array<double>"
 
@@ -71,8 +79,10 @@ _STATE_SCHEMA = "i long, s array<double>, r array<double>, a array<double>"
 def _n_blocks(spark: SparkSession, n: int) -> int:
     par = spark.sparkContext.defaultParallelism
     row_bytes = 3 * n * 8
-    by_mem = (n * row_bytes + _TARGET_BLOCK_BYTES - 1) // _TARGET_BLOCK_BYTES
-    return min(n, max(par, int(by_mem)))
+    total = n * row_bytes
+    by_mem = (total + _TARGET_BLOCK_BYTES - 1) // _TARGET_BLOCK_BYTES
+    by_work = max(1, total // _MIN_BLOCK_BYTES)
+    return min(n, max(int(by_mem), min(par, int(by_work))))
 
 
 def _r_block(s: np.ndarray, r: np.ndarray, a: np.ndarray, lam: float) -> np.ndarray:
@@ -193,33 +203,41 @@ class DenseAP:
             return self._state0
         bc = self.bc
 
+        nb = self.nb
+
         def sim_kernel(batches):
             import pandas as pd
 
             ids_b, m_b = bc.value
             nd = m_b.shape[1]
             nn = len(ids_b)
+            # nb near-equal CONTIGUOUS slices of the sorted-id row range;
+            # every embedding the kernel needs is already in the broadcast,
+            # so the job is a single stage over `range(nb)` — no parquet
+            # re-scan and no repartition exchange (guide §2.4: the old
+            # `emb.repartition(nb, "vec_id")` was a shuffle whose only
+            # purpose was to deal rows to blocks the broadcast can deal
+            # for free)
+            bounds = np.linspace(0, nn, nb + 1).astype("i8")
             for pdf in batches:
-                if not len(pdf):
-                    continue
-                ai = pdf["vec_id"].to_numpy(dtype="i8")
-                av = _stack(pdf["embedding"]).astype("f8")
-                acc = np.zeros((len(ai), nn), dtype="f8")
-                for d in range(nd):  # sequential over dims == the fold
-                    diff = av[:, d, None] - m_b[None, :, d]
-                    acc += diff * diff
-                z = np.zeros((len(ai), nn), dtype="f8")
-                yield pd.DataFrame(
-                    {"i": ai, "s": list(-acc), "r": list(z), "a": list(z)}
-                )
+                for blk in pdf["id"].to_numpy(dtype="i8"):
+                    lo, hi = int(bounds[blk]), int(bounds[blk + 1])
+                    if lo >= hi:
+                        continue
+                    ai = ids_b[lo:hi]
+                    av = m_b[lo:hi]
+                    acc = np.zeros((hi - lo, nn), dtype="f8")
+                    for d in range(nd):  # sequential over dims == the fold
+                        diff = av[:, d, None] - m_b[None, :, d]
+                        acc += diff * diff
+                    z = np.zeros((hi - lo, nn), dtype="f8")
+                    yield pd.DataFrame(
+                        {"i": ai, "s": list(-acc), "r": list(z), "a": list(z)}
+                    )
 
-        emb = table(self.spark, self.sf_dir, "embeddings").select(
-            "vec_id", "embedding"
-        )
+        blocks = self.spark.range(0, nb, 1, nb)
         self._state0 = _ckpt(
-            emb.repartition(self.nb, "vec_id").mapInPandas(
-                sim_kernel, schema=_STATE_SCHEMA
-            ),
+            blocks.mapInPandas(sim_kernel, schema=_STATE_SCHEMA),
             eager=True,
         )
         return self._state0
@@ -266,7 +284,13 @@ class DenseAP:
         large-N preference uses since round 8).  This removed the last
         O(N²) driver allocation in the engine; BLOCKED_MAX_N is now
         bounded by executor state size + O(blocks·N) accumulator
-        payloads, not driver memory."""
+        payloads, not driver memory.
+
+        (Optimization-round negative result, guide §1: routing the
+        small-N branch through one JVM ``percentile(v,0.5)+min(v)`` agg
+        job instead of the collect was tried and is 5-10× SLOWER — exact
+        percentile buffers a value→count map over ~N² mostly-distinct
+        doubles.  The Arrow collect + np.partition stays.)"""
         if kind not in self._prefs:
             from .ap import _FAST_MEDIAN_MAX_N, exact_median_distributed
 

@@ -132,8 +132,15 @@ def test_blocked_dense_layout_growth():
     for n, nb in rows.items():
         per_task_rows = -(-n // nb)
         assert per_task_rows * 3 * n * 8 <= ap_dense._TARGET_BLOCK_BYTES * 1.1
-    # parallelism floor at small N, ~N^2 block growth beyond it
-    assert rows[2_000] == 32
+    # work floor at small N (r15 optimization): when the whole state is
+    # small, blocks carry at least _MIN_BLOCK_BYTES each rather than
+    # fanning out to every core — the JVM↔Python handshake is per task,
+    # so 32 near-empty blocks cost more than 11 useful ones.  The floor
+    # never caps the memory bound, so large-N behavior is unchanged.
+    total_2k = 2_000 * 3 * 2_000 * 8
+    assert rows[2_000] == total_2k // ap_dense._MIN_BLOCK_BYTES  # 11 < 32
+    assert total_2k / rows[2_000] >= ap_dense._MIN_BLOCK_BYTES
+    # ~N^2 block growth beyond the parallelism/work floor
     assert rows[10_000] >= 35
     ratio = rows[40_000] / rows[10_000]
     assert 12 <= ratio <= 20, rows  # 16 = (4x N)^2 within slack
