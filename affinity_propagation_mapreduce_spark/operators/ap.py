@@ -890,6 +890,119 @@ def ivf_candidate_pairs(
     )
 
 
+def _knn_candidate_pairs_fused(
+    spark: SparkSession, sf_dir: str, k: int, n: int
+) -> DataFrame:
+    """Fused-small candidate graph (optimization r15, guide §2.4/§4.1):
+    at N ≤ ap_dense.SPARSE_FUSED_MAX_N the whole IVF candidate pipeline
+    — coarse assign → per-cell pair kernels → cross-cell dedup →
+    per-point top-k → symmetrize → dedup — runs as ONE mapInPandas task
+    over the embeddings, the same numpy operations the distributed path
+    applies per cell in the same order, so the output RELATION is
+    bitwise identical (pinned by tests/test_round15_opt.py).  Only the
+    physical shape changes: one python crossing and zero exchanges
+    instead of two crossings and four exchanges (repartition, groupBy
+    cell, dedup, window) — the distributed path's per-stage overhead
+    dominated at this scale (~2.4 s → ~0.6 s warm at N=2000).  This is
+    the same fused-small pattern the sparse LOOP has used since r13
+    (cluster_sparse_blocked's one-task branch, same gate)."""
+    import numpy as np
+    import pandas as pd
+
+    nlist = _sparse_nlist(n)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(batches):
+        frames = [p for p in batches if len(p)]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        ids = pdf["vec_id"].to_numpy(dtype="i8")
+        pts = np.stack(pdf["embedding"].to_numpy()).astype("f8")
+        sel = ids < nlist  # same centroid choice as the distributed path
+        c_ids = ids[sel]
+        c_mat = pts[sel]
+        if len(c_ids) == 0:
+            return
+        nprobe = min(SPARSE_NPROBE, len(c_ids))
+        # coarse assignment — assign_cells verbatim
+        d2 = (
+            (pts * pts).sum(axis=1, keepdims=True)
+            - 2.0 * pts @ c_mat.T
+            + (c_mat * c_mat).sum(axis=1)[None, :]
+        )
+        order = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+        probe_d2 = np.take_along_axis(d2, order, axis=1)
+        home_col = order[
+            np.arange(len(ids)), np.argmin(probe_d2, axis=1)
+        ]
+        nd = pts.shape[1]
+        out_i, out_k, out_s = [], [], []
+        for c in np.unique(order):
+            probe_rows = np.nonzero((order == c).any(axis=1))[0]
+            member_rows = probe_rows[home_col[probe_rows] == c]
+            if not len(member_rows) or not len(probe_rows):
+                continue
+            p_ids, m_ids = ids[probe_rows], ids[member_rows]
+            p_mat, m_mat = pts[probe_rows], pts[member_rows]
+            acc = np.zeros((len(p_ids), len(m_ids)), dtype="f8")
+            for j in range(nd):  # sequential over dims == the dense kernel
+                diff = p_mat[:, j, None] - m_mat[None, :, j]
+                acc += diff * diff
+            lo = np.repeat(p_ids, len(m_ids))
+            hi = np.tile(m_ids, len(p_ids))
+            keep = lo != hi
+            lo, hi, s = lo[keep], hi[keep], -acc.ravel()[keep]
+            swap = lo > hi
+            lo[swap], hi[swap] = hi[swap], lo[swap]
+            # within-cell dedup (duplicate rows are bitwise-equal)
+            m_key = max(int(hi.max()), int(lo.max())) + 1 if len(lo) else 1
+            _, first = np.unique(lo * m_key + hi, return_index=True)
+            lo, hi, s = lo[first], hi[first], s[first]
+            # per-endpoint rank under (s DESC, other ASC), keep < k —
+            # cell_topk_kernel verbatim
+            ep = np.concatenate([lo, hi])
+            other = np.concatenate([hi, lo])
+            ss = np.concatenate([s, s])
+            o = np.lexsort((other, -ss, ep))
+            ep, other, ss = ep[o], other[o], ss[o]
+            idx = np.arange(len(ep))
+            grp_start = np.where(np.r_[True, ep[1:] != ep[:-1]], idx, 0)
+            rank = idx - np.maximum.accumulate(grp_start)
+            kept = rank < k
+            out_i.append(ep[kept])
+            out_k.append(other[kept])
+            out_s.append(ss[kept])
+        if not out_i:
+            return
+        ii = np.concatenate(out_i)
+        kk = np.concatenate(out_k)
+        ss = np.concatenate(out_s)
+        # cross-cell dedup (a pair may meet in several cells; duplicate
+        # rows carry bitwise-equal s) — dropDuplicates(["i","k"])
+        m_key = max(int(ii.max()), int(kk.max())) + 1
+        _, first = np.unique(ii * m_key + kk, return_index=True)
+        ii, kk, ss = ii[first], kk[first], ss[first]
+        # global per-point top-k — the window (s DESC, k ASC), rn <= k
+        o = np.lexsort((kk, -ss, ii))
+        ii, kk, ss = ii[o], kk[o], ss[o]
+        idx = np.arange(len(ii))
+        grp_start = np.where(np.r_[True, ii[1:] != ii[:-1]], idx, 0)
+        rank = idx - np.maximum.accumulate(grp_start)
+        kept = rank < k
+        ii, kk, ss = ii[kept], kk[kept], ss[kept]
+        # symmetrize + final dedup
+        ei = np.concatenate([ii, kk])
+        ek = np.concatenate([kk, ii])
+        es = np.concatenate([ss, ss])
+        _, first = np.unique(ei * m_key + ek, return_index=True)
+        yield pd.DataFrame(
+            {"i": ei[first], "k": ek[first], "s": es[first]}
+        )
+
+    return emb.coalesce(1).mapInPandas(kernel, schema="i long, k long, s double")
+
+
 def knn_candidate_pairs(
     spark: SparkSession, sf_dir: str, k: int = 32, trained: bool = False
 ) -> DataFrame:
@@ -898,7 +1011,12 @@ def knn_candidate_pairs(
     top-k directly (``per_point_topk`` — provably the same survivors,
     see ivf_candidate_pairs), so the shuffled relation is O(N·nprobe·k)
     rows, never the O(N^1.5) all-pairs set; the window then reduces the
-    ≤ nprobe·k rows per point to the global top-k."""
+    ≤ nprobe·k rows per point to the global top-k.  Below the
+    fused-small gate the whole pipeline runs as one task instead
+    (bitwise-identical relation, see _knn_candidate_pairs_fused)."""
+    n = _n_points(spark, sf_dir)
+    if not trained and n <= _BLOCKED().SPARSE_FUSED_MAX_N:
+        return _knn_candidate_pairs_fused(spark, sf_dir, k, n)
     pairs = ivf_candidate_pairs(
         spark, sf_dir, trained=trained, per_point_topk=k
     )

@@ -1,0 +1,59 @@
+"""Round-15 optimization pins: physical-shape changes must be
+value-invisible.
+
+Each optimization this round restructures HOW something is computed
+(block counts, fused single-task branches, scan-free state generation)
+while the produced relation must stay bitwise identical.  These tests
+pin that equivalence directly against the distributed formulations the
+optimizations replaced."""
+
+from __future__ import annotations
+
+from .conftest import SF_SMALL, SF_T2
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_candidate_graph_bitwise_equals_distributed(spark):
+    """_knn_candidate_pairs_fused (one task, zero exchanges) must emit
+    exactly the relation the distributed pipeline (ivf cell kernels →
+    dedup → window top-k → symmetrize → dedup) emits — bitwise s,
+    same pair set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    k = 32
+    n = ap._n_points(spark, SF_SMALL)
+    assert n <= ap._BLOCKED().SPARSE_FUSED_MAX_N  # gate engages here
+    fused = ap._knn_candidate_pairs_fused(spark, SF_SMALL, k, n)
+
+    # the distributed formulation the fused branch replaced
+    pairs = ap.ivf_candidate_pairs(spark, SF_SMALL, per_point_topk=k)
+    sym = pairs.dropDuplicates(["i", "k"])
+    w = Window.partitionBy("i").orderBy(F.desc("s"), F.asc("k"))
+    topk = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("i", "k", "s")
+    )
+    back = topk.unionByName(
+        topk.select(F.col("k").alias("i"), F.col("i").alias("k"), "s")
+    )
+    dist = back.dropDuplicates(["i", "k"])
+
+    assert _rows(fused) == _rows(dist)
+
+
+def test_knn_candidate_pairs_routes_fused_below_gate(spark):
+    """Below the gate the public entry returns the single-task plan (no
+    Exchange in the physical plan); the distributed path keeps its
+    shuffles."""
+    from affinity_propagation_mapreduce_spark.operators import ap
+
+    plan = ap.knn_candidate_pairs(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
