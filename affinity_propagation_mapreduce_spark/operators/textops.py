@@ -401,7 +401,10 @@ def q_dedup_near_minhash(
     (doc_id, text) frame — the growth-law test drives the real LSH
     pipeline over a synthetic corpus sweep.
     """
-    sh = _shingles(spark, sf_dir, docs=docs)
+    # checkpoint the exploded shingle relation: it feeds the signature
+    # build AND the verify-stage set aggregation — without the cut the
+    # explode+distinct subtree runs twice (r15 plan audit, guide §2.4)
+    sh = _shingles(spark, sf_dir, docs=docs).localCheckpoint(eager=False)
     # checkpoint before the self-join: both join sides reuse ONE
     # materialization instead of recomputing the signature subplan twice
     buckets = _minhash_band_buckets(sh).localCheckpoint(eager=False)
@@ -423,7 +426,15 @@ def q_dedup_near_minhash(
     # shingle-set arrays (JVM, per-pair) instead of re-exploding: verify
     # cost is O(|candidates| · |shingles/doc|), not another shuffle of
     # the exploded relation
-    shsets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs"))
+    # checkpoint the per-doc set dimension too: sa and sb below are two
+    # selects over it, and Catalyst plans a DAG reuse as two full copies
+    # of the aggregation subtree otherwise (r15 plan audit: the explode +
+    # ObjectHashAggregate pair appeared twice in the executed plan)
+    shsets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+        .localCheckpoint(eager=False)
+    )
     if broadcast_verify is None:
         n_docs = (
             docs if docs is not None else _docs(spark, sf_dir)
