@@ -568,12 +568,37 @@ def _reap_layout_scratch(path: str) -> None:
             continue
 
 
+# In-process model memo: a serving process keeps its index model
+# resident instead of re-collecting the centroid/codebook tables per
+# serve (two small Spark jobs, ~1 s warm at sf0.1 — r15 guide §1).  The
+# key is meta.json's stat fingerprint: model tables are
+# generation-addressed through meta (immutable once written), and every
+# mutation that changes the model (build/compact/migrate/fold) rewrites
+# meta.json atomically — so a stale hit is impossible.  Batches and
+# tombstones are NOT part of the model; serves read those relations
+# fresh every time.  This memoizes the SERVING MODEL, not any query
+# result: every serve still scans codes/tombstones and reranks from the
+# parquet inputs.
+_model_memo: dict[str, tuple[tuple, tuple]] = {}
+
+
 def load_ann_model(spark, path: str):
     """Driver-side model load: meta + centroid matrix + codebooks.
     O(nlist·d + M·KSUB·dsub) doubles = O(sqrt(N)) bytes — tiny at any
-    corpus size (1e9 points × 64 dims → ~32 MB of centroids)."""
+    corpus size (1e9 points × 64 dims → ~32 MB of centroids).  Memoized
+    per meta.json fingerprint (see _model_memo)."""
     _touch_last_read(path)  # readers stamp the layout: reap grace window
-    with open(os.path.join(path, "meta.json")) as fh:
+    meta_path = os.path.join(path, "meta.json")
+    st = os.stat(meta_path)
+    fp = (st.st_mtime_ns, st.st_size)
+    hit = _model_memo.get(path)
+    if hit is not None and hit[0] == fp:
+        meta, cent_mat, books = hit[1]
+        # fresh top-level dict per caller: the mutation flows
+        # (append/delete/compact/migrate) reassign meta keys in place
+        # before rewriting meta.json
+        return dict(meta), cent_mat, books
+    with open(meta_path) as fh:
         meta = json.load(fh)
     crows = (
         spark.read.parquet(_model_table_path(path, "centroids", meta))
@@ -589,6 +614,7 @@ def load_ann_model(spark, path: str):
     books = np.array([list(r.vec) for r in brows], dtype="f8").reshape(
         meta["m"], meta["ksub"], meta["dsub"]
     )
+    _model_memo[path] = (fp, (dict(meta), cent_mat, books))
     return meta, cent_mat, books
 
 
@@ -1225,6 +1251,21 @@ def _write_selectivity_sample(meta_df, n_rows: int, out_dir: str) -> None:
     )
 
 
+_selectivity_memo: dict[tuple, tuple] = {}
+
+
+def _sample_fingerprint(sroot: str) -> tuple:
+    """(name, mtime_ns, size) of every file under the sample dir —
+    appends/migrations that rewrite or add sample batches change it."""
+    out = []
+    for base, _dirs, files in os.walk(sroot):
+        for f in files:
+            st = os.stat(os.path.join(base, f))
+            out.append((os.path.relpath(os.path.join(base, f), sroot),
+                        st.st_mtime_ns, st.st_size))
+    return tuple(sorted(out))
+
+
 def estimate_selectivity(spark, path: str, filter_expr: str):
     """Laplace-smoothed selectivity estimate for a metadata predicate,
     from the layout's persisted hash-sample — an O(sample)=O(1) job,
@@ -1232,10 +1273,20 @@ def estimate_selectivity(spark, path: str, filter_expr: str):
     "missing" #3).  Returns None when the layout carries no sample
     (built without ``meta_cols``); staleness is bounded by the deleted
     fraction since the last rebuild/migration, inside the ±2× error
-    band the filtered-serve planner is pinned stable under."""
+    band the filtered-serve planner is pinned stable under.
+
+    Memoized per (path, predicate) against the sample FILES' stat
+    fingerprint (r15, same pattern as _model_memo): a serving process
+    estimating the same predicate re-runs the sample job only when a
+    mutation rewrote/extended the sample."""
     sroot = os.path.join(path, "sample.parquet")
     if not os.path.isdir(sroot) or not _has_parquet_files(sroot):
         return None
+    fp = _sample_fingerprint(sroot)
+    key = (path, filter_expr)
+    hit = _selectivity_memo.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
     agg = (
         spark.read.parquet(sroot)
         .agg(
@@ -1246,7 +1297,9 @@ def estimate_selectivity(spark, path: str, filter_expr: str):
         )
         .first()
     )
-    return (float(agg.q or 0) + 1.0) / (float(agg.n or 0) + 2.0)
+    est = (float(agg.q or 0) + 1.0) / (float(agg.n or 0) + 2.0)
+    _selectivity_memo[key] = (fp, est)
+    return est
 
 
 # --- filtered ANN search (r12 verdict "What's missing" #2) -------------------
