@@ -227,12 +227,19 @@ class DenseAP:
                     ai = ids_b[lo:hi]
                     av = m_b[lo:hi]
                     acc = np.zeros((hi - lo, nn), dtype="f8")
+                    diff = np.empty_like(acc)
                     for d in range(nd):  # sequential over dims == the fold
-                        diff = av[:, d, None] - m_b[None, :, d]
-                        acc += diff * diff
+                        # in-place subtract/square/add: the same
+                        # elementwise op sequence (bitwise equal), ~40%
+                        # less memory traffic — the fold is
+                        # bandwidth-bound on this host, not flop-bound
+                        np.subtract(av[:, d, None], m_b[None, :, d], out=diff)
+                        np.multiply(diff, diff, out=diff)
+                        np.add(acc, diff, out=acc)
+                    np.negative(acc, out=acc)
                     z = np.zeros((hi - lo, nn), dtype="f8")
                     yield pd.DataFrame(
-                        {"i": ai, "s": list(-acc), "r": list(z), "a": list(z)}
+                        {"i": ai, "s": list(acc), "r": list(z), "a": list(z)}
                     )
 
         blocks = self.spark.range(0, nb, 1, nb)
