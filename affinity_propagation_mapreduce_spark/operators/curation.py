@@ -443,10 +443,13 @@ def pipeline_curation_report_scaled(spark, docs):
 def _exact_jaccard_pairs(ed):
     """Token-set Jaccard >= 0.95 pairs over the survivor docs —
     q_dedup_near_jaccard's inverted-index shape, parameterized."""
+    # lazy checkpoint: dt feeds both self-join sides and the size
+    # dimension — and its parent `ed` (the survivor-doc subtree) would
+    # otherwise be recomputed with it (r15, guide §2.4)
     dt = ed.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = dt.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = dt.alias("a"), dt.alias("b")
     inter = (

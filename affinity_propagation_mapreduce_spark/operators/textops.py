@@ -172,7 +172,10 @@ def q_dedup_near_jaccard(spark, sf_dir):
     the token equi-join, union by inclusion-exclusion.  Threshold 0.95
     (FIXTURES.md fact 4: the 31-word vocabulary makes lower thresholds
     degenerate).  Jaccard is a ratio of exact ints → bitwise parity."""
-    dt = _distinct_tokens(spark, sf_dir)
+    # lazy checkpoint: dt feeds BOTH self-join sides and the size
+    # dimension — without the cut the explode subtree is planned three
+    # times (r15 plan audit, guide §2.4)
+    dt = _distinct_tokens(spark, sf_dir).localCheckpoint(eager=False)
     sizes = dt.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = dt.alias("a")
     b = dt.alias("b")
@@ -263,7 +266,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     inverted index shuffles by shingle, and rare shingles keep candidate
     fan-out near-linear; pair with MinHash banding over the SAME shingle
     sets (not token sets) when the corpus outgrows the index join."""
-    sh = _shingles(spark, sf_dir)
+    # lazy checkpoint: sh feeds both self-join sides and the size
+    # dimension (same cut as q_dedup_near_jaccard, r15)
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

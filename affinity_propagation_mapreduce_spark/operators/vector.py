@@ -1396,11 +1396,14 @@ def q_ann_lsh_cosine(spark, sf_dir):
     replicates the approximation bit-for-bit (hash-checked like
     knn_cosine_ivf)."""
     emb = _emb(spark, sf_dir)
+    # lazy checkpoint: norms feeds the banded signature build AND both
+    # verify-join sides (ea/eb) — the interpreted norm fold would
+    # otherwise run three times over the corpus (r15, guide §2.4)
     norms = emb.select(
         "vec_id",
         "emb",
         F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
-    )
+    ).localCheckpoint(eager=False)
     band_cols = []
     for b in range(LSH_BANDS):
         bits = []
@@ -1412,9 +1415,13 @@ def q_ann_lsh_cosine(spark, sf_dir):
         for extra in bits[1:]:
             bucket = bucket + extra
         band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    # lazy checkpoint: sig's per-band dot folds are the expensive part
+    # and both self-join sides read it (r15, guide §2.4)
     sig = norms.select(
         "vec_id", F.explode(F.array(*band_cols)).alias("s")
-    ).select("vec_id", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket"))
+    ).select(
+        "vec_id", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket")
+    ).localCheckpoint(eager=False)
     a = sig.alias("a")
     b_ = sig.alias("b")
     cand = (
