@@ -536,6 +536,9 @@ def q_dedup_incremental(spark, sf_dir):
     sh_new = _shingles(spark, sf_dir, docs=docs.where(is_new))
     sh_old = _shingles(spark, sf_dir, docs=docs.where(~is_new))
     sh_new = sh_new.localCheckpoint(eager=False)  # buckets + sets: one build
+    # the INDEX side too (r15): bo and sets_old both read it — without
+    # the cut the 90%-of-corpus shingle explode runs twice
+    sh_old = sh_old.localCheckpoint(eager=False)
     bn = _minhash_band_buckets(sh_new).select(
         F.col("doc_id").alias("new_doc_id"), "band", "bucket"
     )
