@@ -1463,7 +1463,12 @@ def _ckey(spark: SparkSession, sf_dir: str, *parts) -> tuple:
 def _n_points(spark: SparkSession, sf_dir: str) -> int:
     key = _ckey(spark, sf_dir, "n")
     if key not in _cache:
-        _cache[key] = table(spark, sf_dir, "embeddings").count()
+        from ..sources.tables import table_rows
+
+        # footer-metadata count (exact, no Spark job — r15): the bench
+        # clears caches between queries, so this ran as a fresh count
+        # job on every AP query
+        _cache[key] = table_rows(sf_dir, "embeddings")
     return _cache[key]
 
 

@@ -76,13 +76,15 @@ def corpus_rows(spark, sf_dir: str, table_name: str = "embeddings") -> int:
         _dir_fingerprint(sf_dir, table_name),
     )
     if key not in _n_cache:
-        from ..sources import table
+        from ..sources.tables import table_rows
 
         # evict superseded fingerprints for the same table so
         # regenerations don't accumulate dead entries
         for old in [k for k in _n_cache if k[:3] == key[:3]]:
             del _n_cache[old]
-        _n_cache[key] = table(spark, sf_dir, table_name).count()
+        # footer-metadata count: same exact number as a metadata-only
+        # df.count(), no Spark job (r15)
+        _n_cache[key] = table_rows(sf_dir, table_name)
     return _n_cache[key]
 
 

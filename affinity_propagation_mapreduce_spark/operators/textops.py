@@ -441,9 +441,12 @@ def q_dedup_near_minhash(
         .localCheckpoint(eager=False)
     )
     if broadcast_verify is None:
-        n_docs = (
-            docs if docs is not None else _docs(spark, sf_dir)
-        ).count()
+        if docs is not None:
+            n_docs = docs.count()
+        else:
+            from ..sources.tables import table_rows
+
+            n_docs = table_rows(sf_dir, "documents")  # footer read (r15)
         broadcast_verify = n_docs <= _MINHASH_BROADCAST_MAX_DOCS
     hint = F.broadcast if broadcast_verify else (lambda df: df)
     sa = shsets.select(F.col("doc_id").alias("doc_lo"), F.col("shs").alias("shs_lo"))

@@ -8,6 +8,9 @@ handles partitioned layouts and object storage without code changes.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,3 +62,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so spark.sql() can see them."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet FOOTER metadata — the same number
+    a metadata-only ``df.count()`` returns, without a Spark job (r15,
+    guide §5: row-count gates are driver-side planning decisions; a
+    footer read is microseconds vs a ~0.2-0.4 s count job, and several
+    operators gate on it per query)."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(
+                os.path.join(path, "**", "*.parquet"), recursive=True
+            )
+        )
+    return pq.ParquetFile(path).metadata.num_rows
