@@ -50,13 +50,20 @@ def bench_queries():
         return res
 
     qs["knn_cosine_filtered_served"] = _filtered_served
-    return {name: qs[name] for name in bench.HEADLINE}
+    headline = {name: qs[name] for name in bench.HEADLINE}
+    # non-headline names (touched non-bench operators) resolve from the
+    # full registry so their evidence plans can be dumped too
+    headline.update(
+        {k: v for k, v in qs.items() if k not in headline}
+    )
+    return headline
 
 
 def main() -> None:
     tag = sys.argv[1]
     assert tag in ("before", "after"), "tag must be before|after"
-    names = sys.argv[2:]
+    import bench
+    names = sys.argv[2:] or list(bench.HEADLINE)
     os.makedirs(OUT_DIR, exist_ok=True)
     spark = get_spark("dump-r15-plans")
     spark.sparkContext.setLogLevel("ERROR")
