@@ -57,3 +57,49 @@ def test_knn_candidate_pairs_routes_fused_below_gate(spark):
     plan = ap.knn_candidate_pairs(spark, SF_T2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_table_rows_matches_count(spark):
+    """Footer-metadata row counts must equal the Spark count for every
+    table the gates consult."""
+    from affinity_propagation_mapreduce_spark.sources import table
+    from affinity_propagation_mapreduce_spark.sources.tables import table_rows
+
+    for name in ("embeddings", "documents"):
+        assert table_rows(SF_SMALL, name) == table(spark, SF_SMALL, name).count()
+
+
+def test_model_memo_invalidates_on_meta_rewrite(spark, tmp_path):
+    """The serving-model memo must return the NEW model after any
+    mutation that rewrites meta.json (here: a direct rewrite bumping the
+    mtime fingerprint), and identical arrays on a clean hit."""
+    import json
+    import os
+    import time
+
+    import numpy as np
+
+    from affinity_propagation_mapreduce_spark.operators import ann_index as ann
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    path = str(tmp_path / "memo-layout")
+    ann.build_ann_index(
+        spark, SF_SMALL, path=path,
+        emb_raw=table(spark, SF_SMALL, "embeddings"),
+    )
+    m1 = ann.load_ann_model(spark, path)
+    m2 = ann.load_ann_model(spark, path)  # memo hit
+    assert m1[0] == m2[0]
+    assert np.array_equal(m1[1], m2[1]) and np.array_equal(m1[2], m2[2])
+    # returned meta is a caller-owned copy: mutating it must not leak
+    m2[0]["n"] = -1
+    assert ann.load_ann_model(spark, path)[0]["n"] != -1
+    # meta.json rewrite (new mtime) invalidates the memo
+    mp = os.path.join(path, "meta.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    meta["n"] = 12345
+    time.sleep(0.01)
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    assert ann.load_ann_model(spark, path)[0]["n"] == 12345
