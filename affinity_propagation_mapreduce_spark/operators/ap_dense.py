@@ -63,6 +63,19 @@ BLOCKED_MAX_N = 10_000  # N² kernel work + 2 resident N² states bound this
 # build + T iterations + assignment fuses into a single job (~3 MB at
 # 4k points, k=32) — see cluster_sparse_blocked's fused-small branch
 SPARSE_FUSED_MAX_N = 4_000
+# NOTE (r15 optimization round, measured negative): a dense fused-small
+# branch — the whole retain=False chain (similarity + preference + T
+# iterations) as ONE single-task job, bitwise-emulating the per-block
+# column-sum order — was implemented, proven row-identical at sf0.1 on
+# all 8 ap_* declared queries, and REVERTED: at N=2000 the single-core
+# kernel is ~3.7 s and shipping the 96 MB state out of one Python
+# worker adds ~2.5 s single-threaded Arrow/JVM work, vs ~4.4 s for the
+# whole distributed fused loop (bench reading with the branch: 8.5 s).
+# Unlike the sparse ragged state (~3 MB at the SPARSE_FUSED_MAX_N gate),
+# the dense N² state is big enough that per-task parallelism still pays
+# at every N where retain=False runs (N > _CHAIN_RETAIN_MAX_N).  The
+# surviving piece is the masked-max _r_block below, which the fused
+# experiment surfaced.
 _TARGET_BLOCK_BYTES = 64 << 20  # per-task state footprint bound (3 N-arrays/row)
 # Work floor per block: the JVM↔Python handshake is paid per TASK, so
 # splitting a small state across every core is a net loss (measured on
@@ -88,14 +101,23 @@ def _n_blocks(spark: SparkSession, n: int) -> int:
 def _r_block(s: np.ndarray, r: np.ndarray, a: np.ndarray, lam: float) -> np.ndarray:
     """Damped responsibility update for a block of rows — the exact
     ``ap_numpy_oracle.iterate`` formulation (row-local, so identical on
-    blocks and on the full matrix)."""
-    n = s.shape[1]
+    blocks and on the full matrix).
+
+    The 2nd-largest-including-duplicates is a masked max (blank the
+    argmax slot, take the row max again) rather than the previous
+    ``np.partition(asv, n-2, axis=1)``: both SELECT the same element, so
+    the value is bitwise identical (pinned by the round-8 equality
+    tests), but the partition materializes a full sorted-split copy of
+    the block per call — measured 1.7 s vs 0.04 s on a 2000² block
+    (guide §1.2 "per-task work"; ``asv`` is local, so the in-place
+    blanking is safe)."""
     asv = a + s
     arg1 = asv.argmax(1)
     rows = np.arange(s.shape[0])
-    m1 = asv[rows, arg1]
-    m2 = np.partition(asv, n - 2, axis=1)[:, n - 2]  # 2nd largest incl dups
-    excl = np.repeat(m1[:, None], n, axis=1)
+    m1 = asv[rows, arg1].copy()
+    asv[rows, arg1] = -np.inf
+    m2 = asv.max(1)  # 2nd largest incl dups (max is blanked at ONE slot)
+    excl = np.repeat(m1[:, None], s.shape[1], axis=1)
     excl[rows, arg1] = m2
     return lam * r + (1 - lam) * (s - excl)
 

@@ -328,6 +328,15 @@ N_HASHES = 32
 N_BANDS = 8
 MINHASH_PRIME = 2147483647  # 2^31-1; (ha + 31*hb) < 2^53 stays exact int64
 _MINHASH_BROADCAST_MAX_DOCS = 1_000_000  # ≈ dimension-table broadcast cap
+# input-width floor for the map-heavy minhash stages (guide §2.5): the
+# oracle-sf documents table is ONE parquet file, so the shingle explode,
+# per-shingle md5 hashing and the 32-way signature partial-agg all
+# inherit a single partition and run one-threaded regardless of core
+# count.  Docs are hash-repartitioned to ceil(n_docs / this) tasks,
+# capped at defaultParallelism — derived from problem size (a 100 TB
+# corpus arrives multi-file and never triggers it), keyed on doc_id (a
+# deterministic key, never round-robin — guide §2.5 retry safety).
+_MINHASH_DOCS_PER_TASK = 128
 
 
 def _minhash_band_buckets(sh):
@@ -406,10 +415,30 @@ def q_dedup_near_minhash(
     (doc_id, text) frame — the growth-law test drives the real LSH
     pipeline over a synthetic corpus sweep.
     """
+    # input width (guide §2.5, r15 session 3): at oracle SFs the source
+    # is one parquet file and EVERY stage of this pipeline inherited a
+    # single partition (measured: the whole query ran one-threaded).
+    # Hash-repartition the doc rows (5000 rows — far cheaper to shuffle
+    # than the ~50× larger exploded shingle relation) so the explode,
+    # md5 hashing, signature partial-agg and verify intersects
+    # parallelize; values are row-local / order-free (min over exact
+    # ints, set semantics), so the result is unchanged.
+    from ..sources.tables import table_rows
+
+    n_docs = docs.count() if docs is not None else table_rows(
+        sf_dir, "documents"
+    )
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        n_docs // _MINHASH_DOCS_PER_TASK,
+    ))
+    src = docs if docs is not None else _docs(spark, sf_dir)
+    if width > 1:
+        src = src.repartition(width, "doc_id")
     # checkpoint the exploded shingle relation: it feeds the signature
     # build AND the verify-stage set aggregation — without the cut the
     # explode+distinct subtree runs twice (r15 plan audit, guide §2.4)
-    sh = _shingles(spark, sf_dir, docs=docs).localCheckpoint(eager=False)
+    sh = _shingles(spark, sf_dir, docs=src).localCheckpoint(eager=False)
     # checkpoint before the self-join: both join sides reuse ONE
     # materialization instead of recomputing the signature subplan twice
     buckets = _minhash_band_buckets(sh).localCheckpoint(eager=False)
@@ -441,12 +470,7 @@ def q_dedup_near_minhash(
         .localCheckpoint(eager=False)
     )
     if broadcast_verify is None:
-        if docs is not None:
-            n_docs = docs.count()
-        else:
-            from ..sources.tables import table_rows
-
-            n_docs = table_rows(sf_dir, "documents")  # footer read (r15)
+        # n_docs computed once above (footer read / docs.count, r15)
         broadcast_verify = n_docs <= _MINHASH_BROADCAST_MAX_DOCS
     hint = F.broadcast if broadcast_verify else (lambda df: df)
     sa = shsets.select(F.col("doc_id").alias("doc_lo"), F.col("shs").alias("shs_lo"))

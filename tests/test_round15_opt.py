@@ -59,6 +59,38 @@ def test_knn_candidate_pairs_routes_fused_below_gate(spark):
     assert "MapInPandas" in plan
 
 
+def test_r_block_masked_max_equals_partition(spark):
+    """The masked-max second-largest in _r_block must be bitwise equal to
+    the np.partition formulation it replaced (r15 optimization: the
+    partition materialized a sorted-split copy of the block per call —
+    1.7 s vs 0.04 s on a 2000² block), including duplicated-maximum rows
+    where the 'second largest' is the maximum itself."""
+    import numpy as np
+
+    from affinity_propagation_mapreduce_spark.operators import ap_dense
+
+    rng = np.random.default_rng(7)
+    lam = ap_dense.DAMPING
+    for shape in ((50, 50), (17, 403)):
+        s = rng.standard_normal(shape)
+        r = rng.standard_normal(shape)
+        a = rng.standard_normal(shape)
+        # plant duplicated row maxima: the masked max must still return
+        # the max value (one instance blanked, the duplicate remains)
+        a[3] = s[3] = 1.0
+        got = ap_dense._r_block(s, r, a, lam)
+        n = shape[1]
+        asv = a + s
+        arg1 = asv.argmax(1)
+        rows = np.arange(shape[0])
+        m1 = asv[rows, arg1]
+        m2 = np.partition(asv, n - 2, axis=1)[:, n - 2]
+        excl = np.repeat(m1[:, None], n, axis=1)
+        excl[rows, arg1] = m2
+        want = lam * r + (1 - lam) * (s - excl)
+        assert np.array_equal(got, want)
+
+
 def test_table_rows_matches_count(spark):
     """Footer-metadata row counts must equal the Spark count for every
     table the gates consult."""
