@@ -423,18 +423,15 @@ def q_dedup_near_minhash(
     # md5 hashing, signature partial-agg and verify intersects
     # parallelize; values are row-local / order-free (min over exact
     # ints, set semantics), so the result is unchanged.
-    from ..sources.tables import table_rows
+    from ..sources.tables import table_rows, widen_scan
 
     n_docs = docs.count() if docs is not None else table_rows(
         sf_dir, "documents"
     )
-    width = max(1, min(
-        spark.sparkContext.defaultParallelism,
-        n_docs // _MINHASH_DOCS_PER_TASK,
-    ))
-    src = docs if docs is not None else _docs(spark, sf_dir)
-    if width > 1:
-        src = src.repartition(width, "doc_id")
+    src = widen_scan(
+        docs if docs is not None else _docs(spark, sf_dir),
+        n_docs, _MINHASH_DOCS_PER_TASK, "doc_id",
+    )
     # checkpoint the exploded shingle relation: it feeds the signature
     # build AND the verify-stage set aggregation — without the cut the
     # explode+distinct subtree runs twice (r15 plan audit, guide §2.4)

@@ -64,6 +64,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def widen_scan(
+    df: DataFrame, n_rows: int, rows_per_task: int, *keys: str
+) -> DataFrame:
+    """Hash-repartition an under-split relation to a problem-derived
+    width (guide §2.5 input parallelism): oracle-SF tables arrive as ONE
+    parquet file, so every downstream map stage — broadcast-join probes,
+    partial aggregations, per-row hashing — inherits a single partition
+    and runs one-threaded at any core count, and AQE only ever coalesces
+    tiny shuffles back DOWN.  Width = n_rows / rows_per_task, capped at
+    defaultParallelism.  The repartition only ever WIDENS: a multi-file
+    production input whose scan already splits at least that wide is
+    returned untouched, so no exchange is added at scale.  ``keys`` must
+    be deterministic columns (hash partitioning, never round-robin —
+    guide §2.5: retried tasks must reproduce the same row placement)."""
+    width = max(
+        1,
+        min(
+            df.sparkSession.sparkContext.defaultParallelism,
+            int(n_rows) // int(rows_per_task),
+        ),
+    )
+    if width > 1 and width > df.rdd.getNumPartitions():
+        return df.repartition(width, *keys)
+    return df
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Exact row count from the parquet FOOTER metadata — the same number
     a metadata-only ``df.count()`` returns, without a Spark job (r15,
