@@ -571,50 +571,119 @@ def _reap_layout_scratch(path: str) -> None:
 # In-process model memo: a serving process keeps its index model
 # resident instead of re-collecting the centroid/codebook tables per
 # serve (two small Spark jobs, ~1 s warm at sf0.1 — r15 guide §1).  The
-# key is meta.json's stat fingerprint: model tables are
-# generation-addressed through meta (immutable once written), and every
-# mutation that changes the model (build/compact/migrate/fold) rewrites
-# meta.json atomically — so a stale hit is impossible.  Batches and
-# tombstones are NOT part of the model; serves read those relations
-# fresh every time.  This memoizes the SERVING MODEL, not any query
-# result: every serve still scans codes/tombstones and reranks from the
-# parquet inputs.
-_model_memo: dict[str, tuple[tuple, tuple]] = {}
+# key is meta.json's CONTENT (r16, advice r15 #2: a stat fingerprint
+# rides the coarse mtime clock, so two same-size rewrites within one
+# tick could serve a stale model; the file is tiny, so the bytes ARE
+# the fingerprint): model tables are generation-addressed through meta
+# (immutable once written), and every mutation that changes the model
+# (build/compact/migrate/fold) rewrites meta.json atomically — so a
+# stale hit is impossible.  Batches and tombstones are NOT part of the
+# model; serves read those relations fresh every time.  This memoizes
+# the SERVING MODEL, not any query result: every serve still scans
+# codes/tombstones and reranks from the parquet inputs.
+_model_memo: dict[str, tuple[bytes, tuple]] = {}
+_MODEL_MEMO_MAX = 32  # retired layout paths must not accumulate (advice r15 #4)
+
+
+def _read_model_arrays_arrow(path: str, meta: dict):
+    """Driver-side pyarrow read of the two tiny model tables — the same
+    doubles the Spark orderBy+collect produced (they are plain
+    array<double> parquet columns), without the two Spark jobs the cold
+    load paid (~1.1 s at sf0.1 — r16, guide §5: model load is
+    driver/planning work; the tables are O(sqrt(N)) bytes).  Returns
+    None when the tables are not locally readable parquet (the caller
+    falls back to the Spark collect path)."""
+    import glob as _glob
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _read(table_path: str):
+            if os.path.isfile(table_path):
+                return pq.read_table(table_path)
+            files = sorted(
+                _glob.glob(
+                    os.path.join(table_path, "**", "*.parquet"), recursive=True
+                )
+            )
+            if not files:
+                return None
+            return pa.concat_tables(pq.read_table(f) for f in files)
+
+        ct = _read(_model_table_path(path, "centroids", meta))
+        bt = _read(_model_table_path(path, "codebooks", meta))
+        if ct is None or bt is None:
+            return None
+        cells = ct.column("cell").to_numpy()
+        cvals = ct.column("c_emb").combine_chunks()
+        cflat = cvals.values.to_numpy(zero_copy_only=False).astype(
+            "f8", copy=False
+        )
+        if len(cells) == 0 or cflat.size % len(cells) != 0:
+            return None
+        cent = cflat.reshape(len(cells), cflat.size // len(cells))
+        cent_mat = np.ascontiguousarray(cent[np.argsort(cells)])
+        ms = bt.column("m").to_numpy()
+        codes = bt.column("code").to_numpy()
+        bvals = bt.column("vec").combine_chunks()
+        bflat = bvals.values.to_numpy(zero_copy_only=False).astype(
+            "f8", copy=False
+        )
+        if len(ms) == 0 or bflat.size % len(ms) != 0:
+            return None
+        rows = bflat.reshape(len(ms), bflat.size // len(ms))
+        order = np.lexsort((codes, ms))  # == orderBy("m", "code")
+        books = np.ascontiguousarray(rows[order]).reshape(
+            meta["m"], meta["ksub"], meta["dsub"]
+        )
+        return cent_mat, books
+    except Exception:
+        return None
 
 
 def load_ann_model(spark, path: str):
     """Driver-side model load: meta + centroid matrix + codebooks.
     O(nlist·d + M·KSUB·dsub) doubles = O(sqrt(N)) bytes — tiny at any
     corpus size (1e9 points × 64 dims → ~32 MB of centroids).  Memoized
-    per meta.json fingerprint (see _model_memo)."""
+    per meta.json content (see _model_memo)."""
     _touch_last_read(path)  # readers stamp the layout: reap grace window
     meta_path = os.path.join(path, "meta.json")
-    st = os.stat(meta_path)
-    fp = (st.st_mtime_ns, st.st_size)
+    with open(meta_path, "rb") as fh:
+        meta_bytes = fh.read()
     hit = _model_memo.get(path)
-    if hit is not None and hit[0] == fp:
-        meta, cent_mat, books = hit[1]
-        # fresh top-level dict per caller: the mutation flows
-        # (append/delete/compact/migrate) reassign meta keys in place
-        # before rewriting meta.json
-        return dict(meta), cent_mat, books
-    with open(meta_path) as fh:
-        meta = json.load(fh)
-    crows = (
-        spark.read.parquet(_model_table_path(path, "centroids", meta))
-        .orderBy("cell")
-        .collect()
-    )
-    cent_mat = np.array([list(r.c_emb) for r in crows], dtype="f8")
-    brows = (
-        spark.read.parquet(_model_table_path(path, "codebooks", meta))
-        .orderBy("m", "code")
-        .collect()
-    )
-    books = np.array([list(r.vec) for r in brows], dtype="f8").reshape(
-        meta["m"], meta["ksub"], meta["dsub"]
-    )
-    _model_memo[path] = (fp, (dict(meta), cent_mat, books))
+    if hit is not None and hit[0] == meta_bytes:
+        _mb, cent_mat, books = hit[1]
+        # fresh meta dict per caller — INCLUDING nested mutables (advice
+        # r15 #1: the shallow dict() shared delete_cover/batches between
+        # the memo and every caller): re-parse from the memoized bytes
+        return json.loads(meta_bytes), cent_mat, books
+    meta = json.loads(meta_bytes)
+    arrays = _read_model_arrays_arrow(path, meta)
+    if arrays is not None:
+        cent_mat, books = arrays
+    else:
+        crows = (
+            spark.read.parquet(_model_table_path(path, "centroids", meta))
+            .orderBy("cell")
+            .collect()
+        )
+        cent_mat = np.array([list(r.c_emb) for r in crows], dtype="f8")
+        brows = (
+            spark.read.parquet(_model_table_path(path, "codebooks", meta))
+            .orderBy("m", "code")
+            .collect()
+        )
+        books = np.array([list(r.vec) for r in brows], dtype="f8").reshape(
+            meta["m"], meta["ksub"], meta["dsub"]
+        )
+    # cheap defense: a future in-place edit of the arrays must fail loud
+    # rather than silently poison the process-wide cache (advice r15 #1)
+    cent_mat.setflags(write=False)
+    books.setflags(write=False)
+    while len(_model_memo) >= _MODEL_MEMO_MAX:  # advice r15 #4
+        _model_memo.pop(next(iter(_model_memo)))
+    _model_memo[path] = (meta_bytes, (meta_bytes, cent_mat, books))
     return meta, cent_mat, books
 
 
@@ -1252,6 +1321,7 @@ def _write_selectivity_sample(meta_df, n_rows: int, out_dir: str) -> None:
 
 
 _selectivity_memo: dict[tuple, tuple] = {}
+_SELECTIVITY_MEMO_MAX = 256  # ad-hoc predicates must not grow unbounded
 
 
 def _sample_fingerprint(sroot: str) -> tuple:
@@ -1287,6 +1357,13 @@ def estimate_selectivity(spark, path: str, filter_expr: str):
     hit = _selectivity_memo.get(key)
     if hit is not None and hit[0] == fp:
         return hit[1]
+    if hit is not None:  # sample rewritten: every estimate for this
+        # path is stale — evict them all (the ivf._n_cache pattern,
+        # advice r15 #4) instead of letting superseded entries pile up
+        for k in [k for k in _selectivity_memo if k[0] == path]:
+            _selectivity_memo.pop(k)
+    while len(_selectivity_memo) >= _SELECTIVITY_MEMO_MAX:
+        _selectivity_memo.pop(next(iter(_selectivity_memo)))
     agg = (
         spark.read.parquet(sroot)
         .agg(
@@ -1549,7 +1626,50 @@ def serve_topk_filtered(
     )
 
 
+def _query_rows_arrow(sf_dir, n_queries):
+    """Driver-side pyarrow read of the |Q| query rows (row-group
+    predicate pushdown on vec_id), with the norm computed as the SAME
+    sequential left fold of squares the JVM ``_fold_sum`` runs —
+    per-dimension acc += x·x in f8, so the doubles are bitwise equal
+    (pinned by tests/test_round16_opt.py against the collect path).
+    Returns None when the source is not locally readable parquet — the
+    caller falls back to the Spark collect (r16, guide §5: a 10-row
+    query fetch was a full Spark job per serve)."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/embeddings.parquet"
+        if not os.path.exists(path):
+            return None
+        tbl = pq.read_table(
+            path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", int(n_queries))],
+        )
+        qids = tbl.column("vec_id").to_numpy()
+        col = tbl.column("embedding").combine_chunks()
+        n = len(qids)
+        if n == 0:
+            return None
+        flat = col.values.to_numpy(zero_copy_only=False)
+        if flat.size % n != 0:
+            return None
+        qmat = flat.astype("f8", copy=False).reshape(n, flat.size // n)
+        order = np.argsort(qids)
+        qids = qids[order].astype("i8", copy=False)
+        qmat = np.ascontiguousarray(qmat[order])
+        acc = np.zeros(n, dtype="f8")
+        for d in range(qmat.shape[1]):  # sequential over dims == the fold
+            acc += qmat[:, d] * qmat[:, d]
+        return qids, qmat, np.sqrt(acc)
+    except Exception:
+        return None
+
+
 def _query_rows(spark, sf_dir, n_queries=N_QUERIES):
+    got = _query_rows_arrow(sf_dir, n_queries)
+    if got is not None:
+        return got
     rows = (
         _norms(spark, sf_dir)
         .where(F.col("vec_id") < n_queries)

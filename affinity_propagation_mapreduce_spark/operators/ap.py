@@ -978,6 +978,11 @@ def _knn_candidate_pairs_fused(
         ii = np.concatenate(out_i)
         kk = np.concatenate(out_k)
         ss = np.concatenate(out_s)
+        if ii.size == 0:  # every cell emitted zero kept pairs (e.g. N=1:
+            # the only pair is a self-pair) — mirror the distributed
+            # path's empty relation instead of ii.max() raising
+            # (advice r15 #3)
+            return
         # cross-cell dedup (a pair may meet in several cells; duplicate
         # rows carry bitwise-equal s) — dropDuplicates(["i","k"])
         m_key = max(int(ii.max()), int(kk.max())) + 1

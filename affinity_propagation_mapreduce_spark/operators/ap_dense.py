@@ -49,6 +49,8 @@ and the sparse/IVF path (``ap.cluster_sparse``) take over.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +89,50 @@ _TARGET_BLOCK_BYTES = 64 << 20  # per-task state footprint bound (3 N-arrays/row
 _MIN_BLOCK_BYTES = 8 << 20
 
 _STATE_SCHEMA = "i long, s array<double>, r array<double>, a array<double>"
+
+
+def _load_embeddings_arrow(sf_dir: str):
+    """Driver-side (ids, matrix) load of the O(N·d) embeddings dimension
+    table via pyarrow — the same doubles the Spark collect produced (the
+    f4→f8 widening is exact), without the collect's Spark job (guide §5:
+    the table is driver-resident model input either way — it is broadcast
+    whole).  Only ever called below BLOCKED_MAX_N (≤10k rows).  Returns
+    None when the source is not a locally readable parquet file/dir, and
+    the caller falls back to the Spark collect."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/embeddings.parquet"
+        if os.path.isdir(path):
+            files = sorted(
+                _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            if not files:
+                return None
+            import pyarrow as pa
+
+            tbl = pa.concat_tables(
+                [pq.read_table(f, columns=["vec_id", "embedding"]) for f in files]
+            )
+        elif os.path.isfile(path):
+            tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+        else:
+            return None
+        ids = tbl.column("vec_id").to_numpy()
+        col = tbl.column("embedding").combine_chunks()
+        n = len(ids)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        if n == 0 or flat.size % n != 0:
+            return None  # ragged/empty: let the Spark path decide
+        mat = flat.astype("f8", copy=False).reshape(n, flat.size // n)
+        order = np.argsort(ids)
+        return ids[order].astype("i8", copy=False), np.ascontiguousarray(
+            mat[order]
+        )
+    except Exception:
+        return None
 
 
 def _n_blocks(spark: SparkSession, n: int) -> int:
@@ -186,12 +232,22 @@ class DenseAP:
 
         self.spark = spark
         self.sf_dir = sf_dir
-        emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-        rows = emb.collect()  # the small O(N·d) dimension table
-        order = np.argsort(np.array([r.vec_id for r in rows], dtype="i8"))
-        self.ids = np.array([rows[j].vec_id for j in order], dtype="i8")
-        mat = np.array([rows[j].embedding for j in order], dtype="f8")
+        loaded = _load_embeddings_arrow(sf_dir)
+        if loaded is None:  # non-local / unreadable source: Spark collect
+            emb = table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding"
+            )
+            rows = emb.collect()  # the small O(N·d) dimension table
+            order = np.argsort(np.array([r.vec_id for r in rows], dtype="i8"))
+            self.ids = np.array([rows[j].vec_id for j in order], dtype="i8")
+            mat = np.array([rows[j].embedding for j in order], dtype="f8")
+        else:
+            self.ids, mat = loaded
         self.n = len(self.ids)
+        # full s matrix (rows in ids order), held once the preference
+        # collect has paid for it (small-N only) — feeds the driver-side
+        # bootstrap column stats (see _bootstrap_stats)
+        self._s_full: np.ndarray | None = None
         self.bc = spark.sparkContext.broadcast((self.ids, mat))
         self.nb = _n_blocks(spark, self.n)
         self._state0: DataFrame | None = None
@@ -214,16 +270,32 @@ class DenseAP:
             except Exception:
                 pass
             self._state0 = None
+        self._s_full = None
 
     # -- zero state ----------------------------------------------------
 
     def state0(self) -> DataFrame:
         """(i, s row, r=0, a=0) with the RAW diagonal (s(i,i) = -0.0);
         kernels patch the diagonal to the preference at use, so one zero
-        state serves every (pref, lam) chain."""
+        state serves every (pref, lam) chain.
+
+        Below the small-N collect gate the eager checkpoint job ALSO
+        side-channels each block's s matrix through an accumulator
+        (r16): the preference / bootstrap consumers then assemble the
+        full matrix driver-side from the exact f8 arrays the kernel
+        yielded — the separate ``toArrow`` collect job disappears.  The
+        bytes moved are the same ~N²·8 the collect moved; above the gate
+        no accumulator is attached and nothing is shipped."""
         if self._state0 is not None:
             return self._state0
+        from .ap import _FAST_MEDIAN_MAX_N
+
         bc = self.bc
+        s_acc = (
+            self.spark.sparkContext.accumulator({}, _PartialsAcc())
+            if self.n <= _FAST_MEDIAN_MAX_N
+            else None
+        )
 
         nb = self.nb
 
@@ -259,6 +331,8 @@ class DenseAP:
                         np.multiply(diff, diff, out=diff)
                         np.add(acc, diff, out=acc)
                     np.negative(acc, out=acc)
+                    if s_acc is not None:
+                        s_acc.add({int(blk): acc.copy()})
                     z = np.zeros((hi - lo, nn), dtype="f8")
                     yield pd.DataFrame(
                         {"i": ai, "s": list(acc), "r": list(z), "a": list(z)}
@@ -269,17 +343,37 @@ class DenseAP:
             blocks.mapInPandas(sim_kernel, schema=_STATE_SCHEMA),
             eager=True,
         )
+        if s_acc is not None and self._s_full is None:
+            parts = s_acc.value
+            rows = sum(p.shape[0] for p in parts.values())
+            if rows == self.n and all(
+                p.shape[1] == self.n for p in parts.values()
+            ):  # complete cover: blocks ascend, so key order == ids order
+                self._s_full = np.ascontiguousarray(
+                    np.concatenate([parts[b] for b in sorted(parts)])
+                )
+            # else: leave None — _collect_s_full's toArrow collect is the
+            # fallback and bitwise-identical
         return self._state0
 
     # -- preference ----------------------------------------------------
 
-    def _offdiag(self) -> np.ndarray:
+    def _collect_s_full(self) -> np.ndarray:
         """Collect the checkpointed s rows via ``toArrow`` and reshape
         the list column's flat values buffer — same doubles as the old
         toPandas path without the per-row object boxing (measured 0.27 s
-        → 0.15 s warm at N=2000; r15, guide §6 Arrow driver
-        transfers)."""
-        tbl = self.state0().select("i", "s").toArrow()
+        → 0.15 s warm at N=2000; r15, guide §6 Arrow driver transfers).
+        The full matrix (rows in ids order, RAW -0.0 diagonal) is kept on
+        the instance: it feeds both preference scalars AND the
+        driver-side bootstrap column stats (r16 — one collect, zero
+        further bootstrap jobs).  Small-N only (the caller gates on
+        ap._FAST_MEDIAN_MAX_N, the same gate the transient preference
+        collect always had)."""
+        state = self.state0()  # may populate _s_full (the eager job's
+        # accumulator side-channel) — then no collect job runs at all
+        if self._s_full is not None:
+            return self._s_full
+        tbl = state.select("i", "s").toArrow()
         iv = tbl.column("i").to_numpy()
         scol = tbl.column("s").combine_chunks()
         flat = scol.values.to_numpy(zero_copy_only=False)
@@ -287,9 +381,14 @@ class DenseAP:
             s = np.stack(scol.to_numpy(zero_copy_only=False))
         else:
             s = flat.reshape(len(iv), self.n)
-        di = np.searchsorted(self.ids, iv)
+        order = np.argsort(iv)
+        self._s_full = np.ascontiguousarray(s[order])
+        return self._s_full
+
+    def _offdiag(self) -> np.ndarray:
+        s = self._collect_s_full()
         mask = np.ones(s.shape, dtype=bool)
-        mask[np.arange(len(iv)), di] = False
+        mask[np.arange(self.n), np.arange(self.n)] = False
         return s[mask]
 
     def _offdiag_df(self) -> DataFrame:
@@ -359,6 +458,47 @@ class DenseAP:
         return self._prefs[kind]
 
     # -- iteration -----------------------------------------------------
+
+    def _bootstrap_stats(self, pref: float, lam: float):
+        """Column stats of r_1 computed ON THE DRIVER from the held s
+        matrix — bitwise the ``_col_stats(state0, ...)`` job (r16, guide
+        §4.1/§5: the bootstrap is a planning-sized computation — at the
+        small-N gate the driver already holds every input, so the
+        mapInPandas job + collect bought nothing but a task handshake).
+
+        Bitwise argument: state0's partition p is exactly the contiguous
+        ids slice [bounds[p], bounds[p+1]) in ascending-i order, so the
+        per-partition kernel ran the identical numpy ops (diag patch →
+        ``_r_block`` with r=a=0 → clipped pairwise column sum over the
+        block's rows) on the identical C-contiguous arrays; the partials
+        feed the SAME ``_combine_partials``.  Pinned by
+        tests/test_round16_opt.py against the job path.  Returns None
+        above the preference-collect gate (then the job runs, as
+        before)."""
+        from .ap import _FAST_MEDIAN_MAX_N
+
+        if self.n > _FAST_MEDIAN_MAX_N:
+            return None
+        s_full = self._collect_s_full()
+        bounds = np.linspace(0, self.n, self.nb + 1).astype("i8")
+        parts: dict[int, tuple] = {}
+        for b in range(self.nb):
+            lo, hi = int(bounds[b]), int(bounds[b + 1])
+            if lo >= hi:
+                continue
+            iv = self.ids[lo:hi]
+            s = s_full[lo:hi].copy()
+            rows = np.arange(hi - lo)
+            di = np.arange(lo, hi)
+            s[rows, di] = pref
+            z = np.zeros_like(s)
+            r_new = _r_block(s, z, z, lam)
+            diag_r = r_new[rows, di].copy()
+            rp = np.maximum(r_new, 0.0)
+            rp[rows, di] = 0.0
+            parts[int(iv.min())] = (rp.sum(0), iv, diag_r, [])
+        colsum, rkk, _ = _combine_partials(parts, self.ids)
+        return self.spark.sparkContext.broadcast((colsum, rkk))
 
     def _col_stats(self, state: DataFrame, pref: float, lam: float):
         """The MR column job: per-partition partial column sums of
@@ -526,8 +666,10 @@ class DenseAP:
         state = self.state0()
         if retain:
             states: list[DataFrame] = []
-            for _ in range(iterations):
-                stats_bc = self._col_stats(state, p, lam)
+            for it in range(iterations):
+                stats_bc = (
+                    self._bootstrap_stats(p, lam) if it == 0 else None
+                ) or self._col_stats(state, p, lam)
                 state = _ckpt(
                     self._update(state, stats_bc, p, lam), eager=False
                 )
@@ -535,7 +677,11 @@ class DenseAP:
             return states
 
         sc = self.spark.sparkContext
-        stats_bc = self._col_stats(state, p, lam)  # bootstrap: stats of r_1
+        # bootstrap: stats of r_1 — driver-side below the small-N gate
+        # (zero jobs), the _col_stats job above it
+        stats_bc = self._bootstrap_stats(p, lam) or self._col_stats(
+            state, p, lam
+        )
         prev_id: int | None = None
         ex_hint: np.ndarray | None = None
         spent: list = []  # consumed stats broadcasts, destroyed after the loop

@@ -418,8 +418,13 @@ def q_pipeline_curation_report(spark, sf_dir):
     report itself is six single-row aggregates cross-joined then
     stacked — one declarative plan, all-integer columns → fully hashed
     vs a DuckDB CTE chain."""
+    from ..sources.tables import table_rows
+
+    n_docs = table_rows(sf_dir, "documents")
     return _curation_report(
-        spark, _docs(spark, sf_dir), _exact_jaccard_pairs
+        spark,
+        _docs(spark, sf_dir),
+        lambda ed: _exact_jaccard_pairs(ed, src_rows=n_docs),
     )
 
 
@@ -440,16 +445,21 @@ def pipeline_curation_report_scaled(spark, docs):
     return _curation_report(spark, docs, pairs_of)
 
 
-def _exact_jaccard_pairs(ed):
+def _exact_jaccard_pairs(ed, src_rows: int | None = None):
     """Token-set Jaccard >= 0.95 pairs over the survivor docs —
     q_dedup_near_jaccard's inverted-index shape, parameterized."""
-    # lazy checkpoint: dt feeds both self-join sides and the size
-    # dimension — and its parent `ed` (the survivor-doc subtree) would
-    # otherwise be recomputed with it (r15, guide §2.4)
-    dt = ed.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
-    ).distinct().localCheckpoint(eager=False)
+    from ..sources.tables import dup_cut
+
+    # size-gated dup cut (r16): dt feeds both self-join sides and the
+    # size dimension — and its parent `ed` (the survivor-doc subtree)
+    # would otherwise be recomputed with it (r15, guide §2.4)
+    dt = dup_cut(
+        ed.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        ).distinct(),
+        src_rows,
+    )
     sizes = dt.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = dt.alias("a"), dt.alias("b")
     inter = (

@@ -26,16 +26,22 @@ def _docs(spark, sf_dir):
     return table(spark, sf_dir, "documents")
 
 
-def _tokens(spark, sf_dir):
-    """(doc_id, token) — one row per token occurrence."""
-    return _docs(spark, sf_dir).select(
+def _tokens(spark, sf_dir, docs=None):
+    """(doc_id, token) — one row per token occurrence.  ``docs``
+    overrides the testdata source (widened-scan callers)."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    return docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
 
 
-def _distinct_tokens(spark, sf_dir):
-    """(doc_id, token) — the token *set* per document."""
-    return _docs(spark, sf_dir).select(
+def _distinct_tokens(spark, sf_dir, docs=None):
+    """(doc_id, token) — the token *set* per document.  ``docs``
+    overrides the testdata source (widened-scan callers)."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    return docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
     )
@@ -60,9 +66,22 @@ GROUP BY token
 # --- D2 TF-IDF top term per document ---------------------------------------
 
 def q_tfidf_topterms(spark, sf_dir):
-    """tf·idf with idf = ln(N/df); top term per doc, ties → term asc."""
-    toks = _tokens(spark, sf_dir)
+    """tf·idf with idf = ln(N/df); top term per doc, ties → term asc.
+
+    Input width (guide §2.5, verdict r15 #8): the token explode and the
+    tf/df partial aggregations inherit the oracle-sf single-file scan's
+    ONE partition — the guarded widen parallelizes them and is a no-op
+    on a multi-file production scan.  Every value is an exact-int count
+    or a per-row function of exact ints (tf·ln(N/df)), so the result is
+    partitioning-independent."""
+    from ..sources.tables import table_rows, widen_scan
+
     docs = _docs(spark, sf_dir)
+    n_rows = table_rows(sf_dir, "documents")
+    toks = _tokens(
+        spark, sf_dir,
+        docs=widen_scan(docs, n_rows, _MINHASH_DOCS_PER_TASK, "doc_id"),
+    )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = (
         toks.select("doc_id", "token")
@@ -172,10 +191,21 @@ def q_dedup_near_jaccard(spark, sf_dir):
     the token equi-join, union by inclusion-exclusion.  Threshold 0.95
     (FIXTURES.md fact 4: the 31-word vocabulary makes lower thresholds
     degenerate).  Jaccard is a ratio of exact ints → bitwise parity."""
-    # lazy checkpoint: dt feeds BOTH self-join sides and the size
-    # dimension — without the cut the explode subtree is planned three
-    # times (r15 plan audit, guide §2.4)
-    dt = _distinct_tokens(spark, sf_dir).localCheckpoint(eager=False)
+    # size-gated dup cut (r16): dt feeds BOTH self-join sides and the
+    # size dimension — without the cut the explode subtree is planned
+    # three times (r15 plan audit, guide §2.4); above the gate each
+    # consumer recomputes instead (executor-loss safety, guide §5).
+    # Input width (guide §2.5, verdict r15 #8): the oracle-sf documents
+    # table is ONE parquet file, so the explode + both join probes ran
+    # one-threaded; the guarded widen adds nothing on a multi-file scan.
+    # Values are row-local / integer-ratio Jaccard → order-free.
+    from ..sources.tables import dup_cut, table_rows, widen_scan
+
+    n_docs = table_rows(sf_dir, "documents")
+    src = widen_scan(
+        _docs(spark, sf_dir), n_docs, _MINHASH_DOCS_PER_TASK, "doc_id"
+    )
+    dt = dup_cut(_distinct_tokens(spark, sf_dir, docs=src), n_docs)
     sizes = dt.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = dt.alias("a")
     b = dt.alias("b")
@@ -266,9 +296,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     inverted index shuffles by shingle, and rare shingles keep candidate
     fan-out near-linear; pair with MinHash banding over the SAME shingle
     sets (not token sets) when the corpus outgrows the index join."""
-    # lazy checkpoint: sh feeds both self-join sides and the size
-    # dimension (same cut as q_dedup_near_jaccard, r15)
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    # size-gated dup cut (r16): sh feeds both self-join sides and the
+    # size dimension (same cut as q_dedup_near_jaccard, r15); guarded
+    # input widen as in q_dedup_near_jaccard (order-free integer ratios)
+    from ..sources.tables import dup_cut, table_rows, widen_scan
+
+    n_docs = table_rows(sf_dir, "documents")
+    src = widen_scan(
+        _docs(spark, sf_dir), n_docs, _MINHASH_DOCS_PER_TASK, "doc_id"
+    )
+    sh = dup_cut(_shingles(spark, sf_dir, docs=src), n_docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -432,13 +469,16 @@ def q_dedup_near_minhash(
         docs if docs is not None else _docs(spark, sf_dir),
         n_docs, _MINHASH_DOCS_PER_TASK, "doc_id",
     )
-    # checkpoint the exploded shingle relation: it feeds the signature
-    # build AND the verify-stage set aggregation — without the cut the
-    # explode+distinct subtree runs twice (r15 plan audit, guide §2.4)
-    sh = _shingles(spark, sf_dir, docs=src).localCheckpoint(eager=False)
-    # checkpoint before the self-join: both join sides reuse ONE
+    # size-gated dup cut (r16) on the exploded shingle relation: it
+    # feeds the signature build AND the verify-stage set aggregation —
+    # without the cut the explode+distinct subtree runs twice (r15 plan
+    # audit, guide §2.4); above the gate each consumer recomputes
+    from ..sources.tables import dup_cut
+
+    sh = dup_cut(_shingles(spark, sf_dir, docs=src), n_docs)
+    # cut before the self-join too: both join sides reuse ONE
     # materialization instead of recomputing the signature subplan twice
-    buckets = _minhash_band_buckets(sh).localCheckpoint(eager=False)
+    buckets = dup_cut(_minhash_band_buckets(sh), n_docs)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -461,10 +501,9 @@ def q_dedup_near_minhash(
     # selects over it, and Catalyst plans a DAG reuse as two full copies
     # of the aggregation subtree otherwise (r15 plan audit: the explode +
     # ObjectHashAggregate pair appeared twice in the executed plan)
-    shsets = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shs"))
-        .localCheckpoint(eager=False)
+    shsets = dup_cut(
+        sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shs")),
+        n_docs,
     )
     if broadcast_verify is None:
         # n_docs computed once above (footer read / docs.count, r15)
@@ -555,14 +594,18 @@ def q_dedup_incremental(spark, sf_dir):
     dimension can never broadcast at 100 TB).  → hashed."""
     from .sampling import _bucket
 
+    from ..sources.tables import dup_cut, table_rows
+
     docs = _docs(spark, sf_dir)
+    n_docs = table_rows(sf_dir, "documents")
     is_new = _bucket(F.col("doc_id")) < INCR_NEW_BUCKETS
     sh_new = _shingles(spark, sf_dir, docs=docs.where(is_new))
     sh_old = _shingles(spark, sf_dir, docs=docs.where(~is_new))
-    sh_new = sh_new.localCheckpoint(eager=False)  # buckets + sets: one build
-    # the INDEX side too (r15): bo and sets_old both read it — without
-    # the cut the 90%-of-corpus shingle explode runs twice
-    sh_old = sh_old.localCheckpoint(eager=False)
+    # size-gated dup cuts (r16): buckets + sets each read one build; the
+    # INDEX side is ~90% of the corpus, so its cut is the first to yield
+    # to the gate at scale (production keeps persisted signatures anyway)
+    sh_new = dup_cut(sh_new, n_docs)
+    sh_old = dup_cut(sh_old, n_docs)
     bn = _minhash_band_buckets(sh_new).select(
         F.col("doc_id").alias("new_doc_id"), "band", "bucket"
     )
@@ -1523,19 +1566,27 @@ def q_span_dedup(spark, sf_dir, docs=None):
     ``docs`` overrides the testdata source with a caller-supplied
     (doc_id, text) frame (tools/text_scale_run.py drives the real
     pipeline at 500k synthesized docs)."""
+    from ..sources.tables import dup_cut, table_rows
+
     if docs is None:
         docs = _docs(spark, sf_dir)
+        n_docs = table_rows(sf_dir, "documents")
+    else:
+        n_docs = None  # caller-supplied frame: small by convention
     toks = F.split("text", " ")
     n = F.size(toks)
-    grams = docs.where(n >= SPAN_K).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n - (SPAN_K - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_K)),
-            )
-        ).alias("gram"),
-    ).localCheckpoint(eager=False)  # one explode feeds DF agg + join probe
+    grams = dup_cut(
+        docs.where(n >= SPAN_K).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (SPAN_K - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, SPAN_K)),
+                )
+            ).alias("gram"),
+        ),
+        n_docs,
+    )  # one explode feeds DF agg + join probe
     gram_df = (
         grams.distinct()  # (doc_id, gram) set → rows per gram = distinct docs
         .groupBy("gram")

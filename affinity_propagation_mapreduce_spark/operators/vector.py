@@ -1395,15 +1395,21 @@ def q_ann_lsh_cosine(spark, sf_dir):
     for dense embeddings.  Every stage is deterministic, so the oracle
     replicates the approximation bit-for-bit (hash-checked like
     knn_cosine_ivf)."""
+    from ..sources.tables import dup_cut, table_rows
+
     emb = _emb(spark, sf_dir)
-    # lazy checkpoint: norms feeds the banded signature build AND both
-    # verify-join sides (ea/eb) — the interpreted norm fold would
-    # otherwise run three times over the corpus (r15, guide §2.4)
-    norms = emb.select(
-        "vec_id",
-        "emb",
-        F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
-    ).localCheckpoint(eager=False)
+    n_emb = table_rows(sf_dir, "embeddings")
+    # size-gated dup cut (r16): norms feeds the banded signature build
+    # AND both verify-join sides (ea/eb) — the interpreted norm fold
+    # would otherwise run three times over the corpus (r15, guide §2.4)
+    norms = dup_cut(
+        emb.select(
+            "vec_id",
+            "emb",
+            F.sqrt(_fold_sum(F.transform("emb", lambda x: x * x))).alias("nrm"),
+        ),
+        n_emb,
+    )
     band_cols = []
     for b in range(LSH_BANDS):
         bits = []
@@ -1415,13 +1421,18 @@ def q_ann_lsh_cosine(spark, sf_dir):
         for extra in bits[1:]:
             bucket = bucket + extra
         band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
-    # lazy checkpoint: sig's per-band dot folds are the expensive part
-    # and both self-join sides read it (r15, guide §2.4)
-    sig = norms.select(
-        "vec_id", F.explode(F.array(*band_cols)).alias("s")
-    ).select(
-        "vec_id", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket")
-    ).localCheckpoint(eager=False)
+    # size-gated dup cut (r16): sig's per-band dot folds are the
+    # expensive part and both self-join sides read it (r15, guide §2.4)
+    sig = dup_cut(
+        norms.select(
+            "vec_id", F.explode(F.array(*band_cols)).alias("s")
+        ).select(
+            "vec_id",
+            F.col("s.band").alias("band"),
+            F.col("s.bucket").alias("bucket"),
+        ),
+        n_emb,
+    )
     a = sig.alias("a")
     b_ = sig.alias("b")
     cand = (

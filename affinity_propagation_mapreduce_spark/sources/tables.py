@@ -90,6 +90,38 @@ def widen_scan(
     return df
 
 
+# Gate for the duplicate-subtree cuts below: SOURCE row count above
+# which the cut is skipped.  At 2M source docs the materialized
+# intermediate (the exploded token/shingle relation is ~50× its input,
+# ~50 B/row) is ~5 GB of executor storage — still comfortable; past it
+# the materialization cost and the executor-loss exposure outweigh
+# recomputing a scan+explode subtree Catalyst plans 2-3×.
+DUP_CUT_MAX_SRC_ROWS = 2_000_000
+
+
+def dup_cut(df: DataFrame, src_rows: int | None) -> DataFrame:
+    """Materialize a relation that feeds SEVERAL plan subtrees (self-join
+    sides + a size/set dimension): Catalyst plans DataFrame DAG reuse as
+    N full tree copies, so without the cut the underlying explode/agg
+    subtree executes N times (r15 plan audits, guide §2.4).
+
+    The mechanism is ``localCheckpoint`` — lineage is truncated and the
+    blocks live NON-REPLICATED on executors, so on a real cluster a lost
+    executor FAILS the query instead of recomputing it (guide §5).  That
+    trade is free at oracle SFs (local mode, no executor to lose) and
+    wrong for an intermediate bigger than the recompute, so the cut is
+    SIZE-GATED (r16, verdict r15 #5): above ``DUP_CUT_MAX_SRC_ROWS``
+    source rows the relation is returned uncut and each consumer
+    recomputes its copy — scan+explode subtrees with no exchange, the
+    safe default at 100 TB.  ``src_rows=None`` (source size unknown
+    driver-side) keeps the cut — every such caller is a small-by-
+    construction relation (test harness overrides, the incremental
+    batch split)."""
+    if src_rows is None or src_rows <= DUP_CUT_MAX_SRC_ROWS:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Exact row count from the parquet FOOTER metadata — the same number
     a metadata-only ``df.count()`` returns, without a Spark job (r15,

@@ -63,6 +63,12 @@ HEADLINE = [
 # the whole bench inside a conservative budget if pass 1 crawled.
 N_PASSES = 2
 PASS2_DEADLINE_SEC = 210.0
+# r16 (verdict r15 next-round #7, noise control): the two AP rows are
+# the heaviest and the ones the r15 driver sample mis-read 1.5× under
+# neighbor load — they alone get a third min-pass, bounded by the same
+# deadline guard.  Additions-only: no row removed/renamed, methodology
+# (count()-forced, min over passes) unchanged.
+EXTRA_PASS_QUERIES = ["ap_assign", "ap_assign_sparse"]
 
 
 def _cleanup(spark) -> None:
@@ -121,6 +127,14 @@ def main() -> None:
         if pass_i > 0 and time.time() - t_bench > PASS2_DEADLINE_SEC:
             break
         for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            _cleanup(spark)
+    if time.time() - t_bench <= PASS2_DEADLINE_SEC:
+        for name in EXTRA_PASS_QUERIES:  # third min-pass, AP rows only
             t0 = time.time()
             qs[name](spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
