@@ -1039,6 +1039,37 @@ def _probed_cell_dirs(croot: str, cells) -> list[str]:
     ]
 
 
+# Per-process scan-relation memo (r16, guide §6/§7.3): creating the
+# DataFrame for a probed-cells read is DRIVER work — file listing over
+# O(probed · batches) directories plus parquet schema inference —
+# measured ~0.9 s per `spark.read.parquet(*126 dirs)` at sf0.1, and a
+# filtered serve paid it TWICE (codes scan + raw-rerank store scan).
+# The codes tree is IMMUTABLE per (generation root, batch-dir set):
+# appends only ADD batch dirs (changing the key), every fold/compaction
+# bumps the generation (changing croot), and files inside a committed
+# batch dir are never rewritten — so a memoized relation can never see
+# stale files.  This memoizes the SCAN RELATION (unresolved rows), not
+# any result: tombstone suppression, predicates and reranks all apply
+# per serve on top.
+_scan_memo: dict[tuple, DataFrame] = {}
+_SCAN_MEMO_MAX = 64
+
+
+def _codes_scan(spark, croot: str, dirs: list[str]) -> DataFrame:
+    """Memoized `spark.read.option("basePath", croot).parquet(*dirs)`
+    (pass dirs=[croot] for a whole-tree read).  One listing + schema
+    inference per (application, croot, dir set) instead of per serve."""
+    key = (spark.sparkContext.applicationId, croot, tuple(sorted(dirs)))
+    hit = _scan_memo.get(key)
+    if hit is not None:
+        return hit
+    df = spark.read.option("basePath", croot).parquet(*dirs)
+    while len(_scan_memo) >= _SCAN_MEMO_MAX:
+        _scan_memo.pop(next(iter(_scan_memo)))
+    _scan_memo[key] = df
+    return df
+
+
 def _apply_id_filter(codes, filter_ids, filter_count: int | None):
     """Semi-join a serving scan down to the QUALIFYING ids (the
     pre-filter leg of filtered ANN search).  Runs BELOW the per-cell
@@ -1100,10 +1131,8 @@ def search_ann_index(
     probed_dirs = _probed_cell_dirs(croot, cell_to_q)
     if not probed_dirs:  # every probed cell empty in every batch
         return spark.createDataFrame([], "query_id long, neighbor_id long")
-    codes = (
-        spark.read.option("basePath", croot)
-        .parquet(*probed_dirs)
-        .where(F.col("cell").isin([int(c) for c in cell_to_q]))
+    codes = _codes_scan(spark, croot, probed_dirs).where(
+        F.col("cell").isin([int(c) for c in cell_to_q])
     )
     codes = _live_codes(spark, path, codes, meta)
     if filter_expr is not None:
@@ -1145,7 +1174,7 @@ def search_flat_pq(
     croot = _codes_root_gen(path, _gen_of(meta))
     if not os.path.isdir(croot):
         raise FileNotFoundError(f"ANN layout has no codes tree: {croot}")
-    codes = _live_codes(spark, path, spark.read.parquet(croot), meta)
+    codes = _live_codes(spark, path, _codes_scan(spark, croot, [croot]), meta)
     if filter_expr is not None:
         codes = codes.where(F.expr(filter_expr))  # pushed parquet filter
     if filter_ids is not None:
@@ -1205,10 +1234,8 @@ def raw_rerank_frame(spark, path: str, meta: dict, cells, filter_expr=None):
         return spark.createDataFrame(
             [], "vec_id long, emb array<double>, nrm double"
         )
-    df = (
-        spark.read.option("basePath", croot)
-        .parquet(*dirs)
-        .where(F.col("cell").isin([int(c) for c in cells]))
+    df = _codes_scan(spark, croot, dirs).where(
+        F.col("cell").isin([int(c) for c in cells])
     )
     if filter_expr is not None:
         df = df.where(F.expr(filter_expr))
@@ -1474,7 +1501,7 @@ def serve_topk_filtered(
                 croot0 = _codes_root_gen(path, _gen_of(meta))
                 selectivity = (
                     _live_codes(
-                        spark, path, spark.read.parquet(croot0), meta
+                        spark, path, _codes_scan(spark, croot0, [croot0]), meta
                     )
                     .where(F.expr(filter_expr))
                     .count()
@@ -1590,9 +1617,8 @@ def serve_topk_filtered(
                 ),
                 fmode,
             )
-        qscan = (
-            spark.read.option("basePath", croot0).parquet(*qdirs)
-            .where(F.col("cell").isin([int(c) for c in cells]))
+        qscan = _codes_scan(spark, croot0, qdirs).where(
+            F.col("cell").isin([int(c) for c in cells])
         )
         # LIVE rows only: a tombstoned row's STALE metadata must never
         # qualify a re-inserted neighbor whose current metadata does

@@ -409,7 +409,9 @@ def _median_preference_fast(
     percentile)."""
     import numpy as np
 
-    n = table(spark, sf_dir, "embeddings").count()
+    n = _n_points(spark, sf_dir)  # footer-metadata count (r16): this
+    # ran a fresh count JOB per preference call under the bench's
+    # cache-clearing regime
     if n > _FAST_MEDIAN_MAX_N:
         return None
     vals = off.select("s").toPandas()["s"].to_numpy()
@@ -1072,12 +1074,21 @@ def cluster_sparse(
         knn_candidate_pairs(spark, sf_dir, k, trained=trained), eager=False
     )
     ids = table(spark, sf_dir, "embeddings").select("vec_id")
-    if _n_points(spark, sf_dir) <= _BLOCKED().BLOCKED_MAX_N:
+    n = _n_points(spark, sf_dir)
+    if n <= _BLOCKED().BLOCKED_MAX_N:
         # ragged-blocked fused loop (ap_dense.cluster_sparse_blocked):
         # same semantics, ONE job per iteration (accumulator-carried
         # column stats) instead of the coordinate loop's per-pass
         # broadcast-agg jobs.  Gated like the dense engine — the
         # coordinate loop below is the >gate scale path.
+        if n <= _BLOCKED().SPARSE_FUSED_MAX_N:
+            # fused-small: the kernel holds the whole candidate graph in
+            # one task, so the median preference is computed IN-KERNEL
+            # (bitwise percentile(s,0.5), r16) — the separate
+            # single-reducer percentile job disappears
+            return _BLOCKED().cluster_sparse_blocked(
+                spark, cand, ids, None, iterations, lam
+            )
         p_val = cand.agg(F.expr("percentile(s, 0.5)").alias("p")).first()[0]
         if p_val is not None:  # None ⟺ empty candidate graph
             return _BLOCKED().cluster_sparse_blocked(

@@ -860,7 +860,7 @@ def cluster_sparse_blocked(
     spark: SparkSession,
     cand: DataFrame,
     ids_df: DataFrame,
-    pref: float,
+    pref: float | None,
     iterations: int,
     lam: float = DAMPING,
 ) -> DataFrame:
@@ -877,7 +877,16 @@ def cluster_sparse_blocked(
 
     Emits (vec_id, exemplar) for EVERY point; points with no elected
     exemplar among their candidates get -1 (the honest sparse
-    semantics, same as the coordinate ``ap.cluster_sparse``)."""
+    semantics, same as the coordinate ``ap.cluster_sparse``).
+
+    ``pref=None`` (fused-small branch only, r16): the median preference
+    is computed INSIDE the fused kernel from the candidate s values it
+    already holds — Spark's own interpolation formula on the same
+    doubles (the ``_median_preference_fast`` equivalence, bitwise equal
+    to ``percentile(s, 0.5)``) — so the separate single-reducer
+    percentile job disappears.  The distributed branch still requires
+    the scalar up front (its per-row build kernels each see only a
+    partition of the graph)."""
     import pandas as pd
 
     id_rows = ids_df.collect()
@@ -940,18 +949,49 @@ def cluster_sparse_blocked(
             pdf = pd.concat(frames).sort_values("i", ignore_index=True)
             ids_b = ids
             iv = pdf["i"].to_numpy(dtype="i8")
+            pref_ = pref
+            if pref_ is None:
+                # exact median preference from the candidate s values
+                # this task already holds — Spark's percentile
+                # interpolation on the same doubles (bitwise equal; the
+                # _median_preference_fast formula), selection via
+                # np.partition is input-order-independent
+                chunks = [
+                    np.array([x["s"] for x in nbrs], dtype="f8")
+                    for nbrs in pdf["nbrs"]
+                    if nbrs is not None and len(nbrs) > 0
+                ]
+                all_s = (
+                    np.concatenate(chunks)
+                    if chunks
+                    else np.empty(0, dtype="f8")
+                )
+                if all_s.size == 0:  # empty candidate graph: nobody can
+                    # elect an exemplar it has no declared similarity to
+                    yield pd.DataFrame(
+                        {"vec_id": iv, "exemplar": np.full(len(iv), -1, "i8")}
+                    )
+                    return
+                m = all_s.size
+                ppos = 0.5 * (m - 1)
+                lo_r = int(ppos)
+                part = np.partition(
+                    all_s, [lo_r, lo_r + 1] if lo_r + 1 < m else [lo_r]
+                )
+                lower, upper = part[lo_r], part[min(lo_r + 1, m - 1)]
+                pref_ = float(lower + (upper - lower) * (ppos - lo_r))
             ksc, sc, rc, ac = [], [], [], []
             for i_val, nbrs in zip(pdf["i"], pdf["nbrs"]):
                 if nbrs is None or len(nbrs) == 0:
                     ks = np.array([i_val], dtype="i8")
-                    sv = np.array([pref], dtype="f8")
+                    sv = np.array([pref_], dtype="f8")
                 else:
                     kk = np.array([x["k"] for x in nbrs], dtype="i8")
                     vv = np.array([x["s"] for x in nbrs], dtype="f8")
                     order = np.argsort(kk)  # ascending k: ties → lowest k
                     pos = np.searchsorted(kk[order], i_val)
                     ks = np.insert(kk[order], pos, i_val)
-                    sv = np.insert(vv[order], pos, pref)
+                    sv = np.insert(vv[order], pos, pref_)
                 z = np.zeros(len(ks), dtype="f8")
                 ksc.append(ks)
                 sc.append(sv)
@@ -1004,6 +1044,11 @@ def cluster_sparse_blocked(
             fused_kernel, schema="vec_id long, exemplar long"
         )
 
+    if pref is None:
+        raise ValueError(
+            "pref=None (in-kernel median) is fused-small-branch-only; "
+            "the distributed loop needs the scalar preference up front"
+        )
     sc_ctx = spark.sparkContext
     acc0 = sc_ctx.accumulator({}, _PartialsAcc())
 

@@ -175,6 +175,46 @@ def test_dup_cut_gate(spark):
     assert dup_cut(df, None) is not df
 
 
+def test_sparse_in_kernel_median_equals_percentile_job(spark):
+    """cluster_sparse_blocked(pref=None) — the fused-small in-kernel
+    median — must produce the identical label set as the old flow
+    (Spark percentile(s, 0.5) job + scalar pref)."""
+    from pyspark.sql import functions as F
+
+    from affinity_propagation_mapreduce_spark.operators import ap, ap_dense
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    cand = ap._ckpt(ap.knn_candidate_pairs(spark, SF_T2, 32), eager=False)
+    ids = table(spark, SF_T2, "embeddings").select("vec_id")
+    p_val = cand.agg(F.expr("percentile(s, 0.5)").alias("p")).first()[0]
+    old = sorted(
+        (r.vec_id, r.exemplar)
+        for r in ap_dense.cluster_sparse_blocked(
+            spark, cand, ids, p_val, 5
+        ).collect()
+    )
+    new = sorted(
+        (r.vec_id, r.exemplar)
+        for r in ap_dense.cluster_sparse_blocked(
+            spark, cand, ids, None, 5
+        ).collect()
+    )
+    assert old == new
+
+
+def test_sparse_distributed_branch_refuses_pref_none(spark, monkeypatch):
+    """Above the fused-small gate the in-kernel median is unavailable —
+    the distributed loop must refuse pref=None loudly."""
+    from affinity_propagation_mapreduce_spark.operators import ap, ap_dense
+    from affinity_propagation_mapreduce_spark.sources import table
+
+    cand = ap.knn_candidate_pairs(spark, SF_SMALL, 32)
+    ids = table(spark, SF_SMALL, "embeddings").select("vec_id")
+    monkeypatch.setattr(ap_dense, "SPARSE_FUSED_MAX_N", 0)
+    with pytest.raises(ValueError):
+        ap_dense.cluster_sparse_blocked(spark, cand, ids, None, 1)
+
+
 def test_fused_candidate_pairs_empty_corpus_guard(spark, tmp_path):
     """A corpus where every cell emits zero kept pairs (N=1: the only
     pair is a self-pair) must yield an empty relation, mirroring the
